@@ -1,0 +1,73 @@
+"""The extract+render stage: html -> (doc_id, spans, resolved links).
+
+One vectorized pandas UDF does the whole per-page pipeline in a single
+JVM<->Python Arrow crossing (reference equivalents: extractLinks
+src/WebCrawler.js:481-503, extractContentWithHTMLRewriter :363-479,
+turndown+cleanup :75-118,:579-588, generateFilepath :611-635, link
+resolution :514-519):
+
+    html --extract links--> [href...] --resolve vs page url--> links
+    html --main-content extraction--> dom --markdown--> cleanup --> spans
+
+Keeping extraction, conversion and link resolution in ONE UDF matters at
+scale: html strings are the fat column, and every extra UDF boundary
+re-ships them through Arrow.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from inform_spark.functions.html import (
+    cleanup_markdown,
+    dom_to_markdown,
+    extract_content,
+    extract_links,
+    parse_html,
+)
+from inform_spark.functions.spans import markdown_to_spans
+from inform_spark.functions.urls import generate_filepath, resolve_url
+from inform_spark.schemas import SPAN
+
+RENDER_RESULT = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("markdown", StringType(), False),
+        StructField("spans", ArrayType(SPAN), False),
+        StructField("links", ArrayType(StringType()), False),
+    ]
+)
+
+
+def render_one(url: str, html: str) -> dict:
+    """Pure-Python page render (shared with the sequential oracle path)."""
+    raw_links = extract_links(html)
+    resolved = []
+    for href in raw_links:
+        r = resolve_url(href, url)
+        if r is not None:
+            resolved.append(r)
+    root, found = extract_content(html)
+    if not found:
+        root = parse_html(html)
+    markdown = cleanup_markdown(dom_to_markdown(root))
+    return {
+        "doc_id": generate_filepath(url),
+        "markdown": markdown,
+        "spans": markdown_to_spans(markdown),
+        "links": resolved,
+    }
+
+
+@pandas_udf(RENDER_RESULT)
+def extract_render_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    out = {"doc_id": [], "markdown": [], "spans": [], "links": []}
+    for u, h in zip(url, html):
+        r = render_one(u, h or "")
+        out["doc_id"].append(r["doc_id"])
+        out["markdown"].append(r["markdown"])
+        out["spans"].append(r["spans"])
+        out["links"].append(r["links"])
+    return pd.DataFrame(out)

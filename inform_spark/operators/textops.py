@@ -1,0 +1,276 @@
+"""Training-data pipeline operators over a documents table.
+
+Large-scale corpus hygiene ops, each expressed Spark-first (built-in
+functions, no Python in the hot path) and each with a DuckDB-checkable
+formulation (see ``__spark_entry__.oracle_sql``):
+
+- exact dedup (hash groupBy)
+- MinHash signatures + LSH banding candidate pairs
+- SimHash fingerprints
+- n-gram Jaccard pairwise similarity
+- language ID (stopword-profile heuristic)
+- quality scoring (length / punctuation / stopword ratios)
+- token counting (whitespace + BPE-ish estimate)
+- rolling-hash document fingerprinting
+
+Cross-engine determinism: every hash is ``H60(s) = int(md5(s)[:15], 16)``
+— Spark: ``conv(substr(md5(s),1,15),16,10)``, DuckDB:
+``cast('0x'||substr(md5(s),1,15) as bigint)`` — so the oracle comparison is
+exact, not statistical.
+
+Scale notes: all ops are shuffle-by-key aggregations or explode+groupBy;
+pair generation is always LSH/band-bucketed or key-scoped (never an
+unbounded cross join); minhash/simhash are one pass over exploded shingles
+with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 2  # 8 hashes -> 4 bands
+SHINGLE_W = 3
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _h60(col):
+    """60-bit md5-based hash, reproducible in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_col(text_col="text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles_col(text_col="text", w: int = SHINGLE_W):
+    """Distinct w-word shingles as array<string> (native, no UDF)."""
+    words = words_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy) — D10/S10 analog for corpora
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """One survivor per distinct text: (keep_id, n_copies)."""
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): per-doc minhash signature over 3-word
+    shingles. Entirely native: transform + array_min, no shuffle at all
+    (narrow, embarrassingly parallel — ideal 100TB shape)."""
+    sh = shingles_col()
+    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    for i in range(k):
+        mh = F.array_min(
+            F.transform(sh, lambda s, i=i: _h60(F.concat(F.lit(f"{i}:"), s)))
+        )
+        cols.append(mh.alias(f"mh_{i}"))
+    return docs.select(*cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+    (a, b) with a < b, distinct. The self-join is bucketed by band key —
+    the classic shuffle-on-bucket shape, never an O(n^2) cross join."""
+    sig = minhash_signatures(docs, k)
+    n_bands = k // band
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(j),
+                        *[F.col(f"mh_{j * band + x}") for x in range(band)],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, cross-engine checkable; production would use 64)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): majority-vote bit fingerprint over word hashes.
+    explode -> groupBy(doc_id) with conditional sums = one shuffle with
+    map-side combine."""
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words_col()).alias("w"),
+    ).withColumn("h", _h60(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (scoped pairs, top-k)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_topk(docs: DataFrame, topk: int = 20) -> DataFrame:
+    """Top-k most similar same-source doc pairs by 3-gram Jaccard.
+    Pair space is scoped by `source` (key-bucketed join), deterministic
+    tie-break on (a, b)."""
+    with_sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        shingles_col().alias("sh"),
+    )
+    l, r = with_sh.alias("l"), with_sh.alias("r")
+    pairs = (
+        l.join(r, "source")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            (
+                F.size(F.array_intersect("l.sh", "r.sh"))
+                / F.size(F.array_union("l.sh", "r.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        pairs.withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(topk)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang): argmax of stopword hits per language
+    profile; deterministic tie-break by profile order, 'unk' when no hits."""
+    words = words_col()
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    pred = F.lit("unk")
+    best = F.lit(0)
+    for lang in STOPWORDS:  # insertion order = priority
+        s = scores[lang]
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), pred.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, stop_ratio, quality): simple
+    length/stopword heuristics, all native arithmetic (codegen'd)."""
+    words = words_col()
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.size(words)
+    mean_wl = F.round(
+        (F.length("text") - (n_words - 1)) / n_words, 4
+    )  # chars minus spaces
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda w: F.array_contains(en_stops, w))) / n_words, 4
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * F.lit(2.0), F.lit(0.2)),
+        4,
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_est): whitespace tokens + the ~4-chars/token
+    BPE estimate."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("bpe_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, min_fp): distinct shingle count + the minimum
+    60-bit shingle hash (k=1 minhash == the document's stable fingerprint)."""
+    sh = shingles_col()
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.array_min(F.transform(sh, _h60)).alias("min_fp"),
+    )

@@ -1,0 +1,129 @@
+"""Iceberg-style snapshot tables over parquet with atomic manifest commits.
+
+The north_rule demands Iceberg-checkpointed micro-batches with per-partition
+lineage, resumable mid-crawl. This container ships no Iceberg runtime jar,
+so this module implements the same commit semantics on plain parquet:
+
+- every table is append-only data files under ``<root>/<table>/data/``
+- a *snapshot* is a JSON manifest listing the data directories it contains
+- a *catalog commit* atomically advances ``<root>/_state/current`` (tmp file
+  + ``os.rename``, atomic on POSIX) to a state JSON that pins one snapshot
+  version per table plus the engine's scalar state
+- data written by a crashed batch is simply never referenced (orphans), so
+  resume-from-checkpoint reads a consistent multi-table view — the same
+  guarantee Iceberg snapshots give
+
+Swapping in real Iceberg later is localized to this module: ``append``
+becomes ``writeTo(...).append()`` and the catalog commit becomes a
+multi-table transaction / WAP commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class SnapshotTable:
+    """One append-only snapshot table."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: StructType):
+        self.spark = spark
+        self.name = name
+        self.schema = schema
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.manifest_dir = os.path.join(self.dir, "_snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        # uncommitted state, pinned by the catalog commit
+        self._dirs: list[str] = []
+        self._version = 0
+
+    # -- snapshot plumbing --------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
+    def load_version(self, version: int) -> None:
+        if version == 0:
+            self._dirs, self._version = [], 0
+            return
+        with open(self._manifest_path(version)) as f:
+            manifest = json.load(f)
+        self._dirs = manifest["dirs"]
+        self._version = version
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    # -- operations ----------------------------------------------------------
+    def append(self, df: DataFrame, label: str) -> int:
+        """Write df as new data files and stage snapshot version+1.
+        Returns the new (staged) version. Not visible until catalog commit."""
+        out = os.path.join(self.data_dir, f"{label}-{uuid.uuid4().hex[:8]}")
+        df.write.parquet(out, mode="overwrite")
+        new_version = self._version + 1
+        _atomic_write_json(
+            self._manifest_path(new_version),
+            {"version": new_version, "dirs": self._dirs + [out]},
+        )
+        self._dirs = self._dirs + [out]
+        self._version = new_version
+        return new_version
+
+    def read(self) -> DataFrame:
+        if not self._dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*self._dirs)
+
+
+class CrawlCheckpoint:
+    """Multi-table catalog with a single atomic commit point per batch."""
+
+    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, StructType]):
+        self.spark = spark
+        self.root = root
+        self.state_dir = os.path.join(root, "_state")
+        os.makedirs(self.state_dir, exist_ok=True)
+        self.tables = {n: SnapshotTable(spark, root, n, s) for n, s in schemas.items()}
+        self.state: dict = {}
+
+    @property
+    def current_path(self) -> str:
+        return os.path.join(self.state_dir, "current")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.current_path)
+
+    def commit(self, state: dict) -> None:
+        """Atomically pin every table's staged version + engine scalars."""
+        payload = {
+            "tables": {n: t.version for n, t in self.tables.items()},
+            "state": state,
+        }
+        _atomic_write_json(self.current_path, payload)
+        self.state = state
+
+    def restore(self) -> dict:
+        """Load the last committed state; tables see exactly the committed
+        snapshot set (orphaned post-crash files are ignored)."""
+        with open(self.current_path) as f:
+            payload = json.load(f)
+        for name, version in payload["tables"].items():
+            self.tables[name].load_version(version)
+        self.state = payload["state"]
+        return self.state

@@ -1,0 +1,608 @@
+"""The URL-frontier + fetch-scheduler engine: iterative DataFrame micro-batches.
+
+Design (SURVEY §2.7 T1): the reference's crawl loop
+(src/WebCrawler.js:244-273) is a self-referential dataflow — batch k's
+output links are batch k+1's input — which Structured Streaming sources
+cannot express, so the engine is a driver loop of declarative DataFrame
+micro-batches, each committed as one atomic multi-table snapshot
+(:mod:`inform_spark.plans.checkpoint`).
+
+Per batch:
+
+1. live frontier  = frontier ∖ seen           (left anti join, J1 flavor)
+2. politeness     = per-host token budget      (ranking window, T2-T4)
+3. batch          = first B by frontier_offset (TakeOrderedAndProject — no
+                                                global sort, O2 limit pushdown)
+4. fetch          = broadcast(batch) ⨝ pages   (J3; host-pruned scan; live
+                                                HTTP fetch is the same stage
+                                                as a mapInPandas UDF)
+5. render         = ONE pandas UDF: extract links + main content + markdown
+                    + spans (X1-X5)
+6. discover       = posexplode(links) → native filters (host F2, base-path
+                    F3, extension F4 via rlike, globs F5, robots F6 via
+                    broadcast join) → keep-first dedup (T7) → anti-join
+                    frontier (J1) → queue-cap admission (O3)
+7. append frontier/seen/documents/lineage, atomic catalog commit (T6)
+
+Ordering guarantee: `frontier_offset` is a monotonic BIGINT encoding
+(batch+1, parent-rank-in-batch, link-index), so `ORDER BY frontier_offset`
+is exactly the reference's insertion-ordered FIFO (src/WebCrawler.js:55,
+248-249) and the whole crawl — batched or not — is order-equal to the
+sequential (concurrency=1) reference semantics whenever the politeness
+budget and queue cap don't bind, and a linear extension of it otherwise.
+Verified against :mod:`inform_spark.reference_impl` in tests.
+
+Scale notes (100 TB / 10^10 URLs):
+- frontier and seen are APPEND-ONLY; the live frontier is an anti-join, so
+  no snapshot rewrite is ever O(frontier).
+- the seen anti-join is the one big shuffle; with `use_bloom=True` a
+  broadcast sharded bloom filter (:mod:`inform_spark.operators.bloom`)
+  pre-drops the vast majority of candidates and only bloom-POSITIVES reach
+  the exact anti-join (false positives are re-checked exactly, so the seen
+  set is byte-identical either way).
+- hot-host skew: the politeness window bounds per-host batch contribution;
+  the render stage is repartitioned by url hash (perfectly balanced);
+  AQE skew-join handling is on for the anti-joins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from inform_spark import schemas
+from inform_spark.functions.globs import FileFilter
+from inform_spark.functions.robots import RobotsMatcher
+from inform_spark.functions.urls import (
+    SKIP_EXTENSIONS_RLIKE,
+    derive_base_path,
+    normalize_url,
+    url_host,
+)
+from inform_spark.operators.render import extract_render_udf
+from inform_spark.plans.checkpoint import CrawlCheckpoint
+
+RETRYABLE_SQL = (429, 500, 502, 503, 504)
+
+# frontier_offset bit layout: (batch+1) << 42 | parent_rank << 21 | link_idx
+BATCH_SHIFT = 42
+PARENT_SHIFT = 21
+MAX_LINKS_PER_PAGE = (1 << PARENT_SHIFT) - 1
+
+
+@dataclass
+class CrawlConfig:
+    seeds: list[str]
+    limit: int = 100
+    max_retries: int = 3
+    max_queue_size: int = 10_000
+    include: list[str] | None = None
+    exclude: list[str] | None = None
+    ignore_robots: bool = False
+    default_delay_ms: int = 1000
+    batch_wall_budget_ms: int | None = None  # None => politeness budget off
+    batch_size: int | None = None  # None => remaining limit
+    max_depth: int | None = None
+    use_bloom: bool = False
+    bloom_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 20
+    render_partitions: int | None = None
+
+
+@dataclass
+class CrawlSummary:
+    batches: int = 0
+    attempted: int = 0
+    ok: int = 0
+    failed: int = 0
+    skipped_non_html: int = 0
+    links_discovered: int = 0
+    links_admitted: int = 0
+    links_dropped_cap: int = 0
+    wall_ms: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+def _glob_filter_udf(include, exclude):
+    ff = FileFilter(include, exclude)
+
+    @pandas_udf(BooleanType())
+    def glob_ok(url: pd.Series) -> pd.Series:
+        return url.map(ff.should_crawl_url)
+
+    return glob_ok
+
+
+@pandas_udf(BooleanType())
+def robots_allowed_udf(path_query: pd.Series, prefixes: pd.Series) -> pd.Series:
+    """Vectorized robots check. The disallow list arrives via the broadcast
+    join; matchers are compiled once per distinct list per batch."""
+    cache: dict[tuple, RobotsMatcher] = {}
+    out = []
+    for pq, pref in zip(path_query, prefixes):
+        if pref is None or len(pref) == 0:
+            out.append(True)
+            continue
+        key = tuple(pref)
+        m = cache.get(key)
+        if m is None:
+            m = cache[key] = RobotsMatcher(list(pref))
+        out.append(m.is_allowed(pq or "/"))
+    return pd.Series(out, dtype=bool)
+
+
+class CrawlEngine:
+    """Iterative micro-batch crawl over a pages fixture table (or live
+    fetcher). One instance per crawl; resumable via ``resume=True``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        robots_df: DataFrame | None,
+        config: CrawlConfig,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages_df
+        self.robots = robots_df
+        self.cfg = config
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="inform-crawl-")
+        self.catalog = CrawlCheckpoint(
+            spark,
+            self.checkpoint_dir,
+            {
+                "frontier": schemas.FRONTIER,
+                "seen": schemas.SEEN,
+                "documents": schemas.DOCUMENTS,
+                "lineage": schemas.LINEAGE,
+            },
+        )
+        # driver-side scalar state
+        self.batch_id = 0
+        self.attempted = 0
+        self.queue_warned = False
+        self._scopes = [
+            (url_host(normalize_url(s)), derive_base_path(normalize_url(s)))
+            for s in config.seeds
+        ]
+        self._scope_hosts = sorted({h for h, _ in self._scopes})
+        self._glob_udf = (
+            _glob_filter_udf(config.include, config.exclude)
+            if (config.include or config.exclude)
+            else None
+        )
+        self._bloom = None
+
+    # ------------------------------------------------------------------
+    def _init_state(self) -> None:
+        seeds = []
+        seen_urls = set()
+        for s in self.cfg.seeds:
+            u = normalize_url(s)
+            if u in seen_urls:
+                continue
+            seen_urls.add(u)
+            seeds.append(u)
+        from inform_spark.functions.urls import url_path
+
+        rows = [
+            (u, url_host(u), url_path(u), 0, i, 0) for i, u in enumerate(seeds)
+        ]
+        df = self.spark.createDataFrame(rows, schema=schemas.FRONTIER)
+        self.catalog.tables["frontier"].append(df, "seed")
+        self.catalog.commit(self._state())
+
+    def _state(self) -> dict:
+        return {
+            "batch_id": self.batch_id,
+            "attempted": self.attempted,
+            "queue_warned": self.queue_warned,
+        }
+
+    def _restore(self) -> None:
+        st = self.catalog.restore()
+        self.batch_id = st["batch_id"]
+        self.attempted = st["attempted"]
+        self.queue_warned = st["queue_warned"]
+
+    # ------------------------------------------------------------------
+    def _scopes_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self._scopes, schema="host string, base_path string"
+        )
+
+    def _robots_dim(self) -> DataFrame | None:
+        if self.robots is None or self.cfg.ignore_robots:
+            return None
+        return self.robots.select("host", "disallow_prefixes", "crawl_delay_ms")
+
+    # ------------------------------------------------------------------
+    def _select_batch(self, live: DataFrame, b: int) -> DataFrame:
+        sel = live
+        if self.cfg.batch_wall_budget_ms is not None:
+            robots_dim = self._robots_dim()
+            if robots_dim is not None:
+                sel = sel.join(
+                    F.broadcast(robots_dim.select("host", "crawl_delay_ms")),
+                    "host",
+                    "left",
+                )
+            else:
+                sel = sel.withColumn("crawl_delay_ms", F.lit(None).cast("long"))
+            # T3: robots crawl-delay overrides only if HIGHER
+            delay_host = F.greatest(
+                F.lit(self.cfg.default_delay_ms),
+                F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+            )
+            budget = F.greatest(
+                F.lit(1),
+                F.floor(F.lit(self.cfg.batch_wall_budget_ms) / delay_host),
+            )
+            rank = F.row_number().over(
+                Window.partitionBy("host").orderBy("frontier_offset")
+            )
+            sel = (
+                sel.withColumn("__budget", budget)
+                .withColumn("__rank", rank)
+                .filter(F.col("__rank") <= F.col("__budget"))
+                .drop("__budget", "__rank", "crawl_delay_ms")
+            )
+        # FIFO prefix — TakeOrderedAndProject, not a global sort
+        return sel.orderBy("frontier_offset").limit(b)
+
+    # ------------------------------------------------------------------
+    def _fetch(self, batch: DataFrame) -> DataFrame:
+        """Fixture fetch: broadcast the (small) batch against the host-pruned
+        pages table; unmatched URLs are 404s. Retry semantics (S2/T5) are
+        deterministic: `retries_needed` <= max_retries succeeds on attempt
+        retries_needed+1, otherwise fails after max_retries+1 attempts."""
+        pages = self.pages
+        if self._scope_hosts:
+            pages = pages.filter(F.col("host").isin(self._scope_hosts))
+        bkeys = batch.select("url", "depth", "frontier_offset", "parent_rank")
+        hit = pages.join(F.broadcast(bkeys), "url", "inner")
+        miss = bkeys.join(F.broadcast(hit.select("url")), "url", "left_anti")
+
+        max_r = self.cfg.max_retries
+        needed = F.coalesce(F.col("retries_needed"), F.lit(0))
+        status_eff = (
+            F.when(needed > max_r, F.lit(503))
+            .otherwise(F.col("status_code"))
+            .cast("int")
+        )
+        attempts = (
+            F.when((needed > 0) & (needed <= max_r), needed + 1)
+            .when(needed > max_r, max_r + 1)
+            .when(F.col("status_code").isin(*RETRYABLE_SQL), max_r + 1)
+            .otherwise(1)
+            .cast("int")
+        )
+        hit_out = hit.select(
+            "url",
+            "depth",
+            "frontier_offset",
+            "parent_rank",
+            status_eff.alias("status_eff"),
+            "content_type",
+            "html",
+            attempts.alias("attempts"),
+        )
+        miss_out = miss.select(
+            "url",
+            "depth",
+            "frontier_offset",
+            "parent_rank",
+            F.lit(404).alias("status_eff"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(None).cast("string").alias("html"),
+            F.lit(1).alias("attempts"),
+        )
+        fetched = hit_out.unionByName(miss_out)
+        ok = (F.col("status_eff") >= 200) & (F.col("status_eff") < 300)
+        return fetched.withColumn(
+            "status", F.when(ok, F.lit("ok")).otherwise(F.lit("failed"))
+        ).withColumn(
+            "error",
+            F.when(ok, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("HTTP "), F.col("status_eff").cast("string"))
+            ),
+        ).withColumn(
+            "is_doc",
+            ok & F.coalesce(F.col("content_type"), F.lit("")).contains("text/html"),
+        )
+
+    # ------------------------------------------------------------------
+    def _discover(self, rendered: DataFrame, robots_dim: DataFrame | None) -> DataFrame:
+        """Candidate-link pipeline: explode → native filters → dedup."""
+        cfg = self.cfg
+        links = rendered.select(
+            "depth",
+            "parent_rank",
+            F.posexplode("links").alias("pos", "link"),
+        )
+        # native URL parts (JVM-side parse_url — no UDF)
+        cand = links.select(
+            F.col("link").alias("url"),
+            F.lower(F.parse_url("link", F.lit("HOST"))).alias("host"),
+            F.coalesce(F.parse_url("link", F.lit("PATH")), F.lit("/")).alias("path"),
+            F.parse_url("link", F.lit("QUERY")).alias("query"),
+            (F.col("depth") + 1).alias("depth"),
+            (
+                F.lit((self.batch_id + 1) << BATCH_SHIFT)
+                + F.col("parent_rank").cast("long") * F.lit(1 << PARENT_SHIFT)
+                + F.least(F.col("pos"), F.lit(MAX_LINKS_PER_PAGE)).cast("long")
+            ).alias("frontier_offset"),
+        ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+
+        # F2 same-host + F3 base-path via broadcast scope join
+        cand = cand.join(F.broadcast(self._scopes_df()), "host", "inner").filter(
+            (F.col("base_path") == "/")
+            | (F.col("path") == F.col("base_path"))
+            | F.col("path").startswith(F.concat(F.col("base_path"), F.lit("/")))
+        ).drop("base_path")
+
+        # F4 extension skip — single vectorized rlike, stays in codegen
+        cand = cand.filter(~F.lower("path").rlike(SKIP_EXTENSIONS_RLIKE))
+
+        # F5 globs (only when configured)
+        if self._glob_udf is not None:
+            cand = cand.filter(self._glob_udf(F.col("url")))
+
+        # F6 robots via broadcast join + vectorized matcher
+        if robots_dim is not None:
+            cand = (
+                cand.join(
+                    F.broadcast(robots_dim.select("host", "disallow_prefixes")),
+                    "host",
+                    "left",
+                )
+                .filter(
+                    robots_allowed_udf(
+                        F.concat(
+                            F.col("path"),
+                            F.when(
+                                F.col("query").isNotNull(),
+                                F.concat(F.lit("?"), F.col("query")),
+                            ).otherwise(F.lit("")),
+                        ),
+                        F.col("disallow_prefixes"),
+                    )
+                )
+                .drop("disallow_prefixes")
+            )
+        cand = cand.drop("query")
+
+        if cfg.max_depth is not None:
+            cand = cand.filter(F.col("depth") <= cfg.max_depth)
+
+        # T7 in-batch dedup, order-stable: keep the FIRST discovery
+        # (min frontier_offset) — struct-min keeps all columns consistent.
+        dedup = (
+            cand.groupBy("url")
+            .agg(
+                F.min(F.struct("frontier_offset", "host", "path", "depth")).alias("s")
+            )
+            .select(
+                "url",
+                F.col("s.host").alias("host"),
+                F.col("s.path").alias("path"),
+                F.col("s.depth").alias("depth"),
+                F.col("s.frontier_offset").alias("frontier_offset"),
+            )
+        )
+        return dedup
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = False, max_batches: int | None = None) -> CrawlSummary:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        if resume:
+            self._restore()
+        else:
+            self._init_state()
+        if cfg.use_bloom:
+            from inform_spark.operators.bloom import ShardedBloom
+
+            # the bloom mirrors the FRONTIER table (everything ever enqueued,
+            # which supersets `seen`) — the set the exact anti-join uses
+            self._bloom = ShardedBloom.build(
+                self.spark,
+                self.catalog.tables["frontier"].read().select("url"),
+                n_shards=cfg.bloom_shards,
+                bits_per_shard=cfg.bloom_bits_per_shard,
+            )
+        summary = CrawlSummary()
+        robots_dim = self._robots_dim()
+        batches_run = 0
+
+        while self.attempted < cfg.limit:
+            if max_batches is not None and batches_run >= max_batches:
+                break
+            frontier_t = self.catalog.tables["frontier"]
+            seen_t = self.catalog.tables["seen"]
+            seen_urls = seen_t.read().select("url")
+            live = frontier_t.read().join(seen_urls, "url", "left_anti")
+
+            remaining = cfg.limit - self.attempted
+            b = min(cfg.batch_size or remaining, remaining)
+            batch = self._select_batch(live, b).persist()
+            n_batch = batch.count()
+            if n_batch == 0:
+                batch.unpersist()
+                break
+            live_count = live.count()
+
+            # parent_rank = attempt order within the batch (window over a
+            # driver-bounded batch, never over the full frontier)
+            batch = batch.withColumn(
+                "parent_rank",
+                F.row_number().over(Window.orderBy("frontier_offset")),
+            )
+
+            fetched = self._fetch(batch)
+            n_render = cfg.render_partitions or self.spark.sparkContext.defaultParallelism
+            fetched = fetched.repartition(n_render, "url").persist()
+
+            rendered = (
+                fetched.filter("is_doc")
+                .withColumn("r", extract_render_udf(F.col("url"), F.col("html")))
+                .select(
+                    "url",
+                    "depth",
+                    "parent_rank",
+                    F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.spans").alias("spans"),
+                    F.col("r.links").alias("links"),
+                )
+                .persist()
+            )
+
+            # --- documents append ---
+            docs = rendered.select(
+                "doc_id", "url", "spans", F.lit(self.batch_id).alias("batch_id")
+            )
+            self.catalog.tables["documents"].append(docs, f"b{self.batch_id}")
+
+            # --- seen append ---
+            seen_rows = fetched.select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                "status",
+                "error",
+                F.lit(self.batch_id).alias("attempted_in_batch"),
+                (F.lit(self.attempted) + F.col("parent_rank")).cast("long").alias(
+                    "crawl_rank"
+                ),
+            )
+            seen_t.append(seen_rows, f"b{self.batch_id}")
+
+            # --- discover + admit ---
+            dedup = self._discover(rendered, robots_dim)
+            if self._bloom is not None:
+                from inform_spark.operators.bloom import bloom_partition
+
+                maybe_seen, fresh = bloom_partition(dedup, self._bloom)
+                checked = maybe_seen.join(
+                    frontier_t.read().select("url"), "url", "left_anti"
+                )
+                new_links = fresh.unionByName(checked)
+            else:
+                new_links = dedup.join(
+                    frontier_t.read().select("url"), "url", "left_anti"
+                )
+            new_links = new_links.persist()
+            n_cand = new_links.count()
+
+            # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560)
+            capacity = cfg.max_queue_size - (live_count - n_batch)
+            if n_cand > capacity:
+                admitted = (
+                    new_links.orderBy("frontier_offset").limit(max(capacity, 0)).persist()
+                )
+                n_admit = admitted.count()
+                if not self.queue_warned:
+                    self.queue_warned = True
+            else:
+                admitted = new_links
+                n_admit = n_cand
+
+            frontier_rows = admitted.select(
+                "url",
+                "host",
+                "path",
+                "depth",
+                "frontier_offset",
+                F.lit(self.batch_id).alias("discovered_in_batch"),
+            )
+            frontier_t.append(frontier_rows, f"b{self.batch_id}")
+
+            # --- metrics / lineage ---
+            agg = fetched.agg(
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+                    "failed"
+                ),
+                F.sum(
+                    F.when((F.col("status") == "ok") & ~F.col("is_doc"), 1).otherwise(0)
+                ).alias("skipped"),
+                F.min("frontier_offset").alias("lo"),
+                F.max("frontier_offset").alias("hi"),
+            ).collect()[0]
+            n_disc = rendered.agg(
+                F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("d")
+            ).collect()[0]["d"]
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            lineage_row = self.spark.createDataFrame(
+                [
+                    (
+                        self.batch_id,
+                        agg["lo"] or 0,
+                        agg["hi"] or 0,
+                        self._bloom.version if self._bloom is not None else 0,
+                        n_batch,
+                        agg["ok"] or 0,
+                        agg["failed"] or 0,
+                        agg["skipped"] or 0,
+                        int(n_disc),
+                        n_admit,
+                        n_cand - n_admit,
+                        wall_ms,
+                    )
+                ],
+                schema=schemas.LINEAGE,
+            )
+            self.catalog.tables["lineage"].append(lineage_row, f"b{self.batch_id}")
+
+            # --- bloom update (scale path): fold newly enqueued urls in, so
+            # the filter keeps mirroring the frontier table exactly ---
+            if self._bloom is not None:
+                self._bloom = self._bloom.add(self.spark, admitted.select("url"))
+
+            # --- atomic commit: the batch happened ---
+            self.attempted += n_batch
+            self.batch_id += 1
+            batches_run += 1
+            self.catalog.commit(self._state())
+
+            summary.batches += 1
+            summary.attempted += n_batch
+            summary.ok += agg["ok"] or 0
+            summary.failed += agg["failed"] or 0
+            summary.skipped_non_html += agg["skipped"] or 0
+            summary.links_discovered += int(n_disc)
+            summary.links_admitted += n_admit
+            summary.links_dropped_cap += n_cand - n_admit
+
+            for df in (batch, fetched, rendered, new_links):
+                df.unpersist()
+            if admitted is not new_links:
+                admitted.unpersist()
+
+        summary.wall_ms = (time.monotonic() - t0) * 1000
+        return summary
+
+    # ------------------------------------------------------------------
+    def documents(self) -> DataFrame:
+        return self.catalog.tables["documents"].read()
+
+    def seen(self) -> DataFrame:
+        return self.catalog.tables["seen"].read()
+
+    def lineage(self) -> DataFrame:
+        return self.catalog.tables["lineage"].read()
+
+    def frontier(self) -> DataFrame:
+        return self.catalog.tables["frontier"].read()
+
+    def summary_df(self) -> DataFrame:
+        """A1 crawl counters: groupBy(status).count() (S11 summary sink)."""
+        return self.seen().groupBy("status").count()

@@ -1,0 +1,172 @@
+"""Explicit StructType schemas for every engine table.
+
+The reference fixes its shapes by JSDoc convention only (e.g.
+reference src/sources/types.js:10-22); here every table has an explicit
+schema so Arrow round-trips through pandas UDFs are stable and parquet
+snapshots never drift.
+
+The ``documents`` table follows the authoritative input_hint shape
+(BASELINE.json): interleaved text + media spans
+``array<struct<kind, text, media_ref, offset>>`` whose text-span
+concatenation in offset order byte-equals the rendered markdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# Span model (input_hint): kind in {'text','media'}; offset is the ordinal
+# position in the document; concatenating text-kind spans in offset order
+# must byte-equal the engine's rendered markdown for that document.
+# ---------------------------------------------------------------------------
+SPAN = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), False),
+    ]
+)
+
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", StringType(), False),  # url-derived path, X5 rules
+        StructField("url", StringType(), False),
+        StructField("spans", ArrayType(SPAN), False),
+        StructField("batch_id", LongType(), False),
+    ]
+)
+
+# Frontier: the distributed analog of the reference's insertion-ordered
+# `toVisit` Set (src/WebCrawler.js:55). `frontier_offset` is a globally
+# monotonic BIGINT encoding (batch, parent-rank, link-index) so that
+# `ORDER BY frontier_offset` reproduces the sequential FIFO pop order
+# (src/WebCrawler.js:248-249) exactly.
+FRONTIER = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("frontier_offset", LongType(), False),
+        StructField("discovered_in_batch", LongType(), False),
+    ]
+)
+
+# URL-seen set: exact backing table for the bloom filter; the reference's
+# `visited` Set (src/WebCrawler.js:54). Failures are seen too
+# (src/WebCrawler.js:256-258).
+SEEN = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("status", StringType(), False),  # ok | failed | skipped
+        StructField("error", StringType(), True),
+        StructField("attempted_in_batch", LongType(), False),
+        StructField("crawl_rank", LongType(), False),  # global attempt order
+    ]
+)
+
+# Per-host robots dimension table (broadcast side of J2).
+# Mirrors the reference's per-origin cache (src/RobotsParser.js:12,39-43).
+ROBOTS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("exists", BooleanType(), False),
+        StructField("disallow_prefixes", ArrayType(StringType()), False),
+        StructField("crawl_delay_ms", LongType(), True),
+    ]
+)
+
+# Synthetic web fixture (replaces live HTTP in tests/bench — the sandbox has
+# no crawl targets; mirrors tests/integration/test-server.js:15-69).
+PAGES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("status_code", IntegerType(), False),
+        StructField("content_type", StringType(), False),
+        StructField("html", StringType(), True),
+        StructField("out_links", ArrayType(StringType()), True),
+    ]
+)
+
+# Fetch-stage output (D5): one row per attempted URL per batch.
+FETCHED = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("status_code", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("html", StringType(), True),
+        StructField("attempts", IntegerType(), False),
+        StructField("fetch_ms", FloatType(), True),
+    ]
+)
+
+# Per-batch / per-partition lineage + metrics (north_rule: resumable from
+# checkpoint with per-partition lineage + metrics).
+LINEAGE = StructType(
+    [
+        StructField("batch_id", LongType(), False),
+        StructField("offset_lo", LongType(), False),
+        StructField("offset_hi", LongType(), False),
+        StructField("bloom_shard_version", LongType(), False),
+        StructField("pages_attempted", LongType(), False),
+        StructField("pages_ok", LongType(), False),
+        StructField("pages_failed", LongType(), False),
+        StructField("pages_skipped", LongType(), False),
+        StructField("links_discovered", LongType(), False),
+        StructField("links_admitted", LongType(), False),
+        StructField("links_dropped_cap", LongType(), False),
+        StructField("wall_ms", LongType(), False),
+    ]
+)
+
+# Feed-ingest item (D7, reference src/sources/types.js:10-22).
+INGEST_ITEM = StructType(
+    [
+        StructField("kind", StringType(), False),  # rss|youtube|x|bluesky
+        StructField("id", StringType(), False),
+        StructField("url", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("published_at", TimestampType(), True),
+        StructField("author", StringType(), True),
+        StructField("content_text", StringType(), True),
+        StructField("content_html", StringType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+    ]
+)
+
+SEED_URLS = StructType(
+    [
+        StructField("seed_id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("limit", IntegerType(), False),
+        StructField("delay_ms", IntegerType(), False),
+        StructField("max_depth", IntegerType(), False),
+    ]
+)
+
+# Multimodal asset table: media payloads are opaque binary with typed
+# metadata; decode runs as mapInPandas (stubbed in-sandbox).
+from pyspark.sql.types import BinaryType, MapType  # noqa: E402
+
+MEDIA_ASSETS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)

@@ -1,0 +1,71 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Defaults chosen for the 100 TB target: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (every pandas UDF crosses the
+JVM/Python boundary in columnar batches), broadcast threshold sized for
+dimension tables like the per-host robots table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship inform_spark to executors (the local-mode equivalent of
+    ``spark-submit --py-files inform_spark.zip``). Without this, pandas-UDF
+    closures referencing the package fail to unpickle on workers when the
+    driver isn't launched from the repo root."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "inform_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "inform_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "inform_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the frontier engine."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
