@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship query: run the URL-frontier crawl engine on
+                        the deterministic synthetic site (seed 42) and return
+                        the interleaved-span documents table (input_hint
+                        shape), plus a corpus-hygiene smoke over sf0.001.
+``queries()``         — one callable per implemented operator from
+                        SURVEY.md §2 + the training-data pipeline ops, each
+                        phrased over the driver's testdata tables so DuckDB
+                        can oracle-check them.
+``oracle_sql()``      — the DuckDB-equivalent ANSI SQL for every
+                        SQL-expressible query. The crawl-engine queries
+                        (iterative, self-referential dataflow) are
+                        non-SQL-expressible → rows-only check; their strong
+                        oracle (plain-Python sequential reference semantics,
+                        inform src/WebCrawler.js:244-273) runs in pytest
+                        (tests/test_crawl_e2e.py).
+
+Cross-engine determinism notes:
+- 60-bit hash ``H60(s)``: Spark ``conv(substr(md5(s),1,15),16,10)`` ==
+  DuckDB ``cast('0x'||substr(md5(s),1,15) as bigint)`` — exact, not
+  statistical.
+- dot products cast float→double before multiplying on both engines so
+  sums are bit-identical in the same fold order.
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inform_spark.operators import similarity, textops
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+_H60_SQL = "cast('0x'||substr(md5({s}),1,15) as bigint)"
+
+# shingle list (3-word) over lower(text), DuckDB side; mirrors
+# textops.shingles_col exactly (sequence bounds, slice width, dedup)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(string_split(lower(text),' '))-3,0)+1), "
+    "i -> array_to_string((string_split(lower(text),' '))[i+1:i+3], ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-engine operator analogs over the testdata tables (SURVEY §7 phase 6)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_status_rollup(spark, sf_dir):
+    """A1/S11 summary sink: groupBy(status).count() (src/WebCrawler.js:285-307)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_j1_anti_join_seen(spark, sf_dir):
+    """J1 seen-dedup anti-join (src/WebCrawler.js:523-524): customers that
+    never appear in orders == candidate URLs not in the seen set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("never_seen_key"))
+    )
+
+
+def q_j2_broadcast_lookup(spark, sf_dir):
+    """J2 robots-cache lookup as a broadcast hash join
+    (src/RobotsParser.js:137-141): tiny dim table joined to a fact."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").cast("long").alias("n_nations"))
+    )
+
+
+def q_o3_rank_cap(spark, sf_dir):
+    """O3 queue-cap admission (src/WebCrawler.js:553-560): global admission
+    rank over the merged frontier, keep first 100."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 100)
+        .select("event_id", "rk")
+    )
+
+
+def q_t2_window_budget(spark, sf_dir):
+    """T2 per-host politeness token bucket (src/WebCrawler.js:265-267):
+    row_number() OVER (PARTITION BY host ORDER BY ...) <= budget."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+def q_f4_regex_filter(spark, sf_dir):
+    """F4 binary-extension skip (src/WebCrawler.js:595-600): one vectorized
+    rlike predicate, counted per group."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").rlike("(spark|shuffle|join)"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_x7_content_hash(spark, sf_dir):
+    """X7 content id hashing (src/sources/util.js:9-11; sha1 there, md5 here
+    for cross-engine checkability)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+def q_o4_limit_union(spark, sf_dir):
+    """O4+O5 per-source item limit then union (src/sources/rss.js:81,
+    src/sources/index.js:24-43)."""
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("source") == "src0").orderBy("doc_id").limit(5)
+    b = docs.filter(F.col("source") == "src1").orderBy("doc_id").limit(5)
+    return a.unionByName(b).select("doc_id", "source")
+
+
+def q_s10_feed_dedup(spark, sf_dir):
+    """S10 feed dedup sink (src/sources/write.js:155-177): distinct ids."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+
+
+def q_a1b_pricing_rollup(spark, sf_dir):
+    """A1-family metrics rollup at fact-table scale (map-side partial agg →
+    one shuffle; the summary-sink shape the engine emits per batch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_topk(spark, sf_dir):
+    return textops.ngram_jaccard_topk(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Crawl engine itself (non-SQL-expressible: iterative self-referential
+# dataflow — strong oracle lives in tests/test_crawl_e2e.py vs the
+# sequential reference semantics)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict = {}
+
+
+def _run_fixture_crawl(spark):
+    if "eng" in _CRAWL_CACHE:
+        return _CRAWL_CACHE["eng"]
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.session import ship_package
+    from inform_spark.sources.pages import generate_site
+
+    ship_package(spark)
+    # tiny fixture -> tiny shuffles: 200 default partitions would drown the
+    # 50-page crawl in task-scheduling overhead
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    pages, robots = generate_site(n_hosts=2, pages_per_host=22)
+    from inform_spark.schemas import ROBOTS
+
+    pages_df = spark.createDataFrame(pages)
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], r["exists"], r["disallow_prefixes"], r["crawl_delay_ms"])
+            for r in robots
+        ],
+        schema=ROBOTS,
+    )
+    cfg = CrawlConfig(
+        seeds=["https://site0.test/", "https://site1.test/"],
+        limit=60,
+        render_partitions=8,
+    )
+    eng = CrawlEngine(spark, pages_df, robots_df, cfg)
+    eng.run()
+    _CRAWL_CACHE["eng"] = eng
+    return eng
+
+
+def q_crawl_documents(spark, sf_dir):
+    """Full engine run on the deterministic synthetic site: interleaved
+    text+media span documents (input_hint shape), exploded for stability."""
+    eng = _run_fixture_crawl(spark)
+    return eng.documents().select(
+        "doc_id",
+        "url",
+        F.posexplode("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "url",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+        F.md5(F.coalesce(F.col("span.text"), F.lit(""))).alias("text_md5"),
+    )
+
+
+def q_crawl_seen_order(spark, sf_dir):
+    """Final URL-seen set + crawl order (the two north_rule equalities)."""
+    eng = _run_fixture_crawl(spark)
+    return eng.seen().select("url", "status", "crawl_rank")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl the synthetic site end-to-end, emit span documents."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
+    # touch the provided testdata to prove the read path works
+    _ = _docs(spark, sf_dir).limit(1).count()
+    return q_crawl_documents(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_status_rollup": q_a1_status_rollup,
+        "j1_anti_join_seen": q_j1_anti_join_seen,
+        "j2_broadcast_lookup": q_j2_broadcast_lookup,
+        "o3_rank_cap": q_o3_rank_cap,
+        "t2_window_budget": q_t2_window_budget,
+        "f4_regex_filter": q_f4_regex_filter,
+        "x7_content_hash": q_x7_content_hash,
+        "o4_limit_union": q_o4_limit_union,
+        "s10_feed_dedup": q_s10_feed_dedup,
+        "a1b_pricing_rollup": q_a1b_pricing_rollup,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_topk": q_ngram_jaccard_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "crawl_documents": q_crawl_documents,
+        "crawl_seen_order": q_crawl_seen_order,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _minhash_sql(k: int = 8) -> str:
+    cols = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _H60_SQL.format(s=f"concat('{i}:', s)")
+        + f")) as mh_{i}"
+        for i in range(k)
+    )
+    return (
+        f"with sh as (select cast(doc_id as bigint) as doc_id, "
+        f"{_SHINGLES_SQL} as sh from documents) "
+        f"select doc_id, {cols} from sh"
+    )
+
+
+def _lsh_pairs_sql(k: int = 8, band: int = 2) -> str:
+    sig = _minhash_sql(k)
+    n_bands = k // band
+    keys = ", ".join(
+        "concat_ws('_', "
+        + str(j)
+        + ", "
+        + ", ".join(f"mh_{j * band + x}" for x in range(band))
+        + ")"
+        for j in range(n_bands)
+    )
+    return (
+        f"with sig as ({sig}), bands as ("
+        f"select doc_id, unnest([{keys}]) as band_key from sig) "
+        f"select distinct l.doc_id as a, r.doc_id as b "
+        f"from bands l join bands r using (band_key) where l.doc_id < r.doc_id"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as s{j}"
+        for j in range(bits)
+    )
+    sim = " + ".join(
+        f"(case when s{j} > 0 then {1 << j} else 0 end)" for j in range(bits)
+    )
+    h = _H60_SQL.format(s="w")
+    return (
+        f"with words as (select cast(doc_id as bigint) as doc_id, "
+        f"unnest(string_split(lower(text),' ')) as w from documents), "
+        f"hashed as (select doc_id, {h} as h from words), "
+        f"agg as (select doc_id, {bit_sums} from hashed group by doc_id) "
+        f"select doc_id, cast({sim} as bigint) as simhash from agg"
+    )
+
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in textops.STOPWORDS.items()
+}
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(
+        f"len(list_intersect(string_split(lower(text),' '), {_STOP_SQL[lang]})) as s_{lang}"
+        for lang in textops.STOPWORDS
+    )
+    langs = list(textops.STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    whens = " ".join(f"when s_{x} = m then '{x}'" for x in langs[:-1])
+    return (
+        f"with s as (select cast(doc_id as bigint) as doc_id, {scores} from documents), "
+        f"m as (select *, {m} as m from s) "
+        f"select doc_id, case when m <= 0 then 'unk' {whens} else '{langs[-1]}' end "
+        f"as predicted_lang from m"
+    )
+
+
+def _ann_cosine_sql(n_queries: int = 10, k: int = 5) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(q.qv)+1), "
+        "i -> cast(q.qv[i] as double) * cast(c.cv[i] as double)))"
+    )
+
+    def norm(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return (
+        f"with q as (select vec_id as q, embedding as qv from embeddings "
+        f"where vec_id < {n_queries}), "
+        f"c as (select vec_id as neighbor, embedding as cv from embeddings), "
+        f"scored as (select q.q, c.neighbor, "
+        f"round({dot} / ({norm('q.qv')} * {norm('c.cv')}), 6) as cosine "
+        f"from c cross join q where c.neighbor <> q.q), "
+        f"ranked as (select *, row_number() over "
+        f"(partition by q order by cosine desc, neighbor asc) as rank from scored) "
+        f"select cast(q as bigint) as q, cast(neighbor as bigint) as neighbor, "
+        f"cosine, cast(rank as int) as rank from ranked where rank <= {k}"
+    )
+
+
+def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 4, dim: int = 64) -> str:
+    planes = similarity._hyperplanes(dim, n_planes)
+    terms = []
+    for j in range(n_planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> cast(embedding[i] as double) * ({lits})[i]))"
+        )
+        terms.append(f"(case when {d} > 0 then {1 << j} else 0 end)")
+    bucket = " + ".join(terms)
+    dot = (
+        "list_sum(list_transform(range(1, len(q.qv)+1), "
+        "i -> cast(q.qv[i] as double) * cast(c.cv[i] as double)))"
+    )
+
+    def norm(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return (
+        f"with b as (select vec_id, embedding, {bucket} as bucket from embeddings), "
+        f"q as (select vec_id as q, embedding as qv, bucket from b "
+        f"where vec_id < {n_queries}), "
+        f"c as (select vec_id as neighbor, embedding as cv, bucket from b), "
+        f"scored as (select q.q, c.neighbor, "
+        f"round({dot} / ({norm('q.qv')} * {norm('c.cv')}), 6) as cosine "
+        f"from c join q using (bucket) where c.neighbor <> q.q), "
+        f"ranked as (select *, row_number() over "
+        f"(partition by q order by cosine desc, neighbor asc) as rank from scored) "
+        f"select cast(q as bigint) as q, cast(neighbor as bigint) as neighbor, "
+        f"cosine, cast(rank as int) as rank from ranked where rank <= {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _STOP_SQL["en"]
+    return {
+        "a1_status_rollup": (
+            "select o_orderstatus, cast(count(*) as bigint) as n "
+            "from orders group by o_orderstatus"
+        ),
+        "j1_anti_join_seen": (
+            "select c_custkey as never_seen_key from customer "
+            "where c_custkey not in (select o_custkey from orders)"
+        ),
+        "j2_broadcast_lookup": (
+            "select r_name, cast(count(*) as bigint) as n_nations "
+            "from nation join region on n_regionkey = r_regionkey group by r_name"
+        ),
+        "o3_rank_cap": (
+            "select event_id, cast(rk as int) as rk from ("
+            "select event_id, row_number() over (order by ts, event_id) as rk "
+            "from events) where rk <= 100"
+        ),
+        "t2_window_budget": (
+            "select user_id, event_id, cast(rk as int) as rk from ("
+            "select user_id, event_id, row_number() over "
+            "(partition by user_id order by ts, event_id) as rk from events) "
+            "where rk <= 3"
+        ),
+        "f4_regex_filter": (
+            "select source, cast(count(*) as bigint) as n from documents "
+            "where regexp_matches(text, '(spark|shuffle|join)') group by source"
+        ),
+        "x7_content_hash": (
+            "select cast(doc_id as bigint) as doc_id, md5(text) as content_md5 "
+            "from documents"
+        ),
+        "o4_limit_union": (
+            "(select doc_id, source from documents where source = 'src0' "
+            "order by doc_id limit 5) union all "
+            "(select doc_id, source from documents where source = 'src1' "
+            "order by doc_id limit 5)"
+        ),
+        "s10_feed_dedup": "select distinct user_id, event_type from events",
+        "a1b_pricing_rollup": (
+            "select l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) as sum_qty, "
+            "round(sum(l_extendedprice), 2) as sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+            "cast(count(*) as bigint) as count_order "
+            "from lineitem where l_shipdate <= timestamp '1998-09-02' "
+            "group by l_returnflag, l_linestatus "
+            "order by l_returnflag, l_linestatus"
+        ),
+        "dedup_exact": (
+            "select cast(min(doc_id) as bigint) as keep_id, "
+            "cast(count(*) as bigint) as n_copies from documents group by text"
+        ),
+        "minhash_signatures": _minhash_sql(),
+        "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "simhash": _simhash_sql(),
+        "ngram_jaccard_topk": (
+            f"with sh as (select cast(doc_id as bigint) as doc_id, source, "
+            f"{_SHINGLES_SQL} as sh from documents) "
+            "select l.doc_id as a, r.doc_id as b, "
+            "round(len(list_intersect(l.sh, r.sh)) / "
+            "len(list_distinct(list_concat(l.sh, r.sh))), 6) as jaccard "
+            "from sh l join sh r using (source) where l.doc_id < r.doc_id "
+            "order by jaccard desc, a, b limit 20"
+        ),
+        "lang_id": _lang_id_sql(),
+        "quality_score": (
+            "with base as (select cast(doc_id as bigint) as doc_id, "
+            "string_split(lower(text),' ') as words, length(text) as n_chars "
+            "from documents), "
+            "m as (select doc_id, len(words) as n_words, "
+            "round((n_chars - (len(words) - 1)) / len(words), 4) as mean_word_len, "
+            f"round(len(list_filter(words, w -> list_contains({en}, w))) "
+            "/ len(words), 4) as stop_ratio from base) "
+            "select doc_id, cast(n_words as bigint) as n_words, mean_word_len, "
+            "stop_ratio, round(least(1.0, n_words/100.0) * 0.5 + "
+            "(case when mean_word_len >= 3 and mean_word_len <= 10 "
+            "then 0.3 else 0.0 end) + least(stop_ratio * 2.0, 0.2), 4) as quality "
+            "from m"
+        ),
+        "token_counts": (
+            "select cast(doc_id as bigint) as doc_id, "
+            "cast(len(regexp_split_to_array(text, '\\s+')) as bigint) as ws_tokens, "
+            "cast(ceil(n_chars / 4.0) as bigint) as bpe_est from documents"
+        ),
+        "fingerprints": (
+            f"with sh as (select cast(doc_id as bigint) as doc_id, "
+            f"{_SHINGLES_SQL} as sh from documents) "
+            f"select doc_id, cast(len(sh) as bigint) as n_shingles, "
+            f"list_min(list_transform(sh, s -> {_H60_SQL.format(s='s')})) as min_fp "
+            f"from sh"
+        ),
+        "ann_cosine_topk": _ann_cosine_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # crawl_documents / crawl_seen_order: iterative self-referential
+        # dataflow, not SQL-expressible; strong oracle in tests/test_crawl_e2e.py
+    }

@@ -24,16 +24,20 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # products in DOUBLE (not float) so the DuckDB oracle — which casts the
+    # float[] to double[] — computes bit-identical sums in the same order
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
 
 

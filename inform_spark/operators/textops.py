@@ -89,11 +89,16 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     (narrow, embarrassingly parallel — ideal 100TB shape)."""
     sh = shingles_col()
     cols = [F.col("doc_id").cast("long").alias("doc_id")]
-    for i in range(k):
-        mh = F.array_min(
-            F.transform(sh, lambda s, i=i: _h60(F.concat(F.lit(f"{i}:"), s)))
+
+    def mh_col(prefix: str):
+        # NB: the inner lambda must take exactly ONE parameter — pyspark
+        # treats a 2-arg lambda in F.transform as (element, index).
+        return F.array_min(
+            F.transform(sh, lambda s: _h60(F.concat(F.lit(prefix), s)))
         )
-        cols.append(mh.alias(f"mh_{i}"))
+
+    for i in range(k):
+        cols.append(mh_col(f"{i}:").alias(f"mh_{i}"))
     return docs.select(*cols)
 
 
