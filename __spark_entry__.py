@@ -182,6 +182,71 @@ def q_a1b_pricing_rollup(spark, sf_dir):
     )
 
 
+def q_x8_slugify(spark, sf_dir):
+    """X8 slugify (src/sources/util.js:18-26), all-native regexp chain."""
+    slug = F.substring(F.lower("text"), 1, 50)
+    slug = F.regexp_replace(slug, "['\"]", "")
+    slug = F.regexp_replace(slug, "[^a-z0-9]+", "-")
+    slug = F.regexp_replace(slug, "^-|-$", "")
+    slug = F.substring(slug, 1, 120)
+    slug = F.when(slug == "", F.lit("item")).otherwise(slug)
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), slug.alias("slug")
+    )
+
+
+def q_x9_date_normalize(spark, sf_dir):
+    """X9 ISO date normalize (src/sources/util.js:42-46): parseable ->
+    normalized string, unparseable -> null (to_timestamp null-on-fail)."""
+    ev = _t(spark, sf_dir, "events")
+    dstr = F.when(
+        F.col("event_id") % 7 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    parsed = F.try_to_timestamp(dstr, F.lit("yyyy-MM-dd HH:mm:ss"))
+    return ev.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+    )
+
+
+def q_x5_url_filepath(spark, sf_dir):
+    """X5 URL->filepath (src/WebCrawler.js:611-635): query-string mangling
+    '?a=1&b=2' -> '_a_1_b_2', .md suffix — native string exprs over
+    synthesized urls."""
+    docs = _docs(spark, sf_dir)
+    query = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("?page=1&sort=asc")
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".test/docs/item-"),
+        F.col("doc_id").cast("string"), query,
+    )
+    path = F.concat(
+        F.lit("docs/item-"), F.col("doc_id").cast("string"),
+        F.regexp_replace(query, "[?&=]", "_"), F.lit(".md"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        path.alias("doc_path"),
+    )
+
+
+def q_w1_tumbling_window(spark, sf_dir):
+    """Event-time tumbling-window rollup (streaming-capable op: same plan
+    runs under readStream + watermark — see inform_spark/streaming)."""
+    from inform_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+def q_w3_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user."""
+    from inform_spark.streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -322,6 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_limit_union": q_o4_limit_union,
         "s10_feed_dedup": q_s10_feed_dedup,
         "a1b_pricing_rollup": q_a1b_pricing_rollup,
+        "x8_slugify": q_x8_slugify,
+        "x9_date_normalize": q_x9_date_normalize,
+        "x5_url_filepath": q_x5_url_filepath,
+        "w1_tumbling_window": q_w1_tumbling_window,
+        "w3_sessionization": q_w3_sessionization,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -524,6 +594,44 @@ def oracle_sql() -> dict[str, str]:
             "from lineitem where l_shipdate <= timestamp '1998-09-02' "
             "group by l_returnflag, l_linestatus "
             "order by l_returnflag, l_linestatus"
+        ),
+        "x8_slugify": (
+            "select cast(doc_id as bigint) as doc_id, "
+            "case when s = '' then 'item' else s end as slug from ("
+            "select doc_id, substr(regexp_replace(regexp_replace("
+            "regexp_replace(substr(lower(text), 1, 50), '[''\"]', '', 'g'), "
+            "'[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g'), 1, 120) as s "
+            "from documents)"
+        ),
+        "x9_date_normalize": (
+            "select event_id, strftime(try_strptime(case when event_id % 7 = 0 "
+            "then 'not-a-date' else strftime(ts, '%Y-%m-%d %H:%M:%S') end, "
+            "'%Y-%m-%d %H:%M:%S'), '%Y-%m-%dT%H:%M:%S') as iso from events"
+        ),
+        "x5_url_filepath": (
+            "select cast(doc_id as bigint) as doc_id, "
+            "concat('https://', source, '.test/docs/item-', doc_id, q) as url, "
+            "concat('docs/item-', doc_id, regexp_replace(q, '[?&=]', '_', 'g'), "
+            "'.md') as doc_path from (select doc_id, source, "
+            "case when doc_id % 3 = 0 then '?page=1&sort=asc' else '' end as q "
+            "from documents)"
+        ),
+        "w1_tumbling_window": (
+            "select date_trunc('hour', ts) as window_start, event_type, "
+            "cast(count(*) as bigint) as n_events, "
+            "round(sum(value), 6) as sum_value "
+            "from events group by 1, 2"
+        ),
+        "w3_sessionization": (
+            "with e as (select user_id, event_id, ts, lag(ts) over "
+            "(partition by user_id order by ts, event_id) as prev from events), "
+            "s as (select user_id, event_id, ts, case when prev is null or "
+            "epoch(ts) - epoch(prev) > 1800 then 1 else 0 end as st from e), "
+            "c as (select user_id, ts, event_id, sum(st) over "
+            "(partition by user_id order by ts, event_id) as session_id from s) "
+            "select user_id, cast(session_id as bigint) as session_id, "
+            "cast(count(*) as bigint) as n_events, min(ts) as session_start, "
+            "max(ts) as session_end from c group by user_id, session_id"
         ),
         "dedup_exact": (
             "select cast(min(doc_id) as bigint) as keep_id, "

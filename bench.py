@@ -1,0 +1,185 @@
+"""Benchmark harness for the inform_spark engine.
+
+Default mode (driver contract): run the headline workload at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"crawl": sec, "q...": sec, ...}, "sf": 0.1,
+     "crawl_pages_per_sec": ..., "crawl_pages": ...}
+
+The headline is the north metric: pages-fetched/sec + frontier-expansion
+throughput of the URL-frontier crawl over the deterministic synthetic web
+(seed 42 — sources/pages.py), followed by the corpus-hygiene query suite
+over the provided testdata tables.
+
+``--scaling`` mode (north_rule evidence, sandbox protocol per BASELINE.md):
+run the identical crawl job in TWO subprocesses — local[8] (N) and
+local[32] (4N) — on the same input, and print throughput at both plus the
+scaling efficiency T(4N)/(4*T(N)).
+
+``--crawl-only`` prints just the crawl JSON (used by --scaling workers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# crawl workload: 24 hosts x ~130 pages ≈ 3100 fetchable pages; limit leaves
+# headroom so the frontier never starves mid-batch
+N_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "24"))
+PAGES_PER_HOST = int(os.environ.get("BENCH_CRAWL_PAGES", "130"))
+CRAWL_LIMIT = int(os.environ.get("BENCH_CRAWL_LIMIT", "2500"))
+
+BENCH_QUERIES = [
+    "a1b_pricing_rollup",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprints",
+    "ngram_jaccard_topk",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "t2_window_budget",
+    "j1_anti_join_seen",
+]
+
+
+def _spark(cpus: int):
+    from inform_spark.session import get_spark
+
+    return get_spark(
+        app_name="inform-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def run_crawl(spark, checkpoint_dir: str) -> dict:
+    """The headline crawl: synthetic web, bloom-filtered seen set, politeness
+    off (throughput mode, like the reference's delay-0 bench fixture)."""
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.sources.pages import pages_dataframe, robots_dataframe
+
+    pages = pages_dataframe(spark, N_HOSTS, PAGES_PER_HOST).cache()
+    n_pages = pages.count()  # materialize before the clock starts
+    robots = robots_dataframe(spark, N_HOSTS)
+    seeds = [f"https://site{h}.test/" for h in range(N_HOSTS)]
+    cfg = CrawlConfig(
+        seeds=seeds,
+        limit=CRAWL_LIMIT,
+        max_queue_size=None,
+        use_bloom=True,
+    )
+    t0 = time.monotonic()
+    eng = CrawlEngine(spark, pages, robots, cfg, checkpoint_dir=checkpoint_dir)
+    summary = eng.run()
+    wall = time.monotonic() - t0
+    pages.unpersist()
+    return {
+        "wall_s": round(wall, 3),
+        "pages_attempted": summary.attempted,
+        "pages_ok": summary.ok,
+        "links_discovered": summary.links_discovered,
+        "batches": summary.batches,
+        "pages_per_sec": round(summary.attempted / wall, 2),
+        "frontier_links_per_sec": round(summary.links_discovered / wall, 2),
+        "fixture_pages": n_pages,
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    crawl_only = "--crawl-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    spark = _spark(CPUS)
+    ck = tempfile.mkdtemp(prefix="bench-crawl-")
+    crawl = run_crawl(spark, ck)
+
+    if crawl_only:
+        print(json.dumps(crawl))
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {"crawl": crawl["wall_s"]}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl pages/sec + frontier expansion + corpus-ops suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_pages_per_sec": crawl["pages_per_sec"],
+                "crawl_frontier_links_per_sec": crawl["frontier_links_per_sec"],
+                "crawl_pages": crawl["pages_attempted"],
+                "crawl_batches": crawl["batches"],
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    """North-rule scaling evidence: same job, local[8] vs local[32]."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}", file=sys.stderr)
+    t8 = results[8]["pages_per_sec"]
+    t32 = results[32]["pages_per_sec"]
+    eff = round(t32 / (4 * t8), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl scaling efficiency local[8] -> local[32]",
+                "n_pages_per_sec": t8,
+                "4n_pages_per_sec": t32,
+                "efficiency": eff,
+                "n_frontier_links_per_sec": results[8]["frontier_links_per_sec"],
+                "4n_frontier_links_per_sec": results[32]["frontier_links_per_sec"],
+                "detail": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,12 +52,19 @@ class SnapshotTable:
         # uncommitted state, pinned by the catalog commit
         self._dirs: list[str] = []
         self._version = 0
+        # one materialized view of the current snapshot per batch: flat
+        # parquet read, persisted on first use, invalidated by append()
+        self._cache_df = None
+        self._cache_version = -1
 
     # -- snapshot plumbing --------------------------------------------------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version}.json")
 
     def load_version(self, version: int) -> None:
+        if self._cache_df is not None:
+            self._cache_df.unpersist(blocking=False)
+            self._cache_df = None
         if version == 0:
             self._dirs, self._version = [], 0
             return
@@ -71,10 +78,23 @@ class SnapshotTable:
         return self._version
 
     # -- operations ----------------------------------------------------------
-    def append(self, df: DataFrame, label: str) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        label: str,
+        n_files: int | None = None,
+        shuffle: bool = True,
+    ) -> int:
         """Write df as new data files and stage snapshot version+1.
-        Returns the new (staged) version. Not visible until catalog commit."""
+        Returns the new (staged) version. Not visible until catalog commit.
+        ``n_files`` right-sizes the output (micro-batches would otherwise
+        emit one near-empty file per shuffle partition). ``shuffle=True``
+        repartitions (keeps an unmaterialized upstream at full parallelism);
+        ``shuffle=False`` coalesces — only safe when the upstream is already
+        cached, else it would collapse the compute into n_files tasks."""
         out = os.path.join(self.data_dir, f"{label}-{uuid.uuid4().hex[:8]}")
+        if n_files is not None:
+            df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
         df.write.parquet(out, mode="overwrite")
         new_version = self._version + 1
         _atomic_write_json(
@@ -83,11 +103,26 @@ class SnapshotTable:
         )
         self._dirs = self._dirs + [out]
         self._version = new_version
+        if self._cache_df is not None:
+            self._cache_df.unpersist(blocking=False)
+            self._cache_df = None
         return new_version
 
-    def read(self) -> DataFrame:
+    def read(self, cached: bool = False) -> DataFrame:
+        """Current snapshot. ``cached=True`` returns a persisted flat read —
+        reused by every consumer within a batch (the anti-join probes the
+        same table several times), invalidated on the next append. The plan
+        stays flat (one parquet scan), so cache depth never grows with
+        batch count."""
         if not self._dirs:
             return self.spark.createDataFrame([], self.schema)
+        if cached:
+            if self._cache_df is not None and self._cache_version == self._version:
+                return self._cache_df
+            df = self.spark.read.schema(self.schema).parquet(*self._dirs).persist()
+            self._cache_df = df
+            self._cache_version = self._version
+            return df
         return self.spark.read.schema(self.schema).parquet(*self._dirs)
 
 

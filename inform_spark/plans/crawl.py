@@ -50,10 +50,11 @@ from __future__ import annotations
 import os
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
@@ -83,7 +84,7 @@ class CrawlConfig:
     seeds: list[str]
     limit: int = 100
     max_retries: int = 3
-    max_queue_size: int = 10_000
+    max_queue_size: int | None = 10_000  # None = unbounded (no admission rank)
     include: list[str] | None = None
     exclude: list[str] | None = None
     ignore_robots: bool = False
@@ -169,6 +170,7 @@ class CrawlEngine:
         # driver-side scalar state
         self.batch_id = 0
         self.attempted = 0
+        self.enqueued_total = 0  # unique URLs ever admitted to the frontier
         self.queue_warned = False
         self._scopes = [
             (url_host(normalize_url(s)), derive_base_path(normalize_url(s)))
@@ -198,13 +200,15 @@ class CrawlEngine:
             (u, url_host(u), url_path(u), 0, i, 0) for i, u in enumerate(seeds)
         ]
         df = self.spark.createDataFrame(rows, schema=schemas.FRONTIER)
-        self.catalog.tables["frontier"].append(df, "seed")
+        self.catalog.tables["frontier"].append(df, "seed", n_files=1)
+        self.enqueued_total = len(rows)
         self.catalog.commit(self._state())
 
     def _state(self) -> dict:
         return {
             "batch_id": self.batch_id,
             "attempted": self.attempted,
+            "enqueued_total": self.enqueued_total,
             "queue_warned": self.queue_warned,
         }
 
@@ -213,6 +217,9 @@ class CrawlEngine:
         self.batch_id = st["batch_id"]
         self.attempted = st["attempted"]
         self.queue_warned = st["queue_warned"]
+        self.enqueued_total = st.get("enqueued_total")
+        if self.enqueued_total is None:  # older checkpoints: one-time count
+            self.enqueued_total = self.catalog.tables["frontier"].read().count()
 
     # ------------------------------------------------------------------
     def _scopes_df(self) -> DataFrame:
@@ -224,6 +231,11 @@ class CrawlEngine:
         if self.robots is None or self.cfg.ignore_robots:
             return None
         return self.robots.select("host", "disallow_prefixes", "crawl_delay_ms")
+
+    @staticmethod
+    def _n_files(n_rows: int) -> int:
+        """Right-size parquet appends: ~50k rows/file, at least one."""
+        return max(1, n_rows // 50_000 + (1 if n_rows % 50_000 else 0))
 
     # ------------------------------------------------------------------
     def _select_batch(self, live: DataFrame, b: int) -> DataFrame:
@@ -424,22 +436,22 @@ class CrawlEngine:
         robots_dim = self._robots_dim()
         batches_run = 0
 
+        pool = ThreadPoolExecutor(max_workers=2)
         while self.attempted < cfg.limit:
             if max_batches is not None and batches_run >= max_batches:
                 break
             frontier_t = self.catalog.tables["frontier"]
             seen_t = self.catalog.tables["seen"]
-            seen_urls = seen_t.read().select("url")
-            live = frontier_t.read().join(seen_urls, "url", "left_anti")
+            seen_urls = seen_t.read(cached=True).select("url")
+            live = frontier_t.read(cached=True).join(seen_urls, "url", "left_anti")
 
             remaining = cfg.limit - self.attempted
             b = min(cfg.batch_size or remaining, remaining)
             batch = self._select_batch(live, b).persist()
-            n_batch = batch.count()
-            if n_batch == 0:
-                batch.unpersist()
-                break
-            live_count = live.count()
+            # live frontier size by bookkeeping, not an extra anti-join job:
+            # frontier rows are unique and seen ⊆ frontier, so
+            # |live| = |enqueued| - |attempted|
+            live_count = self.enqueued_total - self.attempted
 
             # parent_rank = attempt order within the batch (window over a
             # driver-bounded batch, never over the full frontier)
@@ -450,30 +462,67 @@ class CrawlEngine:
 
             fetched = self._fetch(batch)
             n_render = cfg.render_partitions or self.spark.sparkContext.defaultParallelism
-            fetched = fetched.repartition(n_render, "url").persist()
+            fetched = fetched.repartition(n_render, "url")
 
+            # ONE materialization for the whole batch: fetch + render fused;
+            # non-documents pass a null html through the UDF (empty spans).
+            # Batch metrics ride along as an Observation — no separate agg job.
+            obs = Observation(f"batch-{self.batch_id}")
             rendered = (
-                fetched.filter("is_doc")
-                .withColumn("r", extract_render_udf(F.col("url"), F.col("html")))
+                fetched.withColumn(
+                    "r",
+                    extract_render_udf(
+                        F.col("url"),
+                        F.when(F.col("is_doc"), F.col("html")),
+                    ),
+                )
                 .select(
                     "url",
                     "depth",
                     "parent_rank",
+                    "frontier_offset",
+                    "status",
+                    "error",
+                    "is_doc",
                     F.col("r.doc_id").alias("doc_id"),
                     F.col("r.spans").alias("spans"),
                     F.col("r.links").alias("links"),
                 )
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+                    F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+                        "failed"
+                    ),
+                    F.sum(
+                        F.when(
+                            (F.col("status") == "ok") & ~F.col("is_doc"), 1
+                        ).otherwise(0)
+                    ).alias("skipped"),
+                    F.min("frontier_offset").alias("lo"),
+                    F.max("frontier_offset").alias("hi"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_doc"), F.size("links")).otherwise(0)),
+                        F.lit(0),
+                    ).alias("n_disc"),
+                )
                 .persist()
             )
 
-            # --- documents append ---
-            docs = rendered.select(
+            # job 1: materialize fetch+render, metrics fill in-flight
+            n_batch = rendered.count()
+            if n_batch == 0:
+                batch.unpersist()
+                rendered.unpersist()
+                break
+            agg = obs.get
+
+            # jobs 2+3 (parallel, both read the rendered cache): docs + seen
+            docs = rendered.filter("is_doc").select(
                 "doc_id", "url", "spans", F.lit(self.batch_id).alias("batch_id")
             )
-            self.catalog.tables["documents"].append(docs, f"b{self.batch_id}")
-
-            # --- seen append ---
-            seen_rows = fetched.select(
+            seen_rows = rendered.select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
                 "status",
@@ -483,32 +532,45 @@ class CrawlEngine:
                     "crawl_rank"
                 ),
             )
-            seen_t.append(seen_rows, f"b{self.batch_id}")
+            nf = self._n_files(n_batch)
+            f_docs = pool.submit(
+                self.catalog.tables["documents"].append,
+                docs, f"b{self.batch_id}", nf, False,
+            )
+            f_seen = pool.submit(seen_t.append, seen_rows, f"b{self.batch_id}", nf, False)
+            f_docs.result()
+            f_seen.result()
 
             # --- discover + admit ---
-            dedup = self._discover(rendered, robots_dim)
+            dedup = self._discover(rendered.filter("is_doc"), robots_dim)
             if self._bloom is not None:
                 from inform_spark.operators.bloom import bloom_partition
 
                 maybe_seen, fresh = bloom_partition(dedup, self._bloom)
                 checked = maybe_seen.join(
-                    frontier_t.read().select("url"), "url", "left_anti"
+                    frontier_t.read(cached=True).select("url"), "url", "left_anti"
                 )
                 new_links = fresh.unionByName(checked)
             else:
                 new_links = dedup.join(
-                    frontier_t.read().select("url"), "url", "left_anti"
+                    frontier_t.read(cached=True).select("url"), "url", "left_anti"
                 )
+
+            # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
+            # NOTE deliberately NOT an Observation: AQE's empty-relation
+            # propagation can elide CollectMetrics nodes when the candidate
+            # set is empty, wedging Observation.get — so the candidate count
+            # is one count() on the persisted set, and the admitted count is
+            # derived arithmetically from the cap.
             new_links = new_links.persist()
             n_cand = new_links.count()
-
-            # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560)
-            capacity = cfg.max_queue_size - (live_count - n_batch)
+            if cfg.max_queue_size is not None:
+                capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
+            else:
+                capacity = n_cand
             if n_cand > capacity:
-                admitted = (
-                    new_links.orderBy("frontier_offset").limit(max(capacity, 0)).persist()
-                )
-                n_admit = admitted.count()
+                admitted = new_links.orderBy("frontier_offset").limit(capacity)
+                n_admit = capacity
                 if not self.queue_warned:
                     self.queue_warned = True
             else:
@@ -523,23 +585,12 @@ class CrawlEngine:
                 "frontier_offset",
                 F.lit(self.batch_id).alias("discovered_in_batch"),
             )
-            frontier_t.append(frontier_rows, f"b{self.batch_id}")
+            # job 4: frontier append (candidates already materialized)
+            frontier_t.append(
+                frontier_rows, f"b{self.batch_id}", n_files=1, shuffle=False
+            )
 
-            # --- metrics / lineage ---
-            agg = fetched.agg(
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
-                    "failed"
-                ),
-                F.sum(
-                    F.when((F.col("status") == "ok") & ~F.col("is_doc"), 1).otherwise(0)
-                ).alias("skipped"),
-                F.min("frontier_offset").alias("lo"),
-                F.max("frontier_offset").alias("hi"),
-            ).collect()[0]
-            n_disc = rendered.agg(
-                F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("d")
-            ).collect()[0]["d"]
+            n_disc = agg["n_disc"]
             wall_ms = int((time.monotonic() - t0) * 1000)
             lineage_row = self.spark.createDataFrame(
                 [
@@ -560,15 +611,19 @@ class CrawlEngine:
                 ],
                 schema=schemas.LINEAGE,
             )
-            self.catalog.tables["lineage"].append(lineage_row, f"b{self.batch_id}")
-
-            # --- bloom update (scale path): fold newly enqueued urls in, so
-            # the filter keeps mirroring the frontier table exactly ---
+            # jobs 5+6 (parallel): lineage append + bloom fold-in of the
+            # newly admitted urls (reads the admitted cache)
+            f_lin = pool.submit(
+                self.catalog.tables["lineage"].append,
+                lineage_row, f"b{self.batch_id}", 1, False,
+            )
             if self._bloom is not None:
                 self._bloom = self._bloom.add(self.spark, admitted.select("url"))
+            f_lin.result()
 
             # --- atomic commit: the batch happened ---
             self.attempted += n_batch
+            self.enqueued_total += n_admit
             self.batch_id += 1
             batches_run += 1
             self.catalog.commit(self._state())
@@ -582,11 +637,10 @@ class CrawlEngine:
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
 
-            for df in (batch, fetched, rendered, new_links):
+            for df in (batch, rendered, new_links):
                 df.unpersist()
-            if admitted is not new_links:
-                admitted.unpersist()
 
+        pool.shutdown()
         summary.wall_ms = (time.monotonic() - t0) * 1000
         return summary
 
