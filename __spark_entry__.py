@@ -410,14 +410,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_sql(k: int = 8) -> str:
     cols = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _H60_SQL.format(s=f"concat('{i}:', s)")
-        + f")) as mh_{i}"
+        f"list_min(list_transform(hs, h -> xor(h, {textops.MIX_CONSTANTS[i]}))) "
+        f"as mh_{i}"
         for i in range(k)
     )
+    h = _H60_SQL.format(s="s")
     return (
         f"with sh as (select cast(doc_id as bigint) as doc_id, "
-        f"{_SHINGLES_SQL} as sh from documents) "
+        f"list_transform({_SHINGLES_SQL}, s -> {h}) as hs from documents) "
         f"select doc_id, {cols} from sh"
     )
 
@@ -642,7 +642,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "
-            f"{_SHINGLES_SQL} as sh from documents) "
+            f"list_transform({_SHINGLES_SQL}, s -> {_H60_SQL.format(s='s')}) "
+            f"as sh from documents) "
             "select l.doc_id as a, r.doc_id as b, "
             "round(len(list_intersect(l.sh, r.sh)) / "
             "len(list_distinct(list_concat(l.sh, r.sh))), 6) as jaccard "

@@ -74,7 +74,9 @@ def run_crawl(spark, checkpoint_dir: str) -> dict:
     from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
     from inform_spark.sources.pages import pages_dataframe, robots_dataframe
 
-    pages = pages_dataframe(spark, N_HOSTS, PAGES_PER_HOST).cache()
+    # index_link_cap=None -> wide/shallow graph (real-web shape): BFS takes
+    # a handful of big batches instead of 40+ chain-depth micro-batches
+    pages = pages_dataframe(spark, N_HOSTS, PAGES_PER_HOST, index_link_cap=None).cache()
     n_pages = pages.count()  # materialize before the clock starts
     robots = robots_dataframe(spark, N_HOSTS)
     seeds = [f"https://site{h}.test/" for h in range(N_HOSTS)]

@@ -83,29 +83,41 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# xor-mixing constants: a fixed 60-bit bijection per hash function, so the
+# expensive md5 runs ONCE per shingle and the k minhash values derive from
+# cheap JVM-side xor (cross-engine: DuckDB xor()). Deterministic constants.
+import hashlib as _hashlib
+
+MIX_CONSTANTS = [
+    int(_hashlib.md5(f"mix{i}".encode()).hexdigest()[:15], 16)
+    for i in range(N_MINHASH)
+]
+
+
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): per-doc minhash signature over 3-word
-    shingles. Entirely native: transform + array_min, no shuffle at all
-    (narrow, embarrassingly parallel — ideal 100TB shape)."""
-    sh = shingles_col()
+    shingles. ONE md5 per shingle, k xor-mixed minima. Entirely native:
+    transform + array_min, no shuffle at all (narrow, embarrassingly
+    parallel — ideal 100TB shape)."""
+    hashed = F.transform(shingles_col(), _h60)
     cols = [F.col("doc_id").cast("long").alias("doc_id")]
 
-    def mh_col(prefix: str):
+    def mh_col(c: int):
         # NB: the inner lambda must take exactly ONE parameter — pyspark
         # treats a 2-arg lambda in F.transform as (element, index).
-        return F.array_min(
-            F.transform(sh, lambda s: _h60(F.concat(F.lit(prefix), s)))
-        )
+        return F.array_min(F.transform(hashed, lambda h: h.bitwiseXOR(F.lit(c))))
 
     for i in range(k):
-        cols.append(mh_col(f"{i}:").alias(f"mh_{i}"))
+        cols.append(mh_col(MIX_CONSTANTS[i]).alias(f"mh_{i}"))
     return docs.select(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the signature.
-    (a, b) with a < b, distinct. The self-join is bucketed by band key —
-    the classic shuffle-on-bucket shape, never an O(n^2) cross join."""
+    (a, b) with a < b, distinct. Bucket-grouped pair generation — the
+    signature pipeline runs ONCE (a band self-join would recompute it per
+    side), pairs expand natively inside each bucket, and bucket size bounds
+    the n^2 (never a cross join over the corpus)."""
     sig = minhash_signatures(docs, k)
     n_bands = k // band
     bands = sig.select(
@@ -123,14 +135,27 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE
             )
         ).alias("band_key"),
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(right, "band_key")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    ids = F.col("ids")
+    # (element, index) transform IS intended here: pair x with every later y
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -168,11 +193,13 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 def ngram_jaccard_topk(docs: DataFrame, topk: int = 20) -> DataFrame:
     """Top-k most similar same-source doc pairs by 3-gram Jaccard.
     Pair space is scoped by `source` (key-bucketed join), deterministic
-    tie-break on (a, b)."""
+    tie-break on (a, b). Shingles are hashed to int64 BEFORE the join —
+    long-vs-long set intersection beats string-vs-string by a wide margin
+    and shrinks the shuffled arrays ~10x."""
     with_sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source"),
-        shingles_col().alias("sh"),
+        F.transform(shingles_col(), _h60).alias("sh"),
     )
     l, r = with_sh.alias("l"), with_sh.alias("r")
     pairs = (

@@ -63,8 +63,13 @@ def _leaf_url(base: str, sec: str, k: int) -> str:
     return f"{base}/{sec}/item-{k}"
 
 
-def generate_host_pages(h: int, pages_per_host: int) -> list[dict]:
-    """All page rows for one host (pure function, deterministic)."""
+def generate_host_pages(h: int, pages_per_host: int,
+                        index_link_cap: int | None = 8) -> list[dict]:
+    """All page rows for one host (pure function, deterministic).
+    ``index_link_cap`` bounds how many leaves the section index links
+    directly (the reference fixture links a handful — deep chains); None
+    links ALL leaves, giving the wide/shallow graph a real web has (bench
+    uses this so BFS depth, not fixture shape, is what's measured)."""
     base = f"https://{host_name(h)}"
     _, leaves = host_pages_split(pages_per_host)
     rows: list[dict] = []
@@ -105,9 +110,10 @@ def generate_host_pages(h: int, pages_per_host: int) -> list[dict]:
 
     # --- section index pages: <main> + nav boilerplate ------------------
     for si, sec in enumerate(SECTIONS):
+        cap = leaves if index_link_cap is None else min(leaves, index_link_cap)
         leaf_links = "\n".join(
             f'      <a href="/{sec}/item-{k}">Item {k}</a>'
-            for k in range(min(leaves, 8))
+            for k in range(cap)
         )
         html = f"""<!DOCTYPE html>
 <html>
@@ -225,7 +231,8 @@ def generate_robots(h: int) -> dict:
     }
 
 
-def generate_site(n_hosts: int, pages_per_host: int, hot_host_share: float = 0.0
+def generate_site(n_hosts: int, pages_per_host: int, hot_host_share: float = 0.0,
+                  index_link_cap: int | None = 8
                   ) -> tuple[list[dict], list[dict]]:
     """(pages, robots) for the whole synthetic web. ``hot_host_share`` > 0
     gives host 0 that share of all pages (skew fixture for salting tests)."""
@@ -233,7 +240,7 @@ def generate_site(n_hosts: int, pages_per_host: int, hot_host_share: float = 0.0
     robots: list[dict] = []
     budgets = host_page_budgets(n_hosts, pages_per_host, hot_host_share)
     for h in range(n_hosts):
-        pages.extend(generate_host_pages(h, budgets[h]))
+        pages.extend(generate_host_pages(h, budgets[h], index_link_cap))
         robots.append(generate_robots(h))
     return pages, robots
 
@@ -256,7 +263,8 @@ PAGES_COLS = ["url", "host", "status_code", "content_type", "html", "retries_nee
 
 
 def pages_dataframe(spark, n_hosts: int, pages_per_host: int,
-                    hot_host_share: float = 0.0, partitions: int | None = None):
+                    hot_host_share: float = 0.0, partitions: int | None = None,
+                    index_link_cap: int | None = 8):
     """Distributed fixture generation: one task generates one slice of hosts.
     At bench scale this parallelizes HTML synthesis across all cores."""
     from pyspark.sql.types import (IntegerType, StringType, StructField, StructType)
@@ -278,7 +286,11 @@ def pages_dataframe(spark, n_hosts: int, pages_per_host: int,
         for pdf in batches:
             rows: list[dict] = []
             for h in pdf["id"]:
-                rows.extend(generate_host_pages(int(h), budgets_b.value[int(h)]))
+                rows.extend(
+                    generate_host_pages(
+                        int(h), budgets_b.value[int(h)], index_link_cap
+                    )
+                )
             if rows:
                 yield pd.DataFrame(rows, columns=PAGES_COLS)
 
