@@ -96,6 +96,7 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 20
     render_partitions: int | None = None
+    politeness_salts: int = 8  # two-phase per-host rank fan-out (skew)
 
 
 @dataclass
@@ -183,6 +184,17 @@ class CrawlEngine:
             else None
         )
         self._bloom = None
+        self._bloom_future = None
+        self._bloom_pending_unpersist = None
+
+    def _resolve_bloom(self) -> None:
+        """Await the pipelined bloom fold-in from the previous batch."""
+        if self._bloom_future is not None:
+            self._bloom = self._bloom_future.result()
+            self._bloom_future = None
+        if self._bloom_pending_unpersist is not None:
+            self._bloom_pending_unpersist.unpersist()
+            self._bloom_pending_unpersist = None
 
     # ------------------------------------------------------------------
     def _init_state(self) -> None:
@@ -259,12 +271,29 @@ class CrawlEngine:
                 F.lit(1),
                 F.floor(F.lit(self.cfg.batch_wall_budget_ms) / delay_host),
             )
+            sel = sel.withColumn("__budget", budget)
+            # two-phase top-B per host (hot-host skew, north_rule): a salted
+            # pre-rank over (host, salt) partitions cuts a 10^10-row hot host
+            # to <= B x n_salt candidates BEFORE the exact per-host window —
+            # per-salt rank <= global host rank, so every budget winner
+            # survives phase 1 and the exact phase is loss-free.
+            n_salt = self.cfg.politeness_salts
+            if n_salt > 1:
+                pre = F.row_number().over(
+                    Window.partitionBy(
+                        "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+                    ).orderBy("frontier_offset")
+                )
+                sel = (
+                    sel.withColumn("__pre", pre)
+                    .filter(F.col("__pre") <= F.col("__budget"))
+                    .drop("__pre")
+                )
             rank = F.row_number().over(
                 Window.partitionBy("host").orderBy("frontier_offset")
             )
             sel = (
-                sel.withColumn("__budget", budget)
-                .withColumn("__rank", rank)
+                sel.withColumn("__rank", rank)
                 .filter(F.col("__rank") <= F.col("__budget"))
                 .drop("__budget", "__rank", "crawl_delay_ms")
             )
@@ -436,8 +465,16 @@ class CrawlEngine:
         robots_dim = self._robots_dim()
         batches_run = 0
 
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(max_workers=4)
+        phase = summary.extra.setdefault("phase_s", {})
+
+        def _mark(name, t_start):
+            now = time.monotonic()
+            phase[name] = round(phase.get(name, 0.0) + (now - t_start), 3)
+            return now
+
         while self.attempted < cfg.limit:
+            t_ph = time.monotonic()
             if max_batches is not None and batches_run >= max_batches:
                 break
             frontier_t = self.catalog.tables["frontier"]
@@ -510,8 +547,10 @@ class CrawlEngine:
                 .persist()
             )
 
+            t_ph = _mark("plan", t_ph)
             # job 1: materialize fetch+render, metrics fill in-flight
             n_batch = rendered.count()
+            t_ph = _mark("fetch_render", t_ph)
             if n_batch == 0:
                 batch.unpersist()
                 rendered.unpersist()
@@ -538,11 +577,11 @@ class CrawlEngine:
                 docs, f"b{self.batch_id}", nf, False,
             )
             f_seen = pool.submit(seen_t.append, seen_rows, f"b{self.batch_id}", nf, False)
-            f_docs.result()
-            f_seen.result()
 
-            # --- discover + admit ---
+            # --- discover + admit (runs concurrently with the two writes:
+            # all three read only the rendered cache) ---
             dedup = self._discover(rendered.filter("is_doc"), robots_dim)
+            self._resolve_bloom()
             if self._bloom is not None:
                 from inform_spark.operators.bloom import bloom_partition
 
@@ -564,6 +603,7 @@ class CrawlEngine:
             # derived arithmetically from the cap.
             new_links = new_links.persist()
             n_cand = new_links.count()
+            t_ph = _mark("writes_discover", t_ph)
             if cfg.max_queue_size is not None:
                 capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
             else:
@@ -611,16 +651,31 @@ class CrawlEngine:
                 ],
                 schema=schemas.LINEAGE,
             )
-            # jobs 5+6 (parallel): lineage append + bloom fold-in of the
-            # newly admitted urls (reads the admitted cache)
+            t_ph = _mark("frontier_append", t_ph)
+            # jobs 5+6: lineage append runs in the pool; the bloom fold-in
+            # of newly admitted urls is PIPELINED into the next batch — it is
+            # only needed by the next discover, which awaits the future
+            # (_resolve_bloom). The bloom is not checkpoint state (resume
+            # rebuilds it from the frontier table), so the commit below does
+            # not wait on it either.
             f_lin = pool.submit(
                 self.catalog.tables["lineage"].append,
                 lineage_row, f"b{self.batch_id}", 1, False,
             )
             if self._bloom is not None:
-                self._bloom = self._bloom.add(self.spark, admitted.select("url"))
+                # bind loop variables NOW — the future runs after they rebind
+                self._bloom_future = pool.submit(
+                    lambda b=self._bloom, a=admitted: b.add(
+                        self.spark, a.select("url")
+                    )
+                )
+                self._bloom_pending_unpersist = new_links
+            # writes staged this batch must land before the catalog commit
+            f_docs.result()
+            f_seen.result()
             f_lin.result()
 
+            t_ph = _mark("bloom_lineage", t_ph)
             # --- atomic commit: the batch happened ---
             self.attempted += n_batch
             self.enqueued_total += n_admit
@@ -637,9 +692,14 @@ class CrawlEngine:
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
 
-            for df in (batch, rendered, new_links):
+            deferred = getattr(self, "_bloom_pending_unpersist", None)
+            for df in (batch, rendered):
                 df.unpersist()
+            if deferred is not new_links:
+                new_links.unpersist()
+            _mark("commit", t_ph)
 
+        self._resolve_bloom()
         pool.shutdown()
         summary.wall_ms = (time.monotonic() - t0) * 1000
         return summary

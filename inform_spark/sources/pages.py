@@ -64,7 +64,8 @@ def _leaf_url(base: str, sec: str, k: int) -> str:
 
 
 def generate_host_pages(h: int, pages_per_host: int,
-                        index_link_cap: int | None = 8) -> list[dict]:
+                        index_link_cap: int | None = 8,
+                        content_scale: int = 1) -> list[dict]:
     """All page rows for one host (pure function, deterministic).
     ``index_link_cap`` bounds how many leaves the section index links
     directly (the reference fixture links a handful — deep chains); None
@@ -147,6 +148,10 @@ def generate_host_pages(h: int, pages_per_host: int,
                     f'    <img src="/assets/img-{h}-{si}-{k}.png" alt="figure {k}">'
                 )
             body_parts.append(f"    <p>{_paragraph(h, p_id, 1)}</p>")
+            for extra in range(4 * (content_scale - 1)):
+                body_parts.append(
+                    f"    <p>{_paragraph(h, p_id, 4 + extra, sentences=8)}</p>"
+                )
             if k % 3 == 0:
                 code = "\n".join(
                     f"let {_w(h, p_id, 40 + j)} = {j};" for j in range(4)
@@ -232,7 +237,7 @@ def generate_robots(h: int) -> dict:
 
 
 def generate_site(n_hosts: int, pages_per_host: int, hot_host_share: float = 0.0,
-                  index_link_cap: int | None = 8
+                  index_link_cap: int | None = 8, content_scale: int = 1
                   ) -> tuple[list[dict], list[dict]]:
     """(pages, robots) for the whole synthetic web. ``hot_host_share`` > 0
     gives host 0 that share of all pages (skew fixture for salting tests)."""
@@ -240,7 +245,9 @@ def generate_site(n_hosts: int, pages_per_host: int, hot_host_share: float = 0.0
     robots: list[dict] = []
     budgets = host_page_budgets(n_hosts, pages_per_host, hot_host_share)
     for h in range(n_hosts):
-        pages.extend(generate_host_pages(h, budgets[h], index_link_cap))
+        pages.extend(
+            generate_host_pages(h, budgets[h], index_link_cap, content_scale)
+        )
         robots.append(generate_robots(h))
     return pages, robots
 
@@ -264,7 +271,7 @@ PAGES_COLS = ["url", "host", "status_code", "content_type", "html", "retries_nee
 
 def pages_dataframe(spark, n_hosts: int, pages_per_host: int,
                     hot_host_share: float = 0.0, partitions: int | None = None,
-                    index_link_cap: int | None = 8):
+                    index_link_cap: int | None = 8, content_scale: int = 1):
     """Distributed fixture generation: one task generates one slice of hosts.
     At bench scale this parallelizes HTML synthesis across all cores."""
     from pyspark.sql.types import (IntegerType, StringType, StructField, StructType)
@@ -288,7 +295,8 @@ def pages_dataframe(spark, n_hosts: int, pages_per_host: int,
             for h in pdf["id"]:
                 rows.extend(
                     generate_host_pages(
-                        int(h), budgets_b.value[int(h)], index_link_cap
+                        int(h), budgets_b.value[int(h)], index_link_cap,
+                        content_scale,
                     )
                 )
             if rows:
