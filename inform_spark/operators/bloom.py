@@ -146,15 +146,24 @@ class ShardedBloom:
 
 
 def bloom_partition(
-    df: DataFrame, bloom: ShardedBloom
-) -> tuple[DataFrame, DataFrame]:
+    df: DataFrame, bloom: ShardedBloom, persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Split df into (maybe_seen, definitely_fresh) by bloom membership.
-    maybe_seen still needs the exact anti-join; fresh does not."""
+    maybe_seen still needs the exact anti-join; fresh does not.
+
+    With ``persist=True`` the probed set is persisted and returned as the
+    third element (caller unpersists): both output branches and any union of
+    them then read the cache instead of re-executing the upstream pipeline
+    once per branch."""
     spark = df.sparkSession
     probe = bloom.probe_udf(spark)
     hashed = _with_hashes(df).withColumn(
         "__maybe", probe(F.col("__h1"), F.col("__h2"))
     )
+    probed = None
+    if persist:
+        hashed = hashed.persist()
+        probed = hashed
     maybe = hashed.filter("__maybe").drop("__h1", "__h2", "__maybe")
     fresh = hashed.filter("NOT __maybe").drop("__h1", "__h2", "__maybe")
-    return maybe, fresh
+    return maybe, fresh, probed

@@ -108,6 +108,58 @@ class SnapshotTable:
             self._cache_df = None
         return new_version
 
+    def append_rows(self, rows: list[tuple], label: str) -> int:
+        """Driver-side append of a tiny row set (seed frontier, per-batch
+        lineage): one pyarrow parquet file, NO Spark job. A 1-row
+        ``createDataFrame().coalesce(1).write`` costs ~4s in local mode (the
+        single task drains every Python-pickled parent partition serially);
+        this path is ~milliseconds and lands in the same snapshot chain."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out = os.path.join(self.data_dir, f"{label}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(out, exist_ok=True)
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        pq.write_table(table, os.path.join(out, "part-00000.parquet"))
+        new_version = self._version + 1
+        _atomic_write_json(
+            self._manifest_path(new_version),
+            {"version": new_version, "dirs": self._dirs + [out]},
+        )
+        self._dirs = self._dirs + [out]
+        self._version = new_version
+        if self._cache_df is not None:
+            self._cache_df.unpersist(blocking=False)
+            self._cache_df = None
+        return new_version
+
+    @property
+    def last_dir(self) -> str | None:
+        """Directory of the most recently appended data files (the delta of
+        the last append) — lets consumers re-read just-written rows from
+        parquet instead of recomputing the producing plan."""
+        return self._dirs[-1] if self._dirs else None
+
+    def last_dir_row_count(self) -> int:
+        """Exact row count of the last delta from parquet footers —
+        driver-side metadata read, no Spark job."""
+        import pyarrow.parquet as pq
+
+        d = self.last_dir
+        if d is None:
+            return 0
+        total = 0
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return total
+
     def read(self, cached: bool = False) -> DataFrame:
         """Current snapshot. ``cached=True`` returns a persisted flat read —
         reused by every consumer within a batch (the anti-join probes the

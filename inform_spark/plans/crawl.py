@@ -185,16 +185,12 @@ class CrawlEngine:
         )
         self._bloom = None
         self._bloom_future = None
-        self._bloom_pending_unpersist = None
 
     def _resolve_bloom(self) -> None:
         """Await the pipelined bloom fold-in from the previous batch."""
         if self._bloom_future is not None:
             self._bloom = self._bloom_future.result()
             self._bloom_future = None
-        if self._bloom_pending_unpersist is not None:
-            self._bloom_pending_unpersist.unpersist()
-            self._bloom_pending_unpersist = None
 
     # ------------------------------------------------------------------
     def _init_state(self) -> None:
@@ -211,8 +207,7 @@ class CrawlEngine:
         rows = [
             (u, url_host(u), url_path(u), 0, i, 0) for i, u in enumerate(seeds)
         ]
-        df = self.spark.createDataFrame(rows, schema=schemas.FRONTIER)
-        self.catalog.tables["frontier"].append(df, "seed", n_files=1)
+        self.catalog.tables["frontier"].append_rows(rows, "seed")
         self.enqueued_total = len(rows)
         self.catalog.commit(self._state())
 
@@ -473,6 +468,18 @@ class CrawlEngine:
             phase[name] = round(phase.get(name, 0.0) + (now - t_start), 3)
             return now
 
+        def _timed(name, fn, *a, **kw):
+            """Wrap a pool task so its own wall lands in phase_s[name]."""
+            def run():
+                t = time.monotonic()
+                try:
+                    return fn(*a, **kw)
+                finally:
+                    phase[name] = round(
+                        phase.get(name, 0.0) + (time.monotonic() - t), 3
+                    )
+            return run
+
         while self.attempted < cfg.limit:
             t_ph = time.monotonic()
             if max_batches is not None and batches_run >= max_batches:
@@ -572,20 +579,30 @@ class CrawlEngine:
                 ),
             )
             nf = self._n_files(n_batch)
-            f_docs = pool.submit(
+            f_docs = pool.submit(_timed(
+                "w_docs",
                 self.catalog.tables["documents"].append,
                 docs, f"b{self.batch_id}", nf, False,
+            ))
+            f_seen = pool.submit(
+                _timed("w_seen", seen_t.append, seen_rows, f"b{self.batch_id}", nf, False)
             )
-            f_seen = pool.submit(seen_t.append, seen_rows, f"b{self.batch_id}", nf, False)
 
             # --- discover + admit (runs concurrently with the two writes:
             # all three read only the rendered cache) ---
             dedup = self._discover(rendered.filter("is_doc"), robots_dim)
             self._resolve_bloom()
+            probed = None
             if self._bloom is not None:
                 from inform_spark.operators.bloom import bloom_partition
 
-                maybe_seen, fresh = bloom_partition(dedup, self._bloom)
+                # persist the probed candidates BEFORE branching: the
+                # maybe/fresh filters and the final union would otherwise
+                # re-execute the whole discover pipeline (explode + robots
+                # UDF + dedup shuffle + bloom probe) once per branch.
+                maybe_seen, fresh, probed = bloom_partition(
+                    dedup, self._bloom, persist=True
+                )
                 checked = maybe_seen.join(
                     frontier_t.read(cached=True).select("url"), "url", "left_anti"
                 )
@@ -598,82 +615,95 @@ class CrawlEngine:
             # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
             # NOTE deliberately NOT an Observation: AQE's empty-relation
             # propagation can elide CollectMetrics nodes when the candidate
-            # set is empty, wedging Observation.get — so the candidate count
-            # is one count() on the persisted set, and the admitted count is
-            # derived arithmetically from the cap.
-            new_links = new_links.persist()
-            n_cand = new_links.count()
-            t_ph = _mark("writes_discover", t_ph)
-            if cfg.max_queue_size is not None:
-                capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
-            else:
-                capacity = n_cand
-            if n_cand > capacity:
-                admitted = new_links.orderBy("frontier_offset").limit(capacity)
-                n_admit = capacity
-                if not self.queue_warned:
-                    self.queue_warned = True
-            else:
-                admitted = new_links
-                n_admit = n_cand
-
-            frontier_rows = admitted.select(
+            # set is empty, wedging Observation.get. Counts come from the
+            # written delta's parquet footers (driver-side metadata, no job).
+            frontier_cols = [
                 "url",
                 "host",
                 "path",
                 "depth",
                 "frontier_offset",
                 F.lit(self.batch_id).alias("discovered_in_batch"),
-            )
-            # job 4: frontier append (candidates already materialized)
-            frontier_t.append(
-                frontier_rows, f"b{self.batch_id}", n_files=1, shuffle=False
-            )
+            ]
+            capped = cfg.max_queue_size is not None
+            if capped:
+                # cap path: materialize candidates once to count, then admit
+                # the FIFO prefix that fits
+                new_links = new_links.persist()
+                n_cand = new_links.count()
+                if probed is not None:
+                    probed.unpersist()
+                t_ph = _mark("writes_discover", t_ph)
+                capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
+                if n_cand > capacity:
+                    admitted = new_links.orderBy("frontier_offset").limit(capacity)
+                    n_admit = capacity
+                    if not self.queue_warned:
+                        self.queue_warned = True
+                else:
+                    admitted = new_links
+                    n_admit = n_cand
+                # job 4: frontier append (candidates already materialized)
+                frontier_t.append(
+                    admitted.select(*frontier_cols),
+                    f"b{self.batch_id}", n_files=1, shuffle=False,
+                )
+                new_links.unpersist()
+            else:
+                # uncapped: the append IS the one materialization of the
+                # discover pipeline (no separate count job); counts read
+                # back from the delta's footers
+                frontier_t.append(
+                    new_links.select(*frontier_cols),
+                    f"b{self.batch_id}", n_files=1, shuffle=True,
+                )
+                if probed is not None:
+                    probed.unpersist()
+                n_cand = n_admit = frontier_t.last_dir_row_count()
+                t_ph = _mark("writes_discover", t_ph)
 
             n_disc = agg["n_disc"]
             wall_ms = int((time.monotonic() - t0) * 1000)
-            lineage_row = self.spark.createDataFrame(
-                [
-                    (
-                        self.batch_id,
-                        agg["lo"] or 0,
-                        agg["hi"] or 0,
-                        self._bloom.version if self._bloom is not None else 0,
-                        n_batch,
-                        agg["ok"] or 0,
-                        agg["failed"] or 0,
-                        agg["skipped"] or 0,
-                        int(n_disc),
-                        n_admit,
-                        n_cand - n_admit,
-                        wall_ms,
-                    )
-                ],
-                schema=schemas.LINEAGE,
+            lineage_row = (
+                self.batch_id,
+                agg["lo"] or 0,
+                agg["hi"] or 0,
+                self._bloom.version if self._bloom is not None else 0,
+                n_batch,
+                agg["ok"] or 0,
+                agg["failed"] or 0,
+                agg["skipped"] or 0,
+                int(n_disc),
+                n_admit,
+                n_cand - n_admit,
+                wall_ms,
             )
             t_ph = _mark("frontier_append", t_ph)
-            # jobs 5+6: lineage append runs in the pool; the bloom fold-in
-            # of newly admitted urls is PIPELINED into the next batch — it is
-            # only needed by the next discover, which awaits the future
-            # (_resolve_bloom). The bloom is not checkpoint state (resume
-            # rebuilds it from the frontier table), so the commit below does
-            # not wait on it either.
-            f_lin = pool.submit(
-                self.catalog.tables["lineage"].append,
-                lineage_row, f"b{self.batch_id}", 1, False,
+            # lineage is ONE row: driver-side pyarrow append (no Spark job).
+            # The bloom fold-in of newly admitted urls is PIPELINED into the
+            # next batch — it is only needed by the next discover, which
+            # awaits the future (_resolve_bloom). It reads the urls back
+            # from the just-written frontier delta (parquet scan of one
+            # small file) instead of recomputing the discover plan. The
+            # bloom is not checkpoint state (resume rebuilds it from the
+            # frontier table), so the commit below does not wait on it.
+            self.catalog.tables["lineage"].append_rows(
+                [lineage_row], f"b{self.batch_id}"
             )
-            if self._bloom is not None:
-                # bind loop variables NOW — the future runs after they rebind
-                self._bloom_future = pool.submit(
-                    lambda b=self._bloom, a=admitted: b.add(
-                        self.spark, a.select("url")
-                    )
+            if self._bloom is not None and n_admit > 0:
+                delta_urls = (
+                    self.spark.read.schema(schemas.FRONTIER)
+                    .parquet(frontier_t.last_dir)
+                    .select("url")
                 )
-                self._bloom_pending_unpersist = new_links
+                # bind loop variables NOW — the future runs after they rebind
+                self._bloom_future = pool.submit(_timed(
+                    "w_bloom",
+                    lambda b=self._bloom, d=delta_urls: b.add(self.spark, d),
+                ))
             # writes staged this batch must land before the catalog commit
             f_docs.result()
             f_seen.result()
-            f_lin.result()
 
             t_ph = _mark("bloom_lineage", t_ph)
             # --- atomic commit: the batch happened ---
@@ -692,11 +722,8 @@ class CrawlEngine:
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
 
-            deferred = getattr(self, "_bloom_pending_unpersist", None)
             for df in (batch, rendered):
                 df.unpersist()
-            if deferred is not new_links:
-                new_links.unpersist()
             _mark("commit", t_ph)
 
         self._resolve_bloom()
