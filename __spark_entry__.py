@@ -232,6 +232,155 @@ def q_x5_url_filepath(spark, sf_dir):
     )
 
 
+def q_f1_content_type_gate(spark, sf_dir):
+    """F1 content-type gate (src/WebCrawler.js:325-329): contains-match on
+    'text/html' (NOT equality — charsets ride along), counted per source."""
+    docs = _docs(spark, sf_dir)
+    ct = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("text/html; charset=utf-8"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("text/html"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("application/pdf"))
+        .otherwise(F.lit("image/png"))
+    )
+    return (
+        docs.withColumn("ct", ct)
+        .filter(F.col("ct").contains("text/html"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_html"))
+    )
+
+
+def q_f5_glob_filter(spark, sf_dir):
+    """F5 minimatch include/exclude (src/FileFilter.js:25-50): include
+    *.md|*.html (matchBase => basename suffix), exclude private/** —
+    exclude-first, compiled to two vectorized regexes."""
+    docs = _docs(spark, sf_dir)
+    ext = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("md"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("txt"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("pdf"))
+        .otherwise(F.lit("md"))
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("docs/"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("guide/"))
+        .otherwise(F.lit("private/"))
+    )
+    path = F.concat(prefix, F.lit("item-"), F.col("doc_id").cast("string"), F.lit("."), ext)
+    return (
+        docs.withColumn("path", path)
+        .filter(~F.col("path").rlike("^private/"))
+        .filter(F.col("path").rlike("\\.(md|html)$"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "path")
+    )
+
+
+def q_f6_robots_match(spark, sf_dir):
+    """F6 robots disallow matching (src/RobotsParser.js:132-182): plain
+    prefix, '*' wildcard, '$' end-anchor — three compiled predicates over
+    synthesized paths; allowed = no rule matches."""
+    docs = _docs(spark, sf_dir)
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/admin/panel"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("/adminx"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("/files/a.zip"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("/files/a.txt"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("/exact"))
+        .otherwise(F.lit("/exact/more"))
+    )
+    d = docs.withColumn("path", path)
+    disallowed = (
+        F.col("path").startswith("/admin")            # plain prefix rule
+        | F.col("path").rlike("^/files/.*\\.zip")      # '*' wildcard rule
+        | F.col("path").rlike("^/exact$")              # '$' end-anchor rule
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "path",
+        (~disallowed).alias("allowed"),
+    )
+
+
+def q_x6_strip_html(spark, sf_dir):
+    """X6 stripHtml (src/sources/util.js:95-121): drop script blocks, strip
+    tags, decode entities, collapse whitespace — regexp_replace chain."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit('</p><script>var x = 1;</script><b>bold &amp; &lt;tagged&gt;</b>'),
+    )
+    s = F.regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), s.alias("plain"))
+
+
+def q_s8_inline_vs_download(spark, sf_dir):
+    """S8 GitHub contents branch (src/GitCrawler.js:298-325): <=1MB inline
+    base64 vs download_url — the size predicate at corpus scale (256-char
+    stand-in), with A4 download counters per branch."""
+    docs = _docs(spark, sf_dir)
+    branch = F.when(F.col("n_chars") <= 256, F.lit("inline")).otherwise(
+        F.lit("download")
+    )
+    return (
+        docs.groupBy(branch.alias("branch"))
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+        )
+    )
+
+
+def q_t5_retry_backoff(spark, sf_dir):
+    """T5 retry/backoff schedule (src/WebCrawler.js:165-202): exponential
+    1s/2s/4s; total sleep for k retries = (2^min(k,3)-1)*1000 ms."""
+    ev = _t(spark, sf_dir, "events")
+    retries = (F.col("event_id") % 5).cast("int")
+    capped = F.least(retries, F.lit(3))
+    return ev.select(
+        "event_id",
+        retries.alias("retries"),
+        (retries <= 3).alias("retryable"),
+        ((F.pow(F.lit(2.0), capped) - 1) * 1000).cast("long").alias("backoff_ms"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: top-3 closest pairs per label
+    bucket (LSH/IVF cell analog)."""
+    return similarity.embedding_neardup_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end: synthesize deterministic fake
+    image bytes per doc, decode via the mapInPandas feature extractor
+    (binary column never leaves the executor), emit typed metadata. The
+    stub decode is pure md5 arithmetic, so DuckDB can oracle-check the
+    mapInPandas path exactly."""
+    from inform_spark.operators import multimodal
+    from inform_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("https://img.test/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+    )
+    feats = multimodal.image_features(multimodal.synthesize_media(docs))
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "width",
+        "height",
+        "phash",
+    )
+
+
 def q_w1_tumbling_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming-capable op: same plan
     runs under readStream + watermark — see inform_spark/streaming)."""
@@ -390,6 +539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_slugify": q_x8_slugify,
         "x9_date_normalize": q_x9_date_normalize,
         "x5_url_filepath": q_x5_url_filepath,
+        "f1_content_type_gate": q_f1_content_type_gate,
+        "f5_glob_filter": q_f5_glob_filter,
+        "f6_robots_match": q_f6_robots_match,
+        "x6_strip_html": q_x6_strip_html,
+        "s8_inline_vs_download": q_s8_inline_vs_download,
+        "t5_retry_backoff": q_t5_retry_backoff,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_image_meta": q_multimodal_image_meta,
         "w1_tumbling_window": q_w1_tumbling_window,
         "w3_sessionization": q_w3_sessionization,
         "dedup_exact": q_dedup_exact,
@@ -544,6 +701,30 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 4, dim: int = 
     )
 
 
+def _embedding_neardup_sql(per_group: int = 3) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(l.va)+1), "
+        "i -> cast(l.va[i] as double) * cast(r.vb[i] as double)))"
+    )
+
+    def norm(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return (
+        "with l as (select label as g, vec_id as a, embedding as va from embeddings), "
+        "r as (select label as g, vec_id as b, embedding as vb from embeddings), "
+        f"p as (select l.g, l.a, r.b, round({dot} / ({norm('l.va')} * {norm('r.vb')}), 6) "
+        "as cosine from l join r using (g) where l.a < r.b), "
+        "rk as (select *, row_number() over (partition by g order by cosine desc, a, b) "
+        "as rank from p) "
+        "select cast(g as int) as g, cast(a as bigint) as a, cast(b as bigint) as b, "
+        f"cosine, cast(rank as int) as rank from rk where rank <= {per_group}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = _STOP_SQL["en"]
     return {
@@ -615,6 +796,69 @@ def oracle_sql() -> dict[str, str]:
             "'.md') as doc_path from (select doc_id, source, "
             "case when doc_id % 3 = 0 then '?page=1&sort=asc' else '' end as q "
             "from documents)"
+        ),
+        "f1_content_type_gate": (
+            "select source, cast(count(*) as bigint) as n_html from ("
+            "select source, case when doc_id % 4 = 0 then 'text/html; charset=utf-8' "
+            "when doc_id % 4 = 1 then 'text/html' when doc_id % 4 = 2 then "
+            "'application/pdf' else 'image/png' end as ct from documents) "
+            "where ct like '%text/html%' group by source"
+        ),
+        "f5_glob_filter": (
+            "select cast(doc_id as bigint) as doc_id, path from ("
+            "select doc_id, concat(case when doc_id % 3 = 0 then 'docs/' "
+            "when doc_id % 3 = 1 then 'guide/' else 'private/' end, 'item-', "
+            "doc_id, '.', case when doc_id % 5 = 0 then 'md' "
+            "when doc_id % 5 = 1 then 'html' when doc_id % 5 = 2 then 'txt' "
+            "when doc_id % 5 = 3 then 'pdf' else 'md' end) as path "
+            "from documents) where not regexp_matches(path, '^private/') "
+            "and regexp_matches(path, '\\.(md|html)$')"
+        ),
+        "f6_robots_match": (
+            "select cast(doc_id as bigint) as doc_id, path, "
+            "not (starts_with(path, '/admin') "
+            "or regexp_matches(path, '^/files/.*\\.zip') "
+            "or regexp_matches(path, '^/exact$')) as allowed from ("
+            "select doc_id, case when doc_id % 6 = 0 then '/admin/panel' "
+            "when doc_id % 6 = 1 then '/adminx' "
+            "when doc_id % 6 = 2 then '/files/a.zip' "
+            "when doc_id % 6 = 3 then '/files/a.txt' "
+            "when doc_id % 6 = 4 then '/exact' else '/exact/more' end as path "
+            "from documents)"
+        ),
+        "x6_strip_html": (
+            "select cast(doc_id as bigint) as doc_id, "
+            "trim(regexp_replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace("
+            "concat('<p>', text, '</p><script>var x = 1;</script>"
+            "<b>bold &amp; &lt;tagged&gt;</b>'), "
+            "'<script[^>]*>.*?</script>', ' ', 'g'), '<[^>]+>', ' ', 'g'), "
+            "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '\\s+', ' ', 'g')) as plain from documents"
+        ),
+        "s8_inline_vs_download": (
+            "select case when n_chars <= 256 then 'inline' else 'download' end "
+            "as branch, cast(count(*) as bigint) as n_files, "
+            "cast(sum(n_chars) as bigint) as total_bytes "
+            "from documents group by 1"
+        ),
+        "t5_retry_backoff": (
+            "select event_id, cast(event_id % 5 as int) as retries, "
+            "(event_id % 5) <= 3 as retryable, "
+            "cast((power(2, least(event_id % 5, 3)) - 1) * 1000 as bigint) "
+            "as backoff_ms from events"
+        ),
+        "dedup_embedding_cosine": _embedding_neardup_sql(),
+        "multimodal_image_meta": (
+            "with m as (select cast(doc_id as bigint) as doc_id, "
+            "concat('https://img.test/', doc_id, '.png') as media_ref, "
+            "md5(concat('FAKEPNG:https://img.test/', doc_id, '.png')) as h "
+            "from documents) "
+            "select doc_id, media_ref, "
+            "cast(64 + cast('0x'||substr(h,10,1) as int) * 64 as int) as width, "
+            "cast(64 + cast('0x'||substr(h,12,1) as int) * 64 as int) as height, "
+            "cast('0x'||substr(h,13,15) as bigint) * 8 "
+            "+ cast('0x'||substr(h,28,1) as bigint) // 2 as phash from m"
         ),
         "w1_tumbling_window": (
             "select date_trunc('hour', ts) as window_start, event_type, "

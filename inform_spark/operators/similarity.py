@@ -78,6 +78,45 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_topk(
+    emb: DataFrame,
+    per_group: int = 3,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: the ``per_group`` closest
+    pairs within each group (pre-bucketed by ``group_col`` — at scale the
+    bucket is an LSH/IVF cell, here the provided label). Group-scoped
+    self-join keeps the pair space O(Σ bucket²), never corpus²; ranking
+    window per group, deterministic tie-break on (a, b)."""
+    l = emb.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    r = emb.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (
+        l.join(r, "g")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("cosine"), "a", "b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_group)
+        .select(
+            F.col("g").cast("int").alias("g"),
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(np.float64)
