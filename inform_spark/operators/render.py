@@ -31,10 +31,13 @@ from inform_spark.functions.spans import markdown_to_spans
 from inform_spark.functions.urls import generate_filepath, resolve_url
 from inform_spark.schemas import SPAN
 
+# NB: no `markdown` column — the spans reserialize to the markdown exactly
+# (span-sequence invariant), so shipping both would double the Arrow payload
+# of the fattest stage. render_one still returns it for the sequential
+# oracle and unit tests.
 RENDER_RESULT = StructType(
     [
         StructField("doc_id", StringType(), False),
-        StructField("markdown", StringType(), False),
         StructField("spans", ArrayType(SPAN), False),
         StructField("links", ArrayType(StringType()), False),
     ]
@@ -63,11 +66,10 @@ def render_one(url: str, html: str) -> dict:
 
 @pandas_udf(RENDER_RESULT)
 def extract_render_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    out = {"doc_id": [], "markdown": [], "spans": [], "links": []}
+    out = {"doc_id": [], "spans": [], "links": []}
     for u, h in zip(url, html):
         r = render_one(u, h or "")
         out["doc_id"].append(r["doc_id"])
-        out["markdown"].append(r["markdown"])
         out["spans"].append(r["spans"])
         out["links"].append(r["links"])
     return pd.DataFrame(out)

@@ -98,18 +98,29 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): per-doc minhash signature over 3-word
     shingles. ONE md5 per shingle, k xor-mixed minima. Entirely native:
     transform + array_min, no shuffle at all (narrow, embarrassingly
-    parallel — ideal 100TB shape)."""
-    hashed = F.transform(shingles_col(), _h60)
-    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    parallel — ideal 100TB shape).
+
+    STAGED select, deliberately: `hs` is aliased once and referenced k
+    times, which stops CollapseProject from inlining k copies of the
+    interpreted shingle+md5 pipeline into the signature projection (and,
+    downstream, into per-exploded-row band expressions) — inlined, the
+    pipeline re-evaluates k x per row instead of once per document."""
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(shingles_col(), _h60).alias("hs"),
+    )
 
     def mh_col(c: int):
         # NB: the inner lambda must take exactly ONE parameter — pyspark
         # treats a 2-arg lambda in F.transform as (element, index).
-        return F.array_min(F.transform(hashed, lambda h: h.bitwiseXOR(F.lit(c))))
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: h.bitwiseXOR(F.lit(c)))
+        )
 
+    cols = [F.col("doc_id")]
     for i in range(k):
         cols.append(mh_col(MIX_CONSTANTS[i]).alias(f"mh_{i}"))
-    return docs.select(*cols)
+    return staged.select(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:

@@ -123,22 +123,30 @@ def _glob_filter_udf(include, exclude):
     return glob_ok
 
 
-@pandas_udf(BooleanType())
-def robots_allowed_udf(path_query: pd.Series, prefixes: pd.Series) -> pd.Series:
-    """Vectorized robots check. The disallow list arrives via the broadcast
-    join; matchers are compiled once per distinct list per batch."""
-    cache: dict[tuple, RobotsMatcher] = {}
-    out = []
-    for pq, pref in zip(path_query, prefixes):
-        if pref is None or len(pref) == 0:
-            out.append(True)
-            continue
-        key = tuple(pref)
-        m = cache.get(key)
-        if m is None:
-            m = cache[key] = RobotsMatcher(list(pref))
-        out.append(m.is_allowed(pq or "/"))
-    return pd.Series(out, dtype=bool)
+def make_robots_filter_udf(rules: dict[str, list[str]]):
+    """Vectorized robots check with the per-host disallow lists captured in
+    the UDF closure (the robots dim table is static for a crawl and tiny —
+    one row per host — so shipping it in the closure replaces a broadcast
+    join + exchange PER BATCH with nothing). Matchers compile lazily per
+    worker; a host absent from ``rules`` is allow-all (missing robots.txt,
+    reference src/RobotsParser.js:55-63)."""
+    compiled: dict[str, RobotsMatcher] = {}
+
+    @pandas_udf(BooleanType())
+    def robots_ok(host: pd.Series, path_query: pd.Series) -> pd.Series:
+        out = []
+        for h, pq in zip(host, path_query):
+            pref = rules.get(h)
+            if not pref:
+                out.append(True)
+                continue
+            m = compiled.get(h)
+            if m is None:
+                m = compiled[h] = RobotsMatcher(pref)
+            out.append(m.is_allowed(pq or "/"))
+        return pd.Series(out, dtype=bool)
+
+    return robots_ok
 
 
 class CrawlEngine:
@@ -173,6 +181,13 @@ class CrawlEngine:
         self.attempted = 0
         self.enqueued_total = 0  # unique URLs ever admitted to the frontier
         self.queue_warned = False
+        # max frontier_offset ever attempted. Without a politeness budget the
+        # batch is always the FIFO prefix of the live frontier, so seen ==
+        # {offset <= watermark} and live == frontier.filter(offset > W) — a
+        # pure predicate (parquet row-group pruning at 10^10 scale) instead
+        # of a seen-table read + anti-join per batch. None => unknown
+        # (pre-watermark checkpoint): fall back to the anti-join once.
+        self.offset_watermark: int | None = -1
         self._scopes = [
             (url_host(normalize_url(s)), derive_base_path(normalize_url(s)))
             for s in config.seeds
@@ -217,6 +232,7 @@ class CrawlEngine:
             "attempted": self.attempted,
             "enqueued_total": self.enqueued_total,
             "queue_warned": self.queue_warned,
+            "offset_watermark": self.offset_watermark,
         }
 
     def _restore(self) -> None:
@@ -224,6 +240,7 @@ class CrawlEngine:
         self.batch_id = st["batch_id"]
         self.attempted = st["attempted"]
         self.queue_warned = st["queue_warned"]
+        self.offset_watermark = st.get("offset_watermark")
         self.enqueued_total = st.get("enqueued_total")
         if self.enqueued_total is None:  # older checkpoints: one-time count
             self.enqueued_total = self.catalog.tables["frontier"].read().count()
@@ -243,6 +260,14 @@ class CrawlEngine:
     def _n_files(n_rows: int) -> int:
         """Right-size parquet appends: ~50k rows/file, at least one."""
         return max(1, n_rows // 50_000 + (1 if n_rows % 50_000 else 0))
+
+    def _n_files_docs(self, n_rows: int) -> int:
+        """Documents carry the fat span payload: write with enough tasks
+        that one task never serializes the whole batch (a coalesce(1) write
+        of a big batch is a serial bottleneck that caps scaling), but few
+        enough that small crawls stay single-file."""
+        par = self.spark.sparkContext.defaultParallelism
+        return max(1, min(par, n_rows // 500))
 
     # ------------------------------------------------------------------
     def _select_batch(self, live: DataFrame, b: int) -> DataFrame:
@@ -298,9 +323,11 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _fetch(self, batch: DataFrame) -> DataFrame:
         """Fixture fetch: broadcast the (small) batch against the host-pruned
-        pages table; unmatched URLs are 404s. Retry semantics (S2/T5) are
-        deterministic: `retries_needed` <= max_retries succeeds on attempt
-        retries_needed+1, otherwise fails after max_retries+1 attempts."""
+        pages table; unmatched URLs are 404s. Both broadcasts are the SMALL
+        sides (batch keys, hit urls) — the pages table streams, so fixture
+        size never inflates per-batch broadcast cost. Retry semantics
+        (S2/T5) are deterministic: `retries_needed` <= max_retries succeeds
+        on attempt retries_needed+1, else fails after max_retries+1."""
         pages = self.pages
         if self._scope_hosts:
             pages = pages.filter(F.col("host").isin(self._scope_hosts))
@@ -357,7 +384,7 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _discover(self, rendered: DataFrame, robots_dim: DataFrame | None) -> DataFrame:
+    def _discover(self, rendered: DataFrame, robots_filter) -> DataFrame:
         """Candidate-link pipeline: explode → native filters → dedup."""
         cfg = self.cfg
         links = rendered.select(
@@ -379,12 +406,18 @@ class CrawlEngine:
             ).alias("frontier_offset"),
         ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
 
-        # F2 same-host + F3 base-path via broadcast scope join
-        cand = cand.join(F.broadcast(self._scopes_df()), "host", "inner").filter(
-            (F.col("base_path") == "/")
-            | (F.col("path") == F.col("base_path"))
-            | F.col("path").startswith(F.concat(F.col("base_path"), F.lit("/")))
-        ).drop("base_path")
+        # F2 same-host + F3 base-path. Root-scoped seeds (the common case)
+        # need only a host membership test — a literal isin stays in codegen
+        # and skips a per-batch broadcast join; non-trivial base paths take
+        # the broadcast scope join.
+        if all(bp == "/" for _, bp in self._scopes):
+            cand = cand.filter(F.col("host").isin(self._scope_hosts))
+        else:
+            cand = cand.join(F.broadcast(self._scopes_df()), "host", "inner").filter(
+                (F.col("base_path") == "/")
+                | (F.col("path") == F.col("base_path"))
+                | F.col("path").startswith(F.concat(F.col("base_path"), F.lit("/")))
+            ).drop("base_path")
 
         # F4 extension skip — single vectorized rlike, stays in codegen
         cand = cand.filter(~F.lower("path").rlike(SKIP_EXTENSIONS_RLIKE))
@@ -393,27 +426,19 @@ class CrawlEngine:
         if self._glob_udf is not None:
             cand = cand.filter(self._glob_udf(F.col("url")))
 
-        # F6 robots via broadcast join + vectorized matcher
-        if robots_dim is not None:
-            cand = (
-                cand.join(
-                    F.broadcast(robots_dim.select("host", "disallow_prefixes")),
-                    "host",
-                    "left",
+        # F6 robots via closure-compiled vectorized matcher (no join)
+        if robots_filter is not None:
+            cand = cand.filter(
+                robots_filter(
+                    F.col("host"),
+                    F.concat(
+                        F.col("path"),
+                        F.when(
+                            F.col("query").isNotNull(),
+                            F.concat(F.lit("?"), F.col("query")),
+                        ).otherwise(F.lit("")),
+                    ),
                 )
-                .filter(
-                    robots_allowed_udf(
-                        F.concat(
-                            F.col("path"),
-                            F.when(
-                                F.col("query").isNotNull(),
-                                F.concat(F.lit("?"), F.col("query")),
-                            ).otherwise(F.lit("")),
-                        ),
-                        F.col("disallow_prefixes"),
-                    )
-                )
-                .drop("disallow_prefixes")
             )
         cand = cand.drop("query")
 
@@ -458,6 +483,13 @@ class CrawlEngine:
             )
         summary = CrawlSummary()
         robots_dim = self._robots_dim()
+        robots_filter = None
+        if robots_dim is not None:
+            rules = {
+                r["host"]: list(r["disallow_prefixes"] or [])
+                for r in robots_dim.select("host", "disallow_prefixes").collect()
+            }
+            robots_filter = make_robots_filter_udf(rules)
         batches_run = 0
 
         pool = ThreadPoolExecutor(max_workers=4)
@@ -486,8 +518,18 @@ class CrawlEngine:
                 break
             frontier_t = self.catalog.tables["frontier"]
             seen_t = self.catalog.tables["seen"]
-            seen_urls = seen_t.read(cached=True).select("url")
-            live = frontier_t.read(cached=True).join(seen_urls, "url", "left_anti")
+            fifo = cfg.batch_wall_budget_ms is None
+            if fifo and self.offset_watermark is not None:
+                # FIFO mode: live frontier by watermark predicate (no seen
+                # read, no anti-join; prunes at the scan)
+                live = frontier_t.read(cached=True).filter(
+                    F.col("frontier_offset") > F.lit(self.offset_watermark)
+                )
+            else:
+                seen_urls = seen_t.read(cached=True).select("url")
+                live = frontier_t.read(cached=True).join(
+                    seen_urls, "url", "left_anti"
+                )
 
             remaining = cfg.limit - self.attempted
             b = min(cfg.batch_size or remaining, remaining)
@@ -578,19 +620,21 @@ class CrawlEngine:
                     "crawl_rank"
                 ),
             )
-            nf = self._n_files(n_batch)
             f_docs = pool.submit(_timed(
                 "w_docs",
                 self.catalog.tables["documents"].append,
-                docs, f"b{self.batch_id}", nf, False,
+                docs, f"b{self.batch_id}", self._n_files_docs(n_batch), False,
             ))
             f_seen = pool.submit(
-                _timed("w_seen", seen_t.append, seen_rows, f"b{self.batch_id}", nf, False)
+                _timed(
+                    "w_seen", seen_t.append, seen_rows,
+                    f"b{self.batch_id}", self._n_files(n_batch), False,
+                )
             )
 
             # --- discover + admit (runs concurrently with the two writes:
             # all three read only the rendered cache) ---
-            dedup = self._discover(rendered.filter("is_doc"), robots_dim)
+            dedup = self._discover(rendered.filter("is_doc"), robots_filter)
             self._resolve_bloom()
             probed = None
             if self._bloom is not None:
@@ -652,10 +696,14 @@ class CrawlEngine:
             else:
                 # uncapped: the append IS the one materialization of the
                 # discover pipeline (no separate count job); counts read
-                # back from the delta's footers
+                # back from the delta's footers. coalesce (not repartition):
+                # the in-batch dedup groupBy upstream is already a shuffle
+                # boundary, so coalescing only narrows the trivial
+                # post-shuffle tail (probe/anti-join/union over ~thousands
+                # of candidate rows) instead of paying one more exchange.
                 frontier_t.append(
                     new_links.select(*frontier_cols),
-                    f"b{self.batch_id}", n_files=1, shuffle=True,
+                    f"b{self.batch_id}", n_files=1, shuffle=False,
                 )
                 if probed is not None:
                     probed.unpersist()
@@ -707,6 +755,12 @@ class CrawlEngine:
 
             t_ph = _mark("bloom_lineage", t_ph)
             # --- atomic commit: the batch happened ---
+            if fifo and self.offset_watermark is not None:
+                self.offset_watermark = max(self.offset_watermark, agg["hi"] or 0)
+            else:
+                # a politeness-budget batch may skip ahead of unfetched
+                # offsets: the prefix property is gone for good
+                self.offset_watermark = None
             self.attempted += n_batch
             self.enqueued_total += n_admit
             self.batch_id += 1
