@@ -97,6 +97,13 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     render_partitions: int | None = None
     politeness_salts: int = 8  # two-phase per-host rank fan-out (skew)
+    # fetch stage: "fixture" joins the synthetic pages table (tests/bench);
+    # "http" GETs live via the mapInPandas batch fetcher (sources/httpfetch)
+    fetch_mode: str = "fixture"
+    http_timeout_s: float = 10.0
+    http_base_backoff_s: float = 1.0
+    http_min_interval_ms: int = 0
+    http_user_agent: str = "Inform/1.0 (inform-spark)"
 
 
 @dataclass
@@ -327,13 +334,36 @@ class CrawlEngine:
         sides (batch keys, hit urls) — the pages table streams, so fixture
         size never inflates per-batch broadcast cost. Retry semantics
         (S2/T5) are deterministic: `retries_needed` <= max_retries succeeds
-        on attempt retries_needed+1, else fails after max_retries+1."""
+        on attempt retries_needed+1, else fails after max_retries+1.
+
+        fetch_mode='http' swaps the join for the live mapInPandas batch
+        fetcher (S1/S2, sources/httpfetch) — same output contract."""
+        if self.cfg.fetch_mode == "http":
+            from inform_spark.sources.httpfetch import http_fetch_stage
+
+            n = (
+                self.cfg.render_partitions
+                or self.spark.sparkContext.defaultParallelism
+            )
+            fetched = http_fetch_stage(
+                batch,
+                n,
+                user_agent=self.cfg.http_user_agent,
+                timeout_s=self.cfg.http_timeout_s,
+                max_retries=self.cfg.max_retries,
+                base_backoff_s=self.cfg.http_base_backoff_s,
+                min_interval_ms=self.cfg.http_min_interval_ms,
+            )
+            return self._with_status(fetched)
         pages = self.pages
         if self._scope_hosts:
             pages = pages.filter(F.col("host").isin(self._scope_hosts))
         bkeys = batch.select("url", "depth", "frontier_offset", "parent_rank")
         hit = pages.join(F.broadcast(bkeys), "url", "inner")
-        miss = bkeys.join(F.broadcast(hit.select("url")), "url", "left_anti")
+        # misses = batch urls absent from the fixture; anti-join against the
+        # column-pruned url list, NOT against hit (which would re-run the
+        # full pages join with the html payload just to learn its keys)
+        miss = bkeys.join(F.broadcast(pages.select("url")), "url", "left_anti")
 
         max_r = self.cfg.max_retries
         needed = F.coalesce(F.col("retries_needed"), F.lit(0))
@@ -369,7 +399,11 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("html"),
             F.lit(1).alias("attempts"),
         )
-        fetched = hit_out.unionByName(miss_out)
+        return self._with_status(hit_out.unionByName(miss_out))
+
+    @staticmethod
+    def _with_status(fetched: DataFrame) -> DataFrame:
+        """Common fetch epilogue (both modes): D3 status, error, F1 gate."""
         ok = (F.col("status_eff") >= 200) & (F.col("status_eff") < 300)
         return fetched.withColumn(
             "status", F.when(ok, F.lit("ok")).otherwise(F.lit("failed"))
@@ -392,10 +426,13 @@ class CrawlEngine:
             "parent_rank",
             F.posexplode("links").alias("pos", "link"),
         )
-        # native URL parts (JVM-side parse_url — no UDF)
+        # native URL parts (JVM-side — no UDF). Host is the full netloc
+        # (incl. any port, matching url_host/robots keys — parse_url HOST
+        # would drop the port and break scoping on non-default ports);
+        # canonicalized links already have a lowercase scheme+host.
         cand = links.select(
             F.col("link").alias("url"),
-            F.lower(F.parse_url("link", F.lit("HOST"))).alias("host"),
+            F.regexp_extract("link", "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1).alias("host"),
             F.coalesce(F.parse_url("link", F.lit("PATH")), F.lit("/")).alias("path"),
             F.parse_url("link", F.lit("QUERY")).alias("query"),
             (F.col("depth") + 1).alias("depth"),
@@ -547,8 +584,13 @@ class CrawlEngine:
             )
 
             fetched = self._fetch(batch)
-            n_render = cfg.render_partitions or self.spark.sparkContext.defaultParallelism
-            fetched = fetched.repartition(n_render, "url")
+            # Render rides the fetch stage's natural partitioning: fixture
+            # mode inherits the (balanced) pages-scan partitions, http mode
+            # the per-host repartition. An explicit render_partitions forces
+            # a url-hash repartition — only worth a full shuffle of the html
+            # payload when upstream partitioning is known-skewed.
+            if cfg.render_partitions:
+                fetched = fetched.repartition(cfg.render_partitions, "url")
 
             # ONE materialization for the whole batch: fetch + render fused;
             # non-documents pass a null html through the UDF (empty spans).

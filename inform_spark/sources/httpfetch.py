@@ -1,0 +1,195 @@
+"""Live HTTP fetch stage: mapInPandas batch fetcher (SURVEY §2.1 S1/S2).
+
+In tests and benchmarks the engine joins the frontier batch against a
+synthetic ``pages`` table (the sandbox has no crawl targets); this module
+is the production fetch stage with the same output contract, so
+:class:`~inform_spark.plans.crawl.CrawlEngine` is agnostic to the mode:
+
+- iterator pandas UDF (``mapInPandas``): one Python worker per partition
+  streams Arrow batches of frontier rows and GETs each URL with an
+  executor-side opener — the Spark analog of the reference's promise pool
+  (src/WebCrawler.js:243-273), except parallelism comes from partitions.
+- retry + exponential backoff on {429, 500, 502, 503, 504} and network
+  errors, base 1s doubling per attempt, ``max_retries`` default 3
+  (reference ``fetchWithRetry`` src/WebCrawler.js:165-202); the attempt
+  count rides along as a metrics column, failures are rows, never
+  exceptions.
+- per-host min-interval pacing INSIDE the partition (the executor-side
+  complement of the engine's admission budget; reference git-mode pacing
+  src/GitCrawler.js:147-157). Partitioning the batch by host makes the
+  pacing exact: one host never spans two workers.
+- non-HTML responses keep their status but carry a null body (the F1 gate
+  downstream marks them skipped-not-failed, src/WebCrawler.js:325-329).
+
+robots.txt fetch (S3) uses the same UDF machinery over one-row-per-host
+(src/RobotsParser.js:20-64: one request per origin, missing/error =>
+allow-all), parsed by :func:`inform_spark.functions.robots.parse_robots_txt`.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RETRYABLE = {429, 500, 502, 503, 504}
+DEFAULT_UA = "Inform/1.0 (inform-spark)"
+
+FETCH_OUT = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("depth", IntegerType(), True),
+        StructField("frontier_offset", LongType(), True),
+        StructField("parent_rank", IntegerType(), True),
+        StructField("status_eff", IntegerType(), False),
+        StructField("content_type", StringType(), True),
+        StructField("html", StringType(), True),
+        StructField("attempts", IntegerType(), False),
+    ]
+)
+
+
+def fetch_url_once(url: str, user_agent: str, timeout_s: float,
+                   max_bytes: int) -> tuple[int, str | None, str | None]:
+    """(status, content_type, body_text) for one GET; raises only on
+    network-level errors (caller retries those)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = resp.status
+            ctype = resp.headers.get("Content-Type", "") or ""
+            body = None
+            if "text/html" in ctype or "text/" in ctype or "xml" in ctype:
+                body = resp.read(max_bytes).decode("utf-8", "replace")
+            return status, ctype, body
+    except urllib.error.HTTPError as e:  # non-2xx WITH a status code
+        return e.code, e.headers.get("Content-Type", "") or "", None
+
+
+def make_http_fetch_udf(
+    user_agent: str = DEFAULT_UA,
+    timeout_s: float = 10.0,
+    max_retries: int = 3,
+    base_backoff_s: float = 1.0,
+    min_interval_ms: int = 0,
+    max_bytes: int = 4 * 1024 * 1024,
+):
+    """mapInPandas function (frontier batch rows -> FETCH_OUT rows)."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_request: dict[str, float] = {}
+        for pdf in batches:
+            out = {k.name: [] for k in FETCH_OUT.fields}
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                host = getattr(row, "host", None) or ""
+                if min_interval_ms > 0:
+                    since = time.monotonic() - last_request.get(host, 0.0)
+                    wait = min_interval_ms / 1000.0 - since
+                    if wait > 0:
+                        time.sleep(wait)
+                status, ctype, body = 0, None, None
+                attempts = 0
+                while attempts <= max_retries:
+                    attempts += 1
+                    last_request[host] = time.monotonic()
+                    try:
+                        status, ctype, body = fetch_url_once(
+                            url, user_agent, timeout_s, max_bytes
+                        )
+                        if status not in RETRYABLE:
+                            break
+                    except Exception:  # network error: retry like a 5xx
+                        status, ctype, body = 0, None, None
+                    if attempts <= max_retries:
+                        time.sleep(base_backoff_s * (2 ** (attempts - 1)))
+                out["url"].append(url)
+                out["depth"].append(getattr(row, "depth", None))
+                out["frontier_offset"].append(
+                    getattr(row, "frontier_offset", None)
+                )
+                out["parent_rank"].append(getattr(row, "parent_rank", None))
+                # status 0 = network error after retries -> treated like 503
+                out["status_eff"].append(int(status) if status else 503)
+                out["content_type"].append(ctype)
+                out["html"].append(body)
+                out["attempts"].append(attempts)
+            yield pd.DataFrame(out)
+
+    return fetch
+
+
+def http_fetch_stage(batch: DataFrame, n_partitions: int, **udf_kwargs) -> DataFrame:
+    """Partition the frontier batch by host (pacing-exact) and fetch."""
+    return batch.select(
+        "url", "host", "depth", "frontier_offset", "parent_rank"
+    ).repartition(n_partitions, "host").mapInPandas(
+        make_http_fetch_udf(**udf_kwargs), FETCH_OUT
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (S3): one GET per host -> ROBOTS dim rows
+# ---------------------------------------------------------------------------
+
+
+def fetch_robots_df(
+    spark,
+    origins: list[str],
+    user_agent: str = DEFAULT_UA,
+    timeout_s: float = 10.0,
+) -> DataFrame:
+    """(host, exists, disallow_prefixes, crawl_delay_ms) per origin.
+    ``origins`` are 'scheme://host[:port]' strings; missing or erroring
+    robots.txt => allow-all (exists=False), reference src/RobotsParser.js:55-63.
+    Distributed as a tiny mapInPandas stage (at web scale this is
+    one-request-per-host, embarrassingly parallel)."""
+    from urllib.parse import urlsplit
+
+    from inform_spark.schemas import ROBOTS
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from inform_spark.functions.robots import parse_robots_txt
+
+        for pdf in batches:
+            rows = {"host": [], "exists": [], "disallow_prefixes": [],
+                    "crawl_delay_ms": []}
+            for origin in pdf["origin"]:
+                host = urlsplit(origin).netloc.lower()
+                try:
+                    status, _, body = fetch_url_once(
+                        origin.rstrip("/") + "/robots.txt",
+                        user_agent, timeout_s, 1024 * 1024,
+                    )
+                    if status == 200 and body:
+                        rules = parse_robots_txt(body, user_agent)
+                        rows["host"].append(host)
+                        rows["exists"].append(True)
+                        rows["disallow_prefixes"].append(rules.disallowed_paths)
+                        rows["crawl_delay_ms"].append(rules.crawl_delay_ms)
+                        continue
+                except Exception:
+                    pass
+                rows["host"].append(host)
+                rows["exists"].append(False)
+                rows["disallow_prefixes"].append([])
+                rows["crawl_delay_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    origins_df = spark.createDataFrame([(o,) for o in origins], "origin string")
+    return origins_df.repartition(max(1, min(len(origins), 32))).mapInPandas(
+        fetch, ROBOTS
+    )

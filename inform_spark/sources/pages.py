@@ -290,17 +290,18 @@ def pages_dataframe(spark, n_hosts: int, pages_per_host: int,
     budgets_b = spark.sparkContext.broadcast(budgets)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # yield PER HOST: one giant frame per partition can push a single
+        # Arrow string column past the 2 GB chunk limit at high
+        # content_scale (pyarrow then hands Spark a ChunkedArray it
+        # rejects) — smaller frames keep every record batch well under it
         for pdf in batches:
-            rows: list[dict] = []
             for h in pdf["id"]:
-                rows.extend(
-                    generate_host_pages(
-                        int(h), budgets_b.value[int(h)], index_link_cap,
-                        content_scale,
-                    )
+                rows = generate_host_pages(
+                    int(h), budgets_b.value[int(h)], index_link_cap,
+                    content_scale,
                 )
-            if rows:
-                yield pd.DataFrame(rows, columns=PAGES_COLS)
+                if rows:
+                    yield pd.DataFrame(rows, columns=PAGES_COLS)
 
     n_part = partitions or min(n_hosts, spark.sparkContext.defaultParallelism)
     return (

@@ -1,0 +1,163 @@
+"""Live HTTP fetch stage against a loopback fixture server (the reference's
+integration-test shape: tests/integration/test-server.js — a local server
+with nested pages, robots.txt, a non-HTML endpoint, 404s, and a request log
+for behavioral asserts). No external network."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+SITE = {
+    "/": """<html><body><main><h1>Home</h1>
+        <a href="/docs">docs</a> <a href="/plain.txt">txt</a>
+        <a href="/admin/secret">admin</a> <a href="/missing">gone</a>
+        <a href="/flaky">flaky</a></main></body></html>""",
+    "/docs": """<html><body><main><h2>Docs</h2><p>hello spark</p>
+        <img src="/img/logo.png" alt="logo">
+        <a href="/docs#frag">self</a> <a href="/">home</a></main></body></html>""",
+    "/flaky": "<html><body><main><p>finally up</p></main></body></html>",
+    "/admin/secret": "<html><body>forbidden zone</body></html>",
+}
+ROBOTS_TXT = "User-agent: *\nDisallow: /admin/\n"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "Fixture/1.0"
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        log = self.server.request_log
+        log.append(self.path)
+        if self.path == "/robots.txt":
+            body = ROBOTS_TXT.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        elif self.path == "/plain.txt":
+            body = b"just text"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        elif self.path == "/flaky":
+            self.server.flaky_hits += 1
+            if self.server.flaky_hits <= 2:
+                self.send_response(503)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = SITE["/flaky"].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        elif self.path in SITE:
+            body = SITE[self.path].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+        else:
+            self.send_response(404)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.request_log = []
+    srv.flaky_hits = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _origin(srv):
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_fetch_robots_df(spark, server):
+    from inform_spark.sources.httpfetch import fetch_robots_df
+
+    rows = fetch_robots_df(spark, [_origin(server)]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["host"] == f"127.0.0.1:{server.server_address[1]}"
+    assert r["exists"] is True
+    assert list(r["disallow_prefixes"]) == ["/admin/"]
+
+
+def test_live_crawl_end_to_end(spark, server, tmp_path):
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.sources.httpfetch import fetch_robots_df
+
+    origin = _origin(server)
+    robots = fetch_robots_df(spark, [origin])
+    cfg = CrawlConfig(
+        seeds=[origin + "/"],
+        limit=20,
+        fetch_mode="http",
+        http_base_backoff_s=0.01,
+        render_partitions=2,
+    )
+    eng = CrawlEngine(spark, None, robots, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    summary = eng.run()
+    seen = {r["url"]: r for r in eng.seen().collect()}
+
+    host = f"127.0.0.1:{server.server_address[1]}"
+    assert f"http://{host}/" in seen and seen[f"http://{host}/"]["status"] == "ok"
+    assert seen[f"http://{host}/docs"]["status"] == "ok"
+    # non-HTML fetched ok but produces no document (F1 gate)
+    assert seen[f"http://{host}/plain.txt"]["status"] == "ok"
+    doc_urls = {r["url"] for r in eng.documents().collect()}
+    assert f"http://{host}/plain.txt" not in doc_urls
+    # 404 tracked as failure, not exception
+    assert seen[f"http://{host}/missing"]["status"] == "failed"
+    assert seen[f"http://{host}/missing"]["error"] == "HTTP 404"
+    # retry/backoff: flaky 503,503,200 -> ok after retries
+    assert seen[f"http://{host}/flaky"]["status"] == "ok"
+    assert server.flaky_hits == 3
+    # robots: the disallowed link was never enqueued NOR requested
+    assert not any(u.endswith("/admin/secret") for u in seen)
+    assert "/admin/secret" not in server.request_log
+    # media span extracted from live html
+    media = (
+        eng.documents()
+        .selectExpr("explode(spans) s")
+        .filter("s.kind = 'media'")
+        .collect()
+    )
+    assert any("logo.png" in r["s"]["media_ref"] for r in media)
+    assert summary.failed >= 1 and summary.ok >= 4
+
+
+def test_cli_web_mode(spark, server, tmp_path):
+    """CLI end-to-end: crawl the fixture server, write markdown files at
+    the X5-derived paths, exit 0 (reference exit-code policy)."""
+    from inform_spark import cli
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            _origin(server) + "/",
+            "--limit", "10",
+            "--delay", "0",
+            "--output-dir", str(out),
+            "--checkpoint-dir", str(tmp_path / "cli-ck"),
+        ]
+    )
+    assert rc == 0
+    assert (out / "index.md").exists()
+    assert (out / "docs.md").exists() or (out / "docs" / "index.md").exists()
+    assert "# Home" in (out / "index.md").read_text()
+
+
+def test_cli_mode_dispatch(spark):
+    from inform_spark import cli
+
+    assert cli.main(["https://github.com/octo/repo", "--limit", "1"]) == 2
+    assert cli.main(["https://example.com/feed.xml", "--limit", "1"]) == 2
