@@ -100,6 +100,12 @@ class CrawlConfig:
     # fetch stage: "fixture" joins the synthetic pages table (tests/bench);
     # "http" GETs live via the mapInPandas batch fetcher (sources/httpfetch)
     fetch_mode: str = "fixture"
+    # optional priority rule (north_rule priority queue): a zero-arg
+    # callable returning a Column over the candidate-link columns
+    # (url/host/path/depth); LOWER pops first; ties broken by insertion
+    # order (frontier_offset). None = FIFO (priority 0 everywhere), which
+    # is the reference-equivalent ordering.
+    priority_col: object = None
     http_timeout_s: float = 10.0
     http_base_backoff_s: float = 1.0
     http_min_interval_ms: int = 0
@@ -227,7 +233,8 @@ class CrawlEngine:
         from inform_spark.functions.urls import url_path
 
         rows = [
-            (u, url_host(u), url_path(u), 0, i, 0) for i, u in enumerate(seeds)
+            (u, url_host(u), url_path(u), 0, 0, i, 0)
+            for i, u in enumerate(seeds)
         ]
         self.catalog.tables["frontier"].append_rows(rows, "seed")
         self.enqueued_total = len(rows)
@@ -309,7 +316,7 @@ class CrawlEngine:
                 pre = F.row_number().over(
                     Window.partitionBy(
                         "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
-                    ).orderBy("frontier_offset")
+                    ).orderBy("priority", "frontier_offset")
                 )
                 sel = (
                     sel.withColumn("__pre", pre)
@@ -317,15 +324,15 @@ class CrawlEngine:
                     .drop("__pre")
                 )
             rank = F.row_number().over(
-                Window.partitionBy("host").orderBy("frontier_offset")
+                Window.partitionBy("host").orderBy("priority", "frontier_offset")
             )
             sel = (
                 sel.withColumn("__rank", rank)
                 .filter(F.col("__rank") <= F.col("__budget"))
                 .drop("__budget", "__rank", "crawl_delay_ms")
             )
-        # FIFO prefix — TakeOrderedAndProject, not a global sort
-        return sel.orderBy("frontier_offset").limit(b)
+        # priority-then-FIFO prefix — TakeOrderedAndProject, no global sort
+        return sel.orderBy("priority", "frontier_offset").limit(b)
 
     # ------------------------------------------------------------------
     def _fetch(self, batch: DataFrame) -> DataFrame:
@@ -482,18 +489,32 @@ class CrawlEngine:
         if cfg.max_depth is not None:
             cand = cand.filter(F.col("depth") <= cfg.max_depth)
 
+        # priority assignment (north_rule priority queue): evaluated on the
+        # candidate columns at discovery time; 0 (FIFO) when no rule is set
+        if cfg.priority_col is not None:
+            cand = cand.withColumn(
+                "priority", cfg.priority_col().cast("int")
+            )
+        else:
+            cand = cand.withColumn("priority", F.lit(0))
+
         # T7 in-batch dedup, order-stable: keep the FIRST discovery
         # (min frontier_offset) — struct-min keeps all columns consistent.
         dedup = (
             cand.groupBy("url")
             .agg(
-                F.min(F.struct("frontier_offset", "host", "path", "depth")).alias("s")
+                F.min(
+                    F.struct(
+                        "frontier_offset", "host", "path", "depth", "priority"
+                    )
+                ).alias("s")
             )
             .select(
                 "url",
                 F.col("s.host").alias("host"),
                 F.col("s.path").alias("path"),
                 F.col("s.depth").alias("depth"),
+                F.col("s.priority").alias("priority"),
                 F.col("s.frontier_offset").alias("frontier_offset"),
             )
         )
@@ -555,7 +576,9 @@ class CrawlEngine:
                 break
             frontier_t = self.catalog.tables["frontier"]
             seen_t = self.catalog.tables["seen"]
-            fifo = cfg.batch_wall_budget_ms is None
+            # the watermark prefix property needs pure FIFO: no politeness
+            # budget AND no custom priority rule
+            fifo = cfg.batch_wall_budget_ms is None and cfg.priority_col is None
             if fifo and self.offset_watermark is not None:
                 # FIFO mode: live frontier by watermark predicate (no seen
                 # read, no anti-join; prunes at the scan)
@@ -580,7 +603,9 @@ class CrawlEngine:
             # driver-bounded batch, never over the full frontier)
             batch = batch.withColumn(
                 "parent_rank",
-                F.row_number().over(Window.orderBy("frontier_offset")),
+                F.row_number().over(
+                    Window.orderBy("priority", "frontier_offset")
+                ),
             )
 
             fetched = self._fetch(batch)
@@ -708,6 +733,7 @@ class CrawlEngine:
                 "host",
                 "path",
                 "depth",
+                "priority",
                 "frontier_offset",
                 F.lit(self.batch_id).alias("discovered_in_batch"),
             ]

@@ -49,16 +49,21 @@ DOCUMENTS = StructType(
 )
 
 # Frontier: the distributed analog of the reference's insertion-ordered
-# `toVisit` Set (src/WebCrawler.js:55). `frontier_offset` is a globally
-# monotonic BIGINT encoding (batch, parent-rank, link-index) so that
-# `ORDER BY frontier_offset` reproduces the sequential FIFO pop order
-# (src/WebCrawler.js:248-249) exactly.
+# `toVisit` Set (src/WebCrawler.js:55), generalized to the north_rule's
+# priority queue keyed by (host, depth, priority). `frontier_offset` is a
+# globally monotonic BIGINT encoding (batch, parent-rank, link-index);
+# batch selection pops `ORDER BY (priority, frontier_offset)`, so with the
+# default priority 0 everywhere this reproduces the sequential FIFO pop
+# order (src/WebCrawler.js:248-249) exactly, and a custom priority rule
+# (CrawlConfig.priority_col) front-runs the FIFO without losing the
+# in-class insertion-order tie-break.
 FRONTIER = StructType(
     [
         StructField("url", StringType(), False),
         StructField("host", StringType(), False),
         StructField("path", StringType(), False),
         StructField("depth", IntegerType(), False),
+        StructField("priority", IntegerType(), False),
         StructField("frontier_offset", LongType(), False),
         StructField("discovered_in_batch", LongType(), False),
     ]
