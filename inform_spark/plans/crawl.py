@@ -609,13 +609,19 @@ class CrawlEngine:
             )
 
             fetched = self._fetch(batch)
-            # Render rides the fetch stage's natural partitioning: fixture
-            # mode inherits the (balanced) pages-scan partitions, http mode
-            # the per-host repartition. An explicit render_partitions forces
-            # a url-hash repartition — only worth a full shuffle of the html
-            # payload when upstream partitioning is known-skewed.
+            # Render placement: fixture mode rides the (balanced) pages-scan
+            # partitions — no shuffle of the html payload. HTTP mode fetches
+            # partitioned BY HOST (exact pacing), which is render-skewed
+            # whenever one host dominates the batch, so there the payload is
+            # re-balanced by url hash before the CPU-heavy render. An
+            # explicit render_partitions forces the url-hash repartition in
+            # either mode.
             if cfg.render_partitions:
                 fetched = fetched.repartition(cfg.render_partitions, "url")
+            elif cfg.fetch_mode == "http":
+                fetched = fetched.repartition(
+                    self.spark.sparkContext.defaultParallelism, "url"
+                )
 
             # ONE materialization for the whole batch: fetch + render fused;
             # non-documents pass a null html through the UDF (empty spans).
