@@ -30,6 +30,11 @@ _ENV_FALLBACKS = {
     "x_api_base": "X_API_BASE",
     "x_rss_template": "X_RSS_TEMPLATE",
     "bsky_api_base": "BSKY_API_BASE",
+    "github_token": "GITHUB_TOKEN",
+    "github_api_base": "GITHUB_API_BASE",
+    "yt_page_base": "YT_PAGE_BASE",
+    "yt_feed_base": "YT_FEED_BASE",
+    "yt_timedtext_base": "YT_TIMEDTEXT_BASE",
 }
 
 

@@ -44,14 +44,33 @@ RENDER_RESULT = StructType(
 )
 
 
-def render_one(url: str, html: str) -> dict:
-    """Pure-Python page render (shared with the sequential oracle path)."""
+def render_one(url: str, html: str, raw: bool = False) -> dict:
+    """Pure-Python page render (shared with the sequential oracle path).
+
+    ``raw=True`` is the reference's --raw mode (src/WebCrawler.js:336-341):
+    the output is the *extracted content HTML* (selector machine applied,
+    no markdown conversion), written to an ``.html`` path — links are still
+    extracted and followed identically."""
     raw_links = extract_links(html)
     resolved = []
     for href in raw_links:
         r = resolve_url(href, url)
         if r is not None:
             resolved.append(r)
+    if raw:
+        from inform_spark.functions.html import extract_content_html
+
+        content = extract_content_html(html)
+        return {
+            "doc_id": generate_filepath(url, raw=True),
+            "markdown": content,
+            # raw HTML is one opaque text span (no markdown media syntax
+            # to interleave); spans_to_markdown round-trips it byte-exactly
+            "spans": [
+                {"kind": "text", "text": content, "media_ref": None, "offset": 0}
+            ],
+            "links": resolved,
+        }
     root, found = extract_content(html)
     if not found:
         root = parse_html(html)
@@ -64,12 +83,21 @@ def render_one(url: str, html: str) -> dict:
     }
 
 
-@pandas_udf(RENDER_RESULT)
-def extract_render_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    out = {"doc_id": [], "spans": [], "links": []}
-    for u, h in zip(url, html):
-        r = render_one(u, h or "")
-        out["doc_id"].append(r["doc_id"])
-        out["spans"].append(r["spans"])
-        out["links"].append(r["links"])
-    return pd.DataFrame(out)
+def make_extract_render_udf(raw: bool = False):
+    """Factory: the fused extract+render pandas UDF, markdown or raw mode."""
+
+    @pandas_udf(RENDER_RESULT)
+    def extract_render(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        out = {"doc_id": [], "spans": [], "links": []}
+        for u, h in zip(url, html):
+            r = render_one(u, h or "", raw=raw)
+            out["doc_id"].append(r["doc_id"])
+            out["spans"].append(r["spans"])
+            out["links"].append(r["links"])
+        return pd.DataFrame(out)
+
+    return extract_render
+
+
+# default (markdown-mode) instance, the common path
+extract_render_udf = make_extract_render_udf(raw=False)

@@ -68,7 +68,7 @@ from inform_spark.functions.urls import (
     normalize_url,
     url_host,
 )
-from inform_spark.operators.render import extract_render_udf
+from inform_spark.operators.render import make_extract_render_udf
 from inform_spark.plans.checkpoint import CrawlCheckpoint
 
 RETRYABLE_SQL = (429, 500, 502, 503, 504)
@@ -110,6 +110,9 @@ class CrawlConfig:
     http_base_backoff_s: float = 1.0
     http_min_interval_ms: int = 0
     http_user_agent: str = "Inform/1.0 (inform-spark)"
+    # raw mode (reference --raw, src/WebCrawler.js:336-341): documents carry
+    # the extracted content HTML as one text span, doc_id gets .html
+    raw: bool = False
 
 
 @dataclass
@@ -198,8 +201,11 @@ class CrawlEngine:
         # batch is always the FIFO prefix of the live frontier, so seen ==
         # {offset <= watermark} and live == frontier.filter(offset > W) — a
         # pure predicate (parquet row-group pruning at 10^10 scale) instead
-        # of a seen-table read + anti-join per batch. None => unknown
-        # (pre-watermark checkpoint): fall back to the anti-join once.
+        # of a seen-table read + anti-join per batch. None => the prefix
+        # property was lost (a politeness/priority batch skipped ahead of
+        # unfetched offsets): the anti-join fallback is then PERMANENT for
+        # this crawl — seen may contain offsets above any later batch's hi,
+        # so a watermark can never be soundly re-established.
         self.offset_watermark: int | None = -1
         self._scopes = [
             (url_host(normalize_url(s)), derive_base_path(normalize_url(s)))
@@ -213,6 +219,7 @@ class CrawlEngine:
         )
         self._bloom = None
         self._bloom_future = None
+        self._render_udf = make_extract_render_udf(raw=config.raw)
 
     def _resolve_bloom(self) -> None:
         """Await the pipelined bloom fold-in from the previous batch."""
@@ -630,7 +637,7 @@ class CrawlEngine:
             rendered = (
                 fetched.withColumn(
                     "r",
-                    extract_render_udf(
+                    self._render_udf(
                         F.col("url"),
                         F.when(F.col("is_doc"), F.col("html")),
                     ),

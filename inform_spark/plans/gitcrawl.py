@@ -103,6 +103,7 @@ def should_explore_directory(dir_path: str, include_patterns: list[str]) -> bool
 @dataclass
 class GitCrawlSummary:
     dirs_listed: int = 0
+    dirs_failed: int = 0
     files_downloaded: int = 0
     files_filtered: int = 0
     dirs_pruned: int = 0
@@ -110,18 +111,27 @@ class GitCrawlSummary:
     extra: dict = field(default_factory=dict)
 
 
+# bound the unionByName plan depth: every K rounds the accumulated files
+# DataFrame is localCheckpoint-ed (lineage truncated), so a 50-level walk
+# analyzes an O(K) plan instead of an O(depth) one
+CHECKPOINT_EVERY = 8
+
+
 class GitCrawlEngine:
-    """Iterative dir-frontier walk over a listing table."""
+    """Iterative dir-frontier walk over a listing table (fixture mode) or a
+    live contents-API lister (``lister=`` from
+    :func:`inform_spark.sources.githubapi.make_listing_fetcher`)."""
 
     def __init__(
         self,
         spark: SparkSession,
-        listing_df: DataFrame,
+        listing_df: DataFrame | None,
         repo: GitRepoInfo,
         include: list[str] | None = None,
         exclude: list[str] | None = None,
         output_dir: str = "crawled-pages",
         max_depth: int = 64,
+        lister=None,
     ):
         self.spark = spark
         self.listing = listing_df
@@ -130,6 +140,9 @@ class GitCrawlEngine:
         self.include = list(include or [])
         self.output_dir = output_dir
         self.max_depth = max_depth
+        self.lister = lister
+        if listing_df is None and lister is None:
+            raise ValueError("need a listing DataFrame or a live lister")
         self._files: DataFrame | None = None
         self.summary = GitCrawlSummary()
 
@@ -172,16 +185,32 @@ class GitCrawlEngine:
         include_ok = self._include_udf()
         explore_ok = self._explore_udf()
         all_files = None
+        prev_frontier = None
 
-        for _ in range(self.max_depth):
+        for round_no in range(self.max_depth):
             n_dirs = frontier.count()
+            # the new frontier is materialized now — the previous round's
+            # cache (its parent) can go
+            if prev_frontier is not None:
+                prev_frontier.unpersist()
+                prev_frontier = None
             if n_dirs == 0:
                 break
             self.summary.rounds += 1
             self.summary.dirs_listed += n_dirs
 
-            level = self.listing.join(
-                F.broadcast(frontier), self.listing.parent == frontier.dir
+            if self.lister is not None:
+                # live mode: ONE API request per dir per round, materialized
+                # eagerly (localCheckpoint) so the files/dirs branches below
+                # never re-trigger the fetch stage
+                listing = self.lister(frontier).localCheckpoint()
+                self.summary.dirs_failed += listing.filter(
+                    F.col("type") == "error"
+                ).count()
+            else:
+                listing = self.listing
+            level = listing.join(
+                F.broadcast(frontier), listing.parent == frontier.dir
             ).withColumn(
                 "path",
                 F.when(
@@ -221,11 +250,14 @@ class GitCrawlEngine:
             ).drop("content")
 
             all_files = files if all_files is None else all_files.unionByName(files)
+            if (round_no + 1) % CHECKPOINT_EVERY == 0:
+                all_files = all_files.localCheckpoint()
 
             dirs = level.filter(F.col("type") == "dir").select(
                 F.col("path"), (F.col("depth") + 1).alias("depth")
             )
             kept = dirs.filter(explore_ok(F.col("path")))
+            prev_frontier = frontier
             frontier = kept.select(F.col("path").alias("dir"), "depth").persist()
 
         if all_files is None:
@@ -233,6 +265,9 @@ class GitCrawlEngine:
         else:
             self._files = all_files.select([f.name for f in FILES.fields]).persist()
             self.summary.files_downloaded = self._files.count()
+        frontier.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
         return self._files
 
     def summary_df(self) -> DataFrame:

@@ -442,11 +442,16 @@ _ITEM_COLS = [f.name for f in ITEM.fields]
 
 
 def parse_payload(kind: str, url: str, body: str, limit: int) -> list[dict]:
-    if kind == "rss" or kind == "youtube":
+    if kind in ("rss", "youtube", "x_rss"):
         items = parse_feed_xml(body, url, limit)
         if kind == "youtube":
             for it in items:
                 it["kind"] = "youtube"
+        elif kind == "x_rss":
+            # RSS fallback re-tagged as X source (src/sources/x.js:196-205)
+            for it in items:
+                it["kind"] = "x"
+                it["tags"] = (it["tags"] or []) + ["x"]
         return items
     if kind == "bluesky":
         return parse_bluesky_feed(body, url, limit)
@@ -463,8 +468,13 @@ def ingest_feeds(feeds_df: DataFrame, limit: int = DEFAULT_LIMIT) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for url, kind, body in zip(pdf["feed_url"], pdf["kind"], pdf["body"]):
+            errors = pdf["error"] if "error" in pdf.columns else [None] * len(pdf)
+            for url, kind, body, err in zip(
+                pdf["feed_url"], pdf["kind"], pdf["body"], errors
+            ):
                 try:
+                    if body is None:
+                        raise ValueError(err or "fetch failed")
                     rows.extend(parse_payload(kind, url, body, limit))
                 except Exception as e:  # poison-feed row, not an exception
                     rows.append(
@@ -643,3 +653,445 @@ def dedup_items(items_df: DataFrame, seen_ids_df: DataFrame | None = None) -> Da
     if seen_ids_df is not None:
         out = out.join(seen_ids_df.select("id"), "id", "left_anti")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Digest render (src/sources/render.js:185-266 renderItemsToDigest):
+# ONE combined markdown document with a numbered TOC of anchor links.
+# ---------------------------------------------------------------------------
+
+
+def render_digest(
+    items: list[dict],
+    title: str | None = None,
+    description: str | None = None,
+    generated_at: str | None = None,
+) -> str:
+    """Combined digest document. ``generated_at`` is injected (the reference
+    stamps ``new Date().toISOString()``) so output is deterministic in
+    tests. Items are dicts in ITEM-column form."""
+    lines = [f"# {title}" if title else "# Feed Digest", ""]
+    if description:
+        lines += [description, ""]
+    lines.append(f"_Generated: {generated_at or ''}_")
+    lines.append(f"_Items: {len(items)}_")
+    lines += ["", "---", "", "## Contents", ""]
+    for i, item in enumerate(items):
+        lines.append(
+            f"{i + 1}. [{_escape_title(item.get('title') or '')}](#item-{i + 1})"
+        )
+    lines += ["", "---", ""]
+    for i, item in enumerate(items):
+        anchor = f"item-{i + 1}"
+        lines += [f'<a id="{anchor}"></a>', "",
+                  f"## {i + 1}. {_escape_title(item.get('title') or '')}", ""]
+        lines.append(f"- **Source**: {_SOURCE_NAMES.get(item['kind'], 'Feed')}")
+        if item.get("author"):
+            lines.append(f"- **Author**: {item['author']}")
+        if item.get("published_at"):
+            lines.append(f"- **Published**: {format_date_en(item['published_at'])}")
+        if item.get("url"):
+            lines.append(f"- **URL**: <{item['url']}>")
+        lines.append("")
+        text = (item.get("content_text") or "").strip()
+        if text:
+            lines.append(_format_content(text, item["kind"]))
+        else:
+            lines.append("_No content extracted._")
+        lines += ["", "---", ""]
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Live feed fetch stage (S4-S7 production path): one mapInPandas over
+# (input_url, kind) rows performs the kind-specific fetch protocol and
+# yields (feed_url, kind, body) rows that ingest_feeds() parses. API bases
+# are pluggable so tests run against loopback fixture servers.
+# ---------------------------------------------------------------------------
+
+
+def extract_bluesky_handle(input_str: str) -> str | None:
+    """Reference extractHandle (src/sources/bluesky.js:129-148)."""
+    if input_str.startswith("http"):
+        try:
+            u = urlsplit(input_str)
+            if u.hostname == "bsky.app":
+                m = re.match(r"^/profile/([^/]+)", u.path or "")
+                return m.group(1) if m else None
+            parts = [p for p in (u.path or "").split("/") if p]
+            return parts[-1] if parts else None
+        except ValueError:
+            pass
+    return input_str.lstrip("@").strip() or None
+
+
+def extract_x_username(input_str: str) -> str | None:
+    """Reference extractUsername (src/sources/x.js:220-255)."""
+    s = input_str.strip()
+    if not s:
+        return None
+    if s.startswith("@"):
+        return s[1:] or None
+    if s.startswith("http"):
+        try:
+            u = urlsplit(s)
+            host = u.hostname or ""
+            if "x.com" not in host and "twitter.com" not in host:
+                return None
+            parts = [p for p in (u.path or "").split("/") if p]
+            if not parts:
+                return None
+            if parts[0] in ("home", "explore", "notifications", "messages",
+                            "settings", "i"):
+                return None
+            return parts[0]
+        except ValueError:
+            return None
+    return s
+
+
+_CHANNEL_ID_PATTERNS = [
+    re.compile(r'"channelId":"(UC[a-zA-Z0-9_-]{20,})"'),
+    re.compile(r"https://www\.youtube\.com/channel/(UC[a-zA-Z0-9_-]{20,})"),
+    re.compile(r'<meta itemprop="channelId" content="(UC[a-zA-Z0-9_-]{20,})">'),
+    re.compile(r'data-channel-external-id="(UC[a-zA-Z0-9_-]{20,})"'),
+]
+
+
+def make_page_scrape_resolver(user_agent: str, timeout_s: float,
+                              base_override: str | None = None):
+    """Handle/user/custom YouTube URL -> channel id by scraping the page
+    (reference resolveHandleToChannelId, src/sources/youtube.js:113-150).
+    ``base_override`` rewrites the scheme+host for loopback tests."""
+    from inform_spark.sources.httpfetch import fetch_url_once
+
+    def resolve(page_url: str) -> str:
+        url = normalize_feed_url(page_url)
+        if base_override:
+            u = urlsplit(url)
+            url = base_override.rstrip("/") + (u.path or "/") + (
+                "?" + u.query if u.query else ""
+            )
+        status, _, body = fetch_url_once(url, user_agent, timeout_s, 4 << 20)
+        if status != 200 or not body:
+            raise ValueError(f"Failed to fetch YouTube page ({status}): {page_url}")
+        for pat in _CHANNEL_ID_PATTERNS:
+            m = pat.search(body)
+            if m:
+                return m.group(1)
+        raise ValueError(f"Could not resolve channel ID from: {page_url}")
+
+    return resolve
+
+
+FEED_BODIES = StructType(
+    [
+        StructField("feed_url", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("body", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def fetch_feed_bodies(feeds_df: DataFrame, options: dict | None = None) -> DataFrame:
+    """(input_url, kind) rows -> (feed_url, kind, body) via the per-kind
+    live protocol:
+
+    - rss:     GET the (https-defaulted) feed URL        (src/sources/rss.js:30-45)
+    - youtube: URL -> feeds/videos.xml rewrite, GET       (src/sources/youtube.js:60-105)
+    - bluesky: resolveHandle XRPC -> DID -> getAuthorFeed (src/sources/bluesky.js:24-50,156-176)
+    - x:       RSS-fallback template when no bearer token (src/sources/x.js:27-55,191-213);
+               API v2 user-lookup + tweets with one       (:64-110)
+
+    Failures become rows with ``error`` set and a null body; ingest_feeds
+    turns those into kind='error' items. ``feed_url`` carries the
+    handle/username for social kinds (what parse_payload expects)."""
+    opts = options or {}
+    user_agent = opts.get("user_agent", "Inform/1.0 (inform-spark)")
+    timeout_s = float(opts.get("timeout_s", 10.0))
+    limit = min(int(opts.get("limit", DEFAULT_LIMIT)), 100)
+    bsky_api = (opts.get("bsky_api_base") or "https://public.api.bsky.app").rstrip("/")
+    x_api = (opts.get("x_api_base") or "https://api.x.com").rstrip("/")
+    x_token = opts.get("x_bearer_token")
+    x_rss_template = opts.get("x_rss_template")
+    yt_resolver_base = opts.get("yt_page_base")  # loopback override
+    yt_feed_base = opts.get("yt_feed_base")  # loopback override
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from inform_spark.sources.httpfetch import fetch_url_once
+
+        def get(url: str, headers: dict | None = None) -> tuple[int, str | None]:
+            # fetch_url_once has no custom-header path; tiny local variant
+            import urllib.error
+            import urllib.request
+
+            req = urllib.request.Request(
+                url, headers={"User-Agent": user_agent, **(headers or {})}
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    return resp.status, resp.read().decode("utf-8", "replace")
+            except urllib.error.HTTPError as e:
+                return e.code, None
+            except Exception:
+                return 0, None
+
+        resolver = make_page_scrape_resolver(
+            user_agent, timeout_s, base_override=yt_resolver_base
+        )
+
+        def one(input_url: str, kind: str) -> dict:
+            row = {"feed_url": input_url, "kind": kind, "body": None, "error": None}
+            try:
+                if kind == "rss":
+                    url = normalize_feed_url(input_url)
+                    row["feed_url"] = url
+                    status, body = get(url)
+                    if status != 200 or body is None:
+                        raise ValueError(f"feed fetch failed (HTTP {status})")
+                    row["body"] = body
+                elif kind == "youtube":
+                    feed_url = youtube_feed_url(input_url, resolve_handle=resolver)
+                    if yt_feed_base:
+                        u = urlsplit(feed_url)
+                        feed_url = yt_feed_base.rstrip("/") + u.path + (
+                            "?" + u.query if u.query else ""
+                        )
+                    row["feed_url"] = feed_url
+                    status, body = get(feed_url)
+                    if status != 200 or body is None:
+                        raise ValueError(f"feed fetch failed (HTTP {status})")
+                    row["body"] = body
+                elif kind == "bluesky":
+                    handle = extract_bluesky_handle(input_url)
+                    if not handle:
+                        raise ValueError(
+                            f"Could not extract Bluesky handle from: {input_url}"
+                        )
+                    status, body = get(
+                        f"{bsky_api}/xrpc/com.atproto.identity.resolveHandle"
+                        f"?handle={quote(handle, safe='')}"
+                    )
+                    if status != 200 or body is None:
+                        raise ValueError(
+                            f"Failed to resolve Bluesky handle ({status}): {handle}"
+                        )
+                    did = json.loads(body).get("did")
+                    if not did:
+                        raise ValueError(f"handle resolution returned no DID: {handle}")
+                    status, body = get(
+                        f"{bsky_api}/xrpc/app.bsky.feed.getAuthorFeed"
+                        f"?actor={quote(did, safe='')}&limit={limit}"
+                    )
+                    if status != 200 or body is None:
+                        raise ValueError(f"Bluesky feed failed ({status})")
+                    row["feed_url"] = handle
+                    row["body"] = body
+                elif kind == "x":
+                    username = extract_x_username(input_url)
+                    if not username:
+                        raise ValueError(
+                            f"Could not extract X username from: {input_url}"
+                        )
+                    if x_token:
+                        headers = {"Authorization": f"Bearer {x_token}",
+                                   "Accept": "application/json"}
+                        status, body = get(
+                            f"{x_api}/2/users/by/username/{quote(username, safe='')}",
+                            headers,
+                        )
+                        if status != 200 or body is None:
+                            raise ValueError(
+                                f"X user lookup failed ({status}): {username}"
+                            )
+                        user_id = (json.loads(body).get("data") or {}).get("id")
+                        if not user_id:
+                            raise ValueError(f"X user lookup returned no ID: {username}")
+                        status, body = get(
+                            f"{x_api}/2/users/{quote(str(user_id), safe='')}/tweets"
+                            f"?max_results={limit}"
+                            "&tweet.fields=created_at,public_metrics",
+                            headers,
+                        )
+                        if status != 200 or body is None:
+                            raise ValueError(f"X tweets fetch failed ({status})")
+                        row["feed_url"] = username
+                        row["body"] = body
+                    elif x_rss_template:
+                        feed_url = x_rss_template.replace("{user}", username)
+                        status, body = get(feed_url)
+                        if status != 200 or body is None:
+                            raise ValueError(
+                                f"X RSS fallback failed for @{username} "
+                                f"(HTTP {status}): {feed_url}"
+                            )
+                        row["feed_url"] = feed_url
+                        row["kind"] = "x_rss"
+                        row["body"] = body
+                    else:
+                        raise ValueError(
+                            "X ingestion requires x_bearer_token (API v2) or "
+                            "x_rss_template (RSS fallback)"
+                        )
+                else:
+                    raise ValueError(f"Unsupported feed source kind: {kind}")
+            except Exception as e:
+                row["error"] = str(e)[:500]
+            return row
+
+        for pdf in batches:
+            rows = [one(u, k) for u, k in zip(pdf["input_url"], pdf["kind"])]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEED_BODIES.fields]
+            )
+
+    return feeds_df.mapInPandas(fetch, FEED_BODIES)
+
+
+# ---------------------------------------------------------------------------
+# YouTube transcript enrichment (src/sources/youtube.js:25-53,180-268):
+# per-video timedtext fetch+parse, batched in one mapInPandas stage.
+# ---------------------------------------------------------------------------
+
+_YT_ATOM_ID_RE = re.compile(r"yt:video:([a-zA-Z0-9_-]{6,})")
+_YT_TEXT_RE = re.compile(r"<text[^>]*>([^<]*)</text>", re.I)
+_YT_P_RE = re.compile(r"<p[^>]*>([^<]*)</p>", re.I)
+_YT_BASEURL_RE = re.compile(r'"baseUrl":"([^"]+timedtext[^"]+)"')
+
+
+def extract_video_id(url_str: str | None) -> str | None:
+    """youtu.be/<id> or youtube.com/watch?v=<id> (youtube.js:147-167)."""
+    if not url_str:
+        return None
+    try:
+        u = urlsplit(url_str)
+    except ValueError:
+        return None
+    host = u.hostname or ""
+    if host == "youtu.be":
+        return (u.path or "").lstrip("/") or None
+    if "youtube.com" in host:
+        m = re.search(r"(?:^|&)v=([^&]+)", u.query or "")
+        return m.group(1) if m else None
+    return None
+
+
+def _decode_xml_entities(text: str) -> str:
+    """youtube.js:283-294."""
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+        text = text.replace(ent, ch)
+    text = re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), text)
+    text = re.sub(r"&#x([a-fA-F0-9]+);", lambda m: chr(int(m.group(1), 16)), text)
+    return text
+
+
+def parse_transcript_xml(xml: str) -> str | None:
+    """timedtext XML -> transcript text (youtube.js:196-234): <text> chunks
+    (fallback <p>), entities decoded + HTML stripped, whitespace collapsed,
+    space-before-punctuation tightened."""
+    chunks = [
+        strip_html(_decode_xml_entities(m.group(1)))
+        for m in _YT_TEXT_RE.finditer(xml)
+    ]
+    chunks = [c for c in chunks if c]
+    if not chunks:
+        chunks = [
+            strip_html(_decode_xml_entities(m.group(1)))
+            for m in _YT_P_RE.finditer(xml)
+        ]
+        chunks = [c for c in chunks if c]
+    if not chunks:
+        return None
+    transcript = re.sub(r"\s+", " ", " ".join(chunks))
+    transcript = re.sub(r"\s([.,!?])", r"\1", transcript).strip()
+    return transcript or None
+
+
+def fetch_youtube_transcript(
+    video_id: str,
+    lang: str,
+    user_agent: str,
+    timeout_s: float,
+    watch_base: str = "https://www.youtube.com",
+    timedtext_base: str | None = None,
+) -> str | None:
+    """Best-effort transcript: scrape the watch page for a caption baseUrl,
+    else the plain timedtext endpoint (youtube.js:180-276). Pluggable bases
+    keep tests loopback-only."""
+    from inform_spark.sources.httpfetch import fetch_url_once
+
+    caption_url = None
+    try:
+        status, _, page = fetch_url_once(
+            f"{watch_base}/watch?v={quote(video_id, safe='')}",
+            user_agent, timeout_s, 8 << 20,
+        )
+        if status == 200 and page:
+            m = _YT_BASEURL_RE.search(page)
+            if m:
+                caption_url = m.group(1).replace("\\u0026", "&")
+                if "lang=" not in caption_url:
+                    caption_url += f"&lang={lang}"
+    except Exception:
+        pass
+    if caption_url is None:
+        base = (timedtext_base or watch_base).rstrip("/")
+        caption_url = (
+            f"{base}/api/timedtext?lang={quote(lang, safe='')}"
+            f"&v={quote(video_id, safe='')}"
+        )
+    try:
+        status, _, xml = fetch_url_once(caption_url, user_agent, timeout_s, 8 << 20)
+    except Exception:
+        return None
+    if status != 200 or not xml or not xml.strip():
+        return None
+    return parse_transcript_xml(xml)
+
+
+def enrich_youtube_transcripts(
+    items_df: DataFrame, options: dict | None = None
+) -> DataFrame:
+    """For youtube items: fetch the per-video transcript and swap it in as
+    content_text (reference ingestYouTube, youtube.js:36-51: transcript
+    wins over the feed description; id becomes ``yt:<videoId>``; 'youtube'
+    appended to tags). Non-youtube rows pass through untouched. One
+    mapInPandas stage — per-video fetches run with executor parallelism
+    instead of the reference's sequential loop."""
+    opts = options or {}
+    lang = opts.get("yt_lang", "en")
+    user_agent = opts.get("user_agent", "Inform/1.0 (inform-spark)")
+    timeout_s = float(opts.get("timeout_s", 10.0))
+    watch_base = opts.get("yt_page_base") or "https://www.youtube.com"
+    timedtext_base = opts.get("yt_timedtext_base")
+
+    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                item = row.to_dict()
+                item["tags"] = (
+                    list(item["tags"]) if item["tags"] is not None else None
+                )
+                if item["kind"] == "youtube":
+                    vid = extract_video_id(item.get("url"))
+                    if not vid:
+                        m = _YT_ATOM_ID_RE.search(item.get("id") or "")
+                        vid = m.group(1) if m else None
+                    transcript = None
+                    if vid:
+                        transcript = fetch_youtube_transcript(
+                            vid, lang, user_agent, timeout_s,
+                            watch_base=watch_base,
+                            timedtext_base=timedtext_base,
+                        )
+                    item["id"] = f"yt:{vid}" if vid else f"yt:{_sha1(item['url'] or '')}"
+                    if transcript:
+                        item["content_text"] = transcript
+                    item["tags"] = (item["tags"] or []) + ["youtube"]
+                rows.append(item)
+            yield pd.DataFrame(rows, columns=_ITEM_COLS)
+
+    return items_df.mapInPandas(enrich, ITEM)

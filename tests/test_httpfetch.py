@@ -156,8 +156,66 @@ def test_cli_web_mode(spark, server, tmp_path):
     assert "# Home" in (out / "index.md").read_text()
 
 
-def test_cli_mode_dispatch(spark):
+def test_cli_web_mode_raw(spark, server, tmp_path):
+    """--raw writes extracted HTML at .html paths (reference
+    src/WebCrawler.js:336-341; integration test
+    web-crawler-integration.test.js:122-139)."""
     from inform_spark import cli
 
-    assert cli.main(["https://github.com/octo/repo", "--limit", "1"]) == 2
-    assert cli.main(["https://example.com/feed.xml", "--limit", "1"]) == 2
+    out = tmp_path / "raw-out"
+    rc = cli.main(
+        [
+            _origin(server) + "/",
+            "--limit", "10",
+            "--delay", "0",
+            "--raw",
+            "--output-dir", str(out),
+            "--checkpoint-dir", str(tmp_path / "raw-ck"),
+        ]
+    )
+    assert rc == 0
+    assert (out / "index.html").exists()
+    body = (out / "index.html").read_text()
+    # raw mode: original HTML markup survives (no markdown conversion)
+    assert "<h1>Home</h1>" in body and "# Home" not in body
+    assert not list(out.glob("**/*.md"))
+
+
+def test_cli_config_file_precedence(spark, server, tmp_path):
+    """Config layering (reference src/config.js:140-166): file globals
+    apply when the flag is unset; explicit CLI flags win; per-target
+    overrides globals. The old argparse defaults silently clobbered file
+    globals (ADVICE r01)."""
+    import yaml
+
+    from inform_spark import cli
+
+    url = _origin(server) + "/"
+    conf = tmp_path / "inform.yaml"
+    out = tmp_path / "conf-out"
+    conf.write_text(yaml.safe_dump({
+        "globals": {"delay": 0, "limit": 3},
+        "targets": [{"url": url, "output_dir": str(out)}],
+    }))
+    rc = cli.main(
+        [url, "--config", str(conf),
+         "--checkpoint-dir", str(tmp_path / "conf-ck")]
+    )
+    assert rc == 0
+    # file limit=3 honored (argparse default no longer overrides): the
+    # fixture site has >3 reachable pages, so exactly 3 were attempted
+    files = list(out.glob("**/*.md"))
+    assert 0 < len(files) <= 3
+
+
+def test_cli_mode_dispatch_order():
+    """Driver-side routing (src/cli.js:206-248): git wins over feed over
+    web. Pure dispatch check — the modes themselves are e2e-tested against
+    loopback fixture servers in test_cli_modes.py."""
+    from inform_spark.functions.giturl import is_git_url
+    from inform_spark.sources.feeds import should_use_feed_mode
+
+    assert is_git_url("https://github.com/octo/repo")
+    assert not is_git_url("https://example.com/feed.xml")
+    assert should_use_feed_mode("https://example.com/feed.xml")
+    assert not should_use_feed_mode("https://example.com/docs/")
