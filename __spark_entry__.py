@@ -453,6 +453,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 _CRAWL_CACHE: dict = {}
 
+# ONE fixture definition shared by the engine run below, the committed
+# golden oracle (tests/golden/, generated from the plain-Python sequential
+# reference semantics by tests/make_golden.py) and the sync test
+# (tests/test_spark_entry_golden.py). Single seed => the sequential oracle
+# (inform src/WebCrawler.js:244-273 at concurrency=1) applies verbatim.
+CRAWL_FIXTURE = {
+    "n_hosts": 1,
+    "pages_per_host": 44,
+    "seed": "https://site0.test/",
+    "limit": 60,
+}
+GOLDEN_DIR = os.path.join(_REPO, "tests", "golden")
+
 
 def _run_fixture_crawl(spark):
     if "eng" in _CRAWL_CACHE:
@@ -465,7 +478,9 @@ def _run_fixture_crawl(spark):
     # tiny fixture -> tiny shuffles: 200 default partitions would drown the
     # 50-page crawl in task-scheduling overhead
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    pages, robots = generate_site(n_hosts=2, pages_per_host=22)
+    pages, robots = generate_site(
+        CRAWL_FIXTURE["n_hosts"], CRAWL_FIXTURE["pages_per_host"]
+    )
     from inform_spark.schemas import ROBOTS
 
     pages_df = spark.createDataFrame(pages)
@@ -477,8 +492,8 @@ def _run_fixture_crawl(spark):
         schema=ROBOTS,
     )
     cfg = CrawlConfig(
-        seeds=["https://site0.test/", "https://site1.test/"],
-        limit=60,
+        seeds=[CRAWL_FIXTURE["seed"]],
+        limit=CRAWL_FIXTURE["limit"],
         render_partitions=8,
     )
     eng = CrawlEngine(spark, pages_df, robots_df, cfg)
@@ -923,6 +938,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
-        # crawl_documents / crawl_seen_order: iterative self-referential
-        # dataflow, not SQL-expressible; strong oracle in tests/test_crawl_e2e.py
+        # crawl_documents / crawl_seen_order: the crawl itself is an
+        # iterative self-referential dataflow (not SQL-expressible), so the
+        # oracle is a COMMITTED GOLDEN generated from the plain-Python
+        # sequential reference semantics (tests/make_golden.py; independent
+        # of the Spark engine) on the same deterministic CRAWL_FIXTURE.
+        # tests/test_spark_entry_golden.py regenerates the golden every test
+        # run and fails on drift, so these rows stay a real oracle.
+        "crawl_documents": (
+            f"select * from read_parquet('{GOLDEN_DIR}/crawl_documents.parquet')"
+        ),
+        "crawl_seen_order": (
+            f"select * from read_parquet('{GOLDEN_DIR}/crawl_seen_order.parquet')"
+        ),
     }

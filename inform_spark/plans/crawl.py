@@ -109,10 +109,16 @@ class CrawlConfig:
     http_timeout_s: float = 10.0
     http_base_backoff_s: float = 1.0
     http_min_interval_ms: int = 0
+    http_max_bytes: int = 16 * 1024 * 1024  # hard body cap; over -> 'truncated'
     http_user_agent: str = "Inform/1.0 (inform-spark)"
     # raw mode (reference --raw, src/WebCrawler.js:336-341): documents carry
     # the extracted content HTML as one text span, doc_id gets .html
     raw: bool = False
+    # robots rules travel in the filter-UDF closure only while the dim is
+    # small (one pickle, no per-batch join); above this host count the
+    # closure becomes a driver bottleneck (10^6-10^8 hosts at web scale)
+    # and the engine switches to a broadcast join per batch instead
+    robots_closure_max_hosts: int = 4096
 
 
 @dataclass
@@ -159,6 +165,31 @@ def make_robots_filter_udf(rules: dict[str, list[str]]):
             m = compiled.get(h)
             if m is None:
                 m = compiled[h] = RobotsMatcher(pref)
+            out.append(m.is_allowed(pq or "/"))
+        return pd.Series(out, dtype=bool)
+
+    return robots_ok
+
+
+def make_robots_join_filter_udf():
+    """Web-scale robots check: the disallow lists arrive as a COLUMN from a
+    broadcast join (host -> disallow_prefixes), so nothing host-shaped ever
+    sits on the driver. Matchers are compiled once per host per worker
+    (process-lifetime cache); a null/empty prefix list is allow-all."""
+    compiled: dict[str, RobotsMatcher] = {}
+
+    @pandas_udf(BooleanType())
+    def robots_ok(
+        host: pd.Series, prefixes: pd.Series, path_query: pd.Series
+    ) -> pd.Series:
+        out = []
+        for h, pref, pq in zip(host, prefixes, path_query):
+            if pref is None or len(pref) == 0:
+                out.append(True)
+                continue
+            m = compiled.get(h)
+            if m is None:
+                m = compiled[h] = RobotsMatcher(list(pref))
             out.append(m.is_allowed(pq or "/"))
         return pd.Series(out, dtype=bool)
 
@@ -342,6 +373,66 @@ class CrawlEngine:
         return sel.orderBy("priority", "frontier_offset").limit(b)
 
     # ------------------------------------------------------------------
+    def _with_parent_rank(self, sel: DataFrame) -> tuple[DataFrame, list]:
+        """Exact contiguous 1-based attempt rank by (priority,
+        frontier_offset), computed DISTRIBUTED (the no-partition window it
+        replaces serialized the whole batch through one task — fine at
+        1k rows, a wall at a production batch of millions):
+
+        1. range-repartition the batch on the order key — partition i's
+           keys all precede partition i+1's (ordered partitions),
+        2. row_number per partition (each task ranks only its slice),
+        3. add the cumulative row count of earlier partitions — a
+           driver-side scalar per partition (<= n_partitions rows), folded
+           in as a literal map lookup, no extra shuffle.
+
+        Returns (ranked_df, [cached_dfs_to_unpersist_after_the_batch])."""
+        n = max(2, min(self.spark.sparkContext.defaultParallelism, 64))
+        # the range partitioner SAMPLES its input, so pin the select-batch
+        # pipeline in cache first — otherwise the anti-join/budget plan
+        # would execute twice (sampling pass + shuffle pass)
+        sel = sel.persist()
+        key = [F.col("priority").asc(), F.col("frontier_offset").asc()]
+        ranked = (
+            sel.repartitionByRange(n, *key)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(
+                "__local",
+                F.row_number().over(
+                    Window.partitionBy("__pid").orderBy(*key)
+                ),
+            )
+            .persist()
+        )
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in ranked.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        base: dict[int, int] = {}
+        acc = 0
+        for pid, cnt in counts:
+            base[pid] = acc
+            acc += cnt
+        if base:
+            offset = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for pid in base for x in (pid, base[pid])]
+                    ),
+                    F.col("__pid"),
+                ),
+                F.lit(0),
+            )
+        else:
+            offset = F.lit(0)
+        out = ranked.withColumn(
+            "parent_rank", (F.col("__local") + offset).cast("int")
+        ).drop("__pid", "__local")
+        return out, [sel, ranked]
+
+    # ------------------------------------------------------------------
     def _fetch(self, batch: DataFrame) -> DataFrame:
         """Fixture fetch: broadcast the (small) batch against the host-pruned
         pages table; unmatched URLs are 404s. Both broadcasts are the SMALL
@@ -367,6 +458,7 @@ class CrawlEngine:
                 max_retries=self.cfg.max_retries,
                 base_backoff_s=self.cfg.http_base_backoff_s,
                 min_interval_ms=self.cfg.http_min_interval_ms,
+                max_bytes=self.cfg.http_max_bytes,
             )
             return self._with_status(fetched)
         pages = self.pages
@@ -402,6 +494,7 @@ class CrawlEngine:
             "content_type",
             "html",
             attempts.alias("attempts"),
+            F.lit(False).alias("truncated"),
         )
         miss_out = miss.select(
             "url",
@@ -412,18 +505,24 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("content_type"),
             F.lit(None).cast("string").alias("html"),
             F.lit(1).alias("attempts"),
+            F.lit(False).alias("truncated"),
         )
         return self._with_status(hit_out.unionByName(miss_out))
 
     @staticmethod
     def _with_status(fetched: DataFrame) -> DataFrame:
-        """Common fetch epilogue (both modes): D3 status, error, F1 gate."""
+        """Common fetch epilogue (both modes): D3 status, error, F1 gate.
+        A body hard-capped mid-markup keeps status=ok but carries a
+        'truncated' marker in the error column (links/spans may be
+        incomplete for that page — surfaced, never silent)."""
         ok = (F.col("status_eff") >= 200) & (F.col("status_eff") < 300)
         return fetched.withColumn(
             "status", F.when(ok, F.lit("ok")).otherwise(F.lit("failed"))
         ).withColumn(
             "error",
-            F.when(ok, F.lit(None).cast("string")).otherwise(
+            F.when(ok & F.col("truncated"), F.lit("truncated"))
+            .when(ok, F.lit(None).cast("string"))
+            .otherwise(
                 F.concat(F.lit("HTTP "), F.col("status_eff").cast("string"))
             ),
         ).withColumn(
@@ -432,8 +531,15 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _discover(self, rendered: DataFrame, robots_filter) -> DataFrame:
-        """Candidate-link pipeline: explode → native filters → dedup."""
+    def _discover(
+        self, rendered: DataFrame, robots_filter, robots_join_dim=None
+    ) -> DataFrame:
+        """Candidate-link pipeline: explode → native filters → dedup.
+
+        Robots (F6) has two formulations chosen in :meth:`run` by dim size:
+        ``robots_filter`` (closure UDF, rules shipped once in the pickle —
+        small crawls) or ``robots_join_dim`` (broadcast join + column UDF —
+        web scale, rules never pass through the driver closure)."""
         cfg = self.cfg
         links = rendered.select(
             "depth",
@@ -477,19 +583,28 @@ class CrawlEngine:
         if self._glob_udf is not None:
             cand = cand.filter(self._glob_udf(F.col("url")))
 
-        # F6 robots via closure-compiled vectorized matcher (no join)
+        # F6 robots: closure UDF (small dims) or broadcast join (web scale)
+        pq = F.concat(
+            F.col("path"),
+            F.when(
+                F.col("query").isNotNull(),
+                F.concat(F.lit("?"), F.col("query")),
+            ).otherwise(F.lit("")),
+        )
         if robots_filter is not None:
-            cand = cand.filter(
-                robots_filter(
-                    F.col("host"),
-                    F.concat(
-                        F.col("path"),
-                        F.when(
-                            F.col("query").isNotNull(),
-                            F.concat(F.lit("?"), F.col("query")),
-                        ).otherwise(F.lit("")),
+            cand = cand.filter(robots_filter(F.col("host"), pq))
+        elif robots_join_dim is not None:
+            join_udf = make_robots_join_filter_udf()
+            cand = (
+                cand.join(
+                    F.broadcast(
+                        robots_join_dim.select("host", "disallow_prefixes")
                     ),
+                    "host",
+                    "left",
                 )
+                .filter(join_udf(F.col("host"), F.col("disallow_prefixes"), pq))
+                .drop("disallow_prefixes")
             )
         cand = cand.drop("query")
 
@@ -549,12 +664,23 @@ class CrawlEngine:
         summary = CrawlSummary()
         robots_dim = self._robots_dim()
         robots_filter = None
+        robots_join_dim = None
         if robots_dim is not None:
-            rules = {
-                r["host"]: list(r["disallow_prefixes"] or [])
-                for r in robots_dim.select("host", "disallow_prefixes").collect()
-            }
-            robots_filter = make_robots_filter_udf(rules)
+            # size-thresholded formulation choice: collect-into-closure is
+            # one pickle and zero per-batch joins, but only while the dim
+            # is provably small; past the threshold the rules stay
+            # distributed and each batch broadcast-joins them instead
+            n_hosts = robots_dim.count()
+            if n_hosts <= cfg.robots_closure_max_hosts:
+                rules = {
+                    r["host"]: list(r["disallow_prefixes"] or [])
+                    for r in robots_dim.select(
+                        "host", "disallow_prefixes"
+                    ).collect()
+                }
+                robots_filter = make_robots_filter_udf(rules)
+            else:
+                robots_join_dim = robots_dim.persist()
         batches_run = 0
 
         pool = ThreadPoolExecutor(max_workers=4)
@@ -600,20 +726,15 @@ class CrawlEngine:
 
             remaining = cfg.limit - self.attempted
             b = min(cfg.batch_size or remaining, remaining)
-            batch = self._select_batch(live, b).persist()
+            # parent_rank = attempt order within the batch, ranked
+            # distributed (range partitions + per-partition offsets)
+            batch, batch_caches = self._with_parent_rank(
+                self._select_batch(live, b)
+            )
             # live frontier size by bookkeeping, not an extra anti-join job:
             # frontier rows are unique and seen ⊆ frontier, so
             # |live| = |enqueued| - |attempted|
             live_count = self.enqueued_total - self.attempted
-
-            # parent_rank = attempt order within the batch (window over a
-            # driver-bounded batch, never over the full frontier)
-            batch = batch.withColumn(
-                "parent_rank",
-                F.row_number().over(
-                    Window.orderBy("priority", "frontier_offset")
-                ),
-            )
 
             fetched = self._fetch(batch)
             # Render placement: fixture mode rides the (balanced) pages-scan
@@ -681,7 +802,8 @@ class CrawlEngine:
             n_batch = rendered.count()
             t_ph = _mark("fetch_render", t_ph)
             if n_batch == 0:
-                batch.unpersist()
+                for df in batch_caches:
+                    df.unpersist()
                 rendered.unpersist()
                 break
             agg = obs.get
@@ -714,7 +836,9 @@ class CrawlEngine:
 
             # --- discover + admit (runs concurrently with the two writes:
             # all three read only the rendered cache) ---
-            dedup = self._discover(rendered.filter("is_doc"), robots_filter)
+            dedup = self._discover(
+                rendered.filter("is_doc"), robots_filter, robots_join_dim
+            )
             self._resolve_bloom()
             probed = None
             if self._bloom is not None:
@@ -857,12 +981,14 @@ class CrawlEngine:
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
 
-            for df in (batch, rendered):
+            for df in (*batch_caches, rendered):
                 df.unpersist()
             _mark("commit", t_ph)
 
         self._resolve_bloom()
         pool.shutdown()
+        if robots_join_dim is not None:
+            robots_join_dim.unpersist()
         summary.wall_ms = (time.monotonic() - t0) * 1000
         return summary
 

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -55,14 +56,32 @@ FETCH_OUT = StructType(
         StructField("content_type", StringType(), True),
         StructField("html", StringType(), True),
         StructField("attempts", IntegerType(), False),
+        StructField("truncated", BooleanType(), False),
     ]
 )
+
+DEFAULT_MAX_BYTES = 16 * 1024 * 1024
 
 
 def fetch_url_once(url: str, user_agent: str, timeout_s: float,
                    max_bytes: int) -> tuple[int, str | None, str | None]:
     """(status, content_type, body_text) for one GET; raises only on
-    network-level errors (caller retries those)."""
+    network-level errors (caller retries those). Bodies over ``max_bytes``
+    are hard-capped — use :func:`fetch_url_once_flagged` when the caller
+    needs to know the cap was hit."""
+    status, ctype, body, _ = fetch_url_once_flagged(
+        url, user_agent, timeout_s, max_bytes
+    )
+    return status, ctype, body
+
+
+def fetch_url_once_flagged(
+    url: str, user_agent: str, timeout_s: float, max_bytes: int
+) -> tuple[int, str | None, str | None, bool]:
+    """(status, content_type, body_text, truncated): reads one byte past
+    the cap to detect truncation (a silently clipped body can drop links
+    and skew discovery vs the reference's full-body fetch — the truncated
+    flag is surfaced as a seen-table marker downstream)."""
     import urllib.error
     import urllib.request
 
@@ -71,12 +90,14 @@ def fetch_url_once(url: str, user_agent: str, timeout_s: float,
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             status = resp.status
             ctype = resp.headers.get("Content-Type", "") or ""
-            body = None
+            body, truncated = None, False
             if "text/html" in ctype or "text/" in ctype or "xml" in ctype:
-                body = resp.read(max_bytes).decode("utf-8", "replace")
-            return status, ctype, body
+                raw = resp.read(max_bytes + 1)
+                truncated = len(raw) > max_bytes
+                body = raw[:max_bytes].decode("utf-8", "replace")
+            return status, ctype, body, truncated
     except urllib.error.HTTPError as e:  # non-2xx WITH a status code
-        return e.code, e.headers.get("Content-Type", "") or "", None
+        return e.code, e.headers.get("Content-Type", "") or "", None, False
 
 
 def make_http_fetch_udf(
@@ -85,7 +106,7 @@ def make_http_fetch_udf(
     max_retries: int = 3,
     base_backoff_s: float = 1.0,
     min_interval_ms: int = 0,
-    max_bytes: int = 4 * 1024 * 1024,
+    max_bytes: int = DEFAULT_MAX_BYTES,
 ):
     """mapInPandas function (frontier batch rows -> FETCH_OUT rows)."""
 
@@ -101,19 +122,19 @@ def make_http_fetch_udf(
                     wait = min_interval_ms / 1000.0 - since
                     if wait > 0:
                         time.sleep(wait)
-                status, ctype, body = 0, None, None
+                status, ctype, body, truncated = 0, None, None, False
                 attempts = 0
                 while attempts <= max_retries:
                     attempts += 1
                     last_request[host] = time.monotonic()
                     try:
-                        status, ctype, body = fetch_url_once(
+                        status, ctype, body, truncated = fetch_url_once_flagged(
                             url, user_agent, timeout_s, max_bytes
                         )
                         if status not in RETRYABLE:
                             break
                     except Exception:  # network error: retry like a 5xx
-                        status, ctype, body = 0, None, None
+                        status, ctype, body, truncated = 0, None, None, False
                     if attempts <= max_retries:
                         time.sleep(base_backoff_s * (2 ** (attempts - 1)))
                 out["url"].append(url)
@@ -127,6 +148,7 @@ def make_http_fetch_udf(
                 out["content_type"].append(ctype)
                 out["html"].append(body)
                 out["attempts"].append(attempts)
+                out["truncated"].append(truncated)
             yield pd.DataFrame(out)
 
     return fetch

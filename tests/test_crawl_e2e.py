@@ -186,6 +186,22 @@ def test_crawl_bloom_path_identical(spark, site, site_dfs, tmp_path):
     assert_engine_equals_oracle(eng, oracle)
 
 
+def test_crawl_robots_broadcast_join_path_identical(spark, site, site_dfs, tmp_path):
+    """Web-scale robots formulation (broadcast join + column UDF, engaged
+    above robots_closure_max_hosts) must be byte-equal to the closure-UDF
+    path — forced here with threshold 0."""
+    pages, robots = site
+    seed = "https://site0.test/"
+    oracle = crawl_sequential(pages, robots, seed, limit=100)
+    eng, _ = run_engine(
+        spark, site_dfs, tmp_path, seeds=[seed], limit=100,
+        robots_closure_max_hosts=0,
+    )
+    # disallowed /admin/ URLs were filtered by the JOIN path
+    assert not any("/admin/" in r["url"] for r in eng.seen().collect())
+    assert_engine_equals_oracle(eng, oracle)
+
+
 def test_crawl_politeness_budget_single_host_is_prefix(spark, site, site_dfs, tmp_path):
     """Politeness budget on a single host: the schedule is still the exact
     sequential order (budget takes a FIFO prefix)."""

@@ -50,6 +50,13 @@ class _Handler(BaseHTTPRequestHandler):
             body = SITE["/flaky"].encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
+        elif self.path == "/huge":
+            body = (
+                b"<html><body><main><p>" + b"x" * 100_000
+                + b'</p><a href="/docs">tail link</a></main></body></html>'
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
         elif self.path in SITE:
             body = SITE[self.path].encode()
             self.send_response(200)
@@ -133,6 +140,25 @@ def test_live_crawl_end_to_end(spark, server, tmp_path):
     )
     assert any("logo.png" in r["s"]["media_ref"] for r in media)
     assert summary.failed >= 1 and summary.ok >= 4
+
+
+def test_truncated_body_flagged(spark, server, tmp_path):
+    """A body over http_max_bytes is hard-capped and MARKED (seen.error =
+    'truncated', status stays ok) instead of silently clipped (ADVICE r01:
+    silent truncation can drop links vs the reference's full-body fetch)."""
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    origin = _origin(server)
+    cfg = CrawlConfig(
+        seeds=[origin + "/huge"], limit=1, fetch_mode="http",
+        http_max_bytes=1024, http_base_backoff_s=0.01,
+    )
+    eng = CrawlEngine(spark, None, None, cfg,
+                      checkpoint_dir=str(tmp_path / "trunc-ck"))
+    summary = eng.run()
+    (row,) = eng.seen().collect()
+    assert row["status"] == "ok" and row["error"] == "truncated"
+    assert summary.ok == 1
 
 
 def test_cli_web_mode(spark, server, tmp_path):
