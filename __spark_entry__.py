@@ -445,6 +445,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Crawl engine itself (non-SQL-expressible: iterative self-referential
 # dataflow — strong oracle lives in tests/test_crawl_e2e.py vs the
@@ -575,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
     }
@@ -712,6 +717,48 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 4, dim: int = 
         f"ranked as (select *, row_number() over "
         f"(partition by q order by cosine desc, neighbor asc) as rank from scored) "
         f"select cast(q as bigint) as q, cast(neighbor as bigint) as neighbor, "
+        f"cosine, cast(rank as int) as rank from ranked where rank <= {k}"
+    )
+
+
+def _ann_ivf_sql(
+    n_queries: int = 10, k: int = 5, n_cells: int = 8, n_probe: int = 2
+) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1), "
+        "i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+    )
+
+    def norm(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    def cos(a, b):
+        return f"round({dot.format(a=a, b=b)} / ({norm(a)} * {norm(b)}), 6)"
+
+    return (
+        f"with cents as (select vec_id as cid, embedding as cv from embeddings "
+        f"where vec_id < {n_cells}), "
+        "corpus as (select vec_id as neighbor, embedding as nv from embeddings), "
+        f"ac as (select neighbor, nv, cid, {cos('nv', 'cv')} as ccos "
+        "from corpus cross join cents), "
+        "assigned as (select neighbor, nv, cell from (select neighbor, nv, "
+        "cid as cell, row_number() over (partition by neighbor "
+        "order by ccos desc, cid) as rk from ac) where rk = 1), "
+        f"q0 as (select vec_id as q, embedding as qv from embeddings "
+        f"where vec_id < {n_queries}), "
+        f"qc as (select q, qv, cid, {cos('qv', 'cv')} as ccos "
+        "from q0 cross join cents), "
+        "probes as (select q, qv, cell from (select q, qv, cid as cell, "
+        "row_number() over (partition by q order by ccos desc, cid) as rk "
+        f"from qc) where rk <= {n_probe}), "
+        f"scored as (select p.q, a.neighbor, {cos('p.qv', 'a.nv')} as cosine "
+        "from assigned a join probes p using (cell) where a.neighbor <> p.q), "
+        "ranked as (select *, row_number() over (partition by q "
+        "order by cosine desc, neighbor asc) as rank from scored) "
+        "select cast(q as bigint) as q, cast(neighbor as bigint) as neighbor, "
         f"cosine, cast(rank as int) as rank from ranked where rank <= {k}"
     )
 
@@ -938,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         # crawl_documents / crawl_seen_order: the crawl itself is an
         # iterative self-referential dataflow (not SQL-expressible), so the
         # oracle is a COMMITTED GOLDEN generated from the plain-Python

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_topk",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "t2_window_budget",
     "j1_anti_join_seen",
 ]

@@ -133,6 +133,77 @@ def _bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the other classic
+    ANN scale path next to LSH: the corpus is partitioned into ``n_cells``
+    Voronoi cells around centroid vectors and each query scans only its
+    ``n_probe`` closest cells, so candidate count is O(corpus·probe/cells)
+    instead of O(corpus).
+
+    Centroids here are the first ``n_cells`` corpus vectors — a
+    deterministic stand-in for an offline k-means (at 100 TB you train
+    centroids on a sample once and broadcast them; the assignment /
+    probe / rank dataflow below is identical either way, and determinism
+    is what lets DuckDB oracle-check the whole path exactly).
+
+    Plan shape: centroids broadcast twice (corpus assignment + query
+    probing — both map-side), candidates form via an equi-join on cell id,
+    per-query ranking window. No all-pairs shuffle anywhere."""
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv"))
+    # cell assignment: nearest centroid by cosine, tie-break on cid
+    ac = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("ccos", F.round(_dot("nv", "cv") / (_norm("nv") * _norm("cv")), 6))
+    )
+    wa = Window.partitionBy("neighbor").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        ac.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("neighbor", "nv", F.col("cid").alias("cell"))
+    )
+    # query probes: the n_probe closest cells per query vector
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv")
+    )
+    qc = (
+        queries.join(F.broadcast(cents))
+        .withColumn("ccos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("q", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor") != F.col("q"))
+        .withColumn("cosine", F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 6))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q").cast("long").alias("q"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     n_queries: int = 10,

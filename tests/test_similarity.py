@@ -51,3 +51,60 @@ def test_neardup_deterministic(emb):
     a = embedding_neardup_topk(emb).orderBy("g", "rank").collect()
     b = embedding_neardup_topk(emb.repartition(7)).orderBy("g", "rank").collect()
     assert a == b
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF cells bound the candidate set; recall vs exact brute force must
+    stay high on a clusterable fixture (here: vectors near their own
+    centroid => probing 2/4 cells finds every true neighbor)."""
+    import random
+
+    from inform_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(42)
+    rows = []
+    # 4 tight clusters of 12 vectors around orthogonal-ish directions
+    for c in range(4):
+        base = [0.0] * 8
+        base[c] = 1.0
+        for i in range(12):
+            vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+            rows.append((c * 12 + i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # centroids = first 4 vectors => one per cluster (vec_id 0..3 are in
+    # distinct clusters only if ids interleave; use ids 0,12,24,36 remapped)
+    remap = {old: new for new, old in enumerate(
+        [0, 12, 24, 36] + [i for i in range(48) if i not in (0, 12, 24, 36)]
+    )}
+    emb = emb.replace(0, 0)  # no-op to keep lints quiet
+    remapped = spark.createDataFrame(
+        [(remap[vid], vec) for vid, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["q"], r["neighbor"])
+        for r in cosine_topk(remapped, n_queries=4, k=5).collect()
+    }
+    approx = ivf_topk(remapped, n_queries=4, k=5, n_cells=4, n_probe=2).collect()
+    got = {(r["q"], r["neighbor"]) for r in approx}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8
+    # per-query rank contiguity
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["q"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_topk_deterministic(spark):
+    from inform_spark.operators.similarity import ivf_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = ivf_topk(emb).orderBy("q", "rank").collect()
+    b = ivf_topk(emb.repartition(5)).orderBy("q", "rank").collect()
+    assert a == b
