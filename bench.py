@@ -62,6 +62,10 @@ BENCH_QUERIES = [
 def _spark(cpus: int):
     from inform_spark.session import get_spark
 
+    # local mode = ONE JVM for driver + all executor threads: size the heap
+    # for the task count (32 concurrent tasks over ~90 KB html rows starve
+    # an 8g heap's execution-memory pool -> UNABLE_TO_ACQUIRE_MEMORY)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     return get_spark(
         app_name="inform-bench",
         master=f"local[{cpus}]",
@@ -96,8 +100,11 @@ def run_crawl(spark, checkpoint_dir: str) -> dict:
     summary = eng.run()
     wall = time.monotonic() - t0
     pages.unpersist()
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
     return {
         "wall_s": round(wall, 3),
+        "loadavg_after": load1,  # co-tenant noise indicator (shared box)
         "pages_attempted": summary.attempted,
         "pages_ok": summary.ok,
         "links_discovered": summary.links_discovered,
@@ -171,14 +178,19 @@ def run_scaling() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     )
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    # Scaling legs default to REALISTIC page weight (content_scale 128 ~=
-    # tens-of-KB pages, the real-web shape) and a full-fixture crawl: with
-    # the 0.3 KB smoke-test pages the crawl is driver-latency-bound at
-    # every parallelism level, so the ratio would measure Spark's fixed
-    # scheduling overhead rather than how the engine's compute scales.
+    # Scaling legs default to REALISTIC page weight (content_scale 32 ~=
+    # 84 KB pages, the real-web shape) and a page count that amortizes the
+    # per-batch driver fixed cost (~5 s/batch): with the 0.3 KB smoke-test
+    # pages the crawl is driver-latency-bound at every parallelism level,
+    # so the ratio would measure Spark's fixed scheduling overhead rather
+    # than how the engine's compute scales. (content_scale 128 would be
+    # ~350 KB pages — 8+ GB of fixture html, which OOMs the local-mode
+    # Python workers; 84 KB x 24k pages ~= 2 GB fits comfortably.)
     scale_env = {
-        "BENCH_CONTENT_SCALE": os.environ.get("BENCH_CONTENT_SCALE", "128"),
-        "BENCH_CRAWL_LIMIT": os.environ.get("BENCH_CRAWL_LIMIT", "3200"),
+        "BENCH_CONTENT_SCALE": os.environ.get("BENCH_CONTENT_SCALE", "32"),
+        "BENCH_CRAWL_LIMIT": os.environ.get("BENCH_CRAWL_LIMIT", "24000"),
+        "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "160"),
+        "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "150"),
     }
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(reps):
@@ -191,7 +203,16 @@ def run_scaling() -> None:
                 text=True,
                 cwd=REPO,
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            json_lines = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            ]
+            if not json_lines:
+                sys.stderr.write(
+                    f"leg local[{cpus}] produced no JSON (rc={out.returncode})\n"
+                    f"--- stderr tail ---\n{out.stderr[-4000:]}\n"
+                )
+                raise RuntimeError(f"scaling leg local[{cpus}] failed")
+            line = json_lines[-1]
             runs[cpus].append(json.loads(line))
             print(f"local[{cpus}]: {line}", file=sys.stderr)
     best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in runs.items()}

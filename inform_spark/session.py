@@ -59,8 +59,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small enough that even fat rows (100KB html strings) keep each
-        # Arrow record batch far from the 2GB single-chunk limit
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow record batch far from the 2GB single-chunk limit; tunable
+        # for bandwidth experiments (smaller batches = smaller per-worker
+        # working set at high thread counts)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_MAX_RECORDS", "2048"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,91 @@
+"""Physical-plan audit: prove the plans are the ones we want at 100 TB.
+
+For a handful of representative driver-contract queries, print the
+formatted plan and grep it for the properties that matter at scale:
+
+- parquet scans carry PushedFilters + a pruned ReadSchema (predicate
+  pushdown / column pruning reached the scan),
+- small dims join via BroadcastHashJoin (no shuffle of the fact side),
+- relational sections run inside WholeStageCodegen spans,
+- no CartesianProduct anywhere.
+
+Usage: python tests/verify/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> properties we assert on its formatted plan
+AUDITS = {
+    "a1b_pricing_rollup": {
+        "require": ["PushedFilters: [IsNotNull(l_shipdate)",
+                    "WholeStageCodegen", "HashAggregate"],
+        "forbid": ["CartesianProduct"],
+        # column pruning: the scan must NOT read l_comment
+        "absent_in_readschema": ["l_comment"],
+    },
+    "f4_regex_filter": {
+        "require": ["PushedFilters", "WholeStageCodegen"],
+        "forbid": ["CartesianProduct"],
+        "absent_in_readschema": ["n_chars"],
+    },
+    "j2_broadcast_lookup": {
+        "require": ["BroadcastHashJoin", "BroadcastExchange"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "ann_ivf_topk": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "j1_anti_join_seen": {
+        "require": ["LeftAnti"],
+        "forbid": ["CartesianProduct"],
+    },
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from inform_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="plan-audit", master="local[4]")
+    qs = entry.queries()
+    failures = 0
+    for name, spec in AUDITS.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        problems = []
+        for needle in spec.get("require", []):
+            if needle not in plan:
+                problems.append(f"missing {needle!r}")
+        for needle in spec.get("forbid", []):
+            if needle in plan:
+                problems.append(f"contains {needle!r}")
+        for col in spec.get("absent_in_readschema", []):
+            for m in re.finditer(r"ReadSchema: (.+)", plan):
+                if col in m.group(1):
+                    problems.append(f"ReadSchema not pruned: reads {col!r}")
+        status = "OK " if not problems else "FAIL"
+        print(f"[{status}] {name}" + ("" if not problems else f" — {problems}"))
+        if problems:
+            failures += 1
+            print(plan[:4000])
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
