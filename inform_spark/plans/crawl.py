@@ -17,12 +17,15 @@ Per batch:
                                                 HTTP fetch is the same stage
                                                 as a mapInPandas UDF)
 5. render         = ONE pandas UDF: extract links + main content + markdown
-                    + spans (X1-X5)
+                    + spans (X1-X5), written STRAIGHT to the batch's
+                    `attempts` parquet delta — the single materialization
+                    of the fat payload; documents()/seen() are
+                    column-pruned views of it
 6. discover       = posexplode(links) → native filters (host F2, base-path
                     F3, extension F4 via rlike, globs F5, robots F6 via
-                    broadcast join) → keep-first dedup (T7) → anti-join
-                    frontier (J1) → queue-cap admission (O3)
-7. append frontier/seen/documents/lineage, atomic catalog commit (T6)
+                    closure UDF or broadcast join) → keep-first dedup (T7)
+                    → anti-join frontier (J1) → queue-cap admission (O3)
+7. append frontier/attempts/lineage, atomic catalog commit (T6)
 
 Ordering guarantee: `frontier_offset` is a monotonic BIGINT encoding
 (batch+1, parent-rank-in-batch, link-index), so `ORDER BY frontier_offset`
@@ -95,6 +98,9 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 20
+    # "bloom" (default) or "cuckoo" — same pre-probe dataflow; cuckoo
+    # supports DELETE (url invalidation / recrawl) at ~2 bytes/key
+    seen_filter: str = "bloom"
     render_partitions: int | None = None
     politeness_salts: int = 8  # two-phase per-host rank fan-out (skew)
     # fetch stage: "fixture" joins the synthetic pages table (tests/bench);
@@ -218,8 +224,7 @@ class CrawlEngine:
             self.checkpoint_dir,
             {
                 "frontier": schemas.FRONTIER,
-                "seen": schemas.SEEN,
-                "documents": schemas.DOCUMENTS,
+                "attempts": schemas.ATTEMPTS,
                 "lineage": schemas.LINEAGE,
             },
         )
@@ -307,19 +312,6 @@ class CrawlEngine:
         if self.robots is None or self.cfg.ignore_robots:
             return None
         return self.robots.select("host", "disallow_prefixes", "crawl_delay_ms")
-
-    @staticmethod
-    def _n_files(n_rows: int) -> int:
-        """Right-size parquet appends: ~50k rows/file, at least one."""
-        return max(1, n_rows // 50_000 + (1 if n_rows % 50_000 else 0))
-
-    def _n_files_docs(self, n_rows: int) -> int:
-        """Documents carry the fat span payload: write with enough tasks
-        that one task never serializes the whole batch (a coalesce(1) write
-        of a big batch is a serial bottleneck that caps scaling), but few
-        enough that small crawls stay single-file."""
-        par = self.spark.sparkContext.defaultParallelism
-        return max(1, min(par, n_rows // 500))
 
     # ------------------------------------------------------------------
     def _select_batch(self, live: DataFrame, b: int) -> DataFrame:
@@ -651,16 +643,30 @@ class CrawlEngine:
         else:
             self._init_state()
         if cfg.use_bloom:
-            from inform_spark.operators.bloom import ShardedBloom
+            # the filter mirrors the FRONTIER table (everything ever
+            # enqueued, which supersets `seen`) — the set the exact
+            # anti-join uses. bloom = cheapest bits/key; cuckoo = same
+            # interface plus delete (north_star's deletable fallback).
+            frontier_urls = self.catalog.tables["frontier"].read().select("url")
+            if cfg.seen_filter == "cuckoo":
+                from inform_spark.operators.cuckoo import ShardedCuckoo
 
-            # the bloom mirrors the FRONTIER table (everything ever enqueued,
-            # which supersets `seen`) — the set the exact anti-join uses
-            self._bloom = ShardedBloom.build(
-                self.spark,
-                self.catalog.tables["frontier"].read().select("url"),
-                n_shards=cfg.bloom_shards,
-                bits_per_shard=cfg.bloom_bits_per_shard,
-            )
+                # bits_per_shard -> bucket count at ~equal capacity:
+                # SLOTS(4) x 16-bit slots per bucket = 64 filter bits/bucket
+                nb = max(1 << 10, cfg.bloom_bits_per_shard // 64)
+                nb = 1 << (nb - 1).bit_length()  # next power of two
+                self._bloom = ShardedCuckoo.build(
+                    self.spark, frontier_urls,
+                    n_shards=cfg.bloom_shards, buckets_per_shard=nb,
+                )
+            else:
+                from inform_spark.operators.bloom import ShardedBloom
+
+                self._bloom = ShardedBloom.build(
+                    self.spark, frontier_urls,
+                    n_shards=cfg.bloom_shards,
+                    bits_per_shard=cfg.bloom_bits_per_shard,
+                )
         summary = CrawlSummary()
         robots_dim = self._robots_dim()
         robots_filter = None
@@ -708,7 +714,7 @@ class CrawlEngine:
             if max_batches is not None and batches_run >= max_batches:
                 break
             frontier_t = self.catalog.tables["frontier"]
-            seen_t = self.catalog.tables["seen"]
+            attempts_t = self.catalog.tables["attempts"]
             # the watermark prefix property needs pure FIFO: no politeness
             # budget AND no custom priority rule
             fifo = cfg.batch_wall_budget_ms is None and cfg.priority_col is None
@@ -719,7 +725,10 @@ class CrawlEngine:
                     F.col("frontier_offset") > F.lit(self.offset_watermark)
                 )
             else:
-                seen_urls = seen_t.read(cached=True).select("url")
+                # column-pruned parquet scan (url only) of the attempts
+                # table — never cached: the fat span/link columns would
+                # ride along into the row cache
+                seen_urls = attempts_t.read().select("url")
                 live = frontier_t.read(cached=True).join(
                     seen_urls, "url", "left_anti"
                 )
@@ -751,9 +760,14 @@ class CrawlEngine:
                     self.spark.sparkContext.defaultParallelism, "url"
                 )
 
-            # ONE materialization for the whole batch: fetch + render fused;
-            # non-documents pass a null html through the UDF (empty spans).
-            # Batch metrics ride along as an Observation — no separate agg job.
+            # ONE materialization for the whole batch: fetch + render fused,
+            # written STRAIGHT to the attempts delta (no row cache of the
+            # fat span/link payload — every consumer below re-reads the
+            # delta with parquet column pruning: seen-ish consumers touch
+            # url/status, discover touches links, documents() touches
+            # spans). Non-documents pass a null html through the UDF (empty
+            # spans). Batch metrics ride along as an Observation — no
+            # separate agg job.
             obs = Observation(f"batch-{self.batch_id}")
             rendered = (
                 fetched.withColumn(
@@ -765,6 +779,7 @@ class CrawlEngine:
                 )
                 .select(
                     "url",
+                    F.xxhash64("url").alias("url_hash"),
                     "depth",
                     "parent_rank",
                     "frontier_offset",
@@ -774,6 +789,10 @@ class CrawlEngine:
                     F.col("r.doc_id").alias("doc_id"),
                     F.col("r.spans").alias("spans"),
                     F.col("r.links").alias("links"),
+                    F.lit(self.batch_id).cast("long").alias("attempted_in_batch"),
+                    (F.lit(self.attempted) + F.col("parent_rank"))
+                    .cast("long")
+                    .alias("crawl_rank"),
                 )
                 .observe(
                     obs,
@@ -794,50 +813,36 @@ class CrawlEngine:
                         F.lit(0),
                     ).alias("n_disc"),
                 )
-                .persist()
             )
 
             t_ph = _mark("plan", t_ph)
-            # job 1: materialize fetch+render, metrics fill in-flight
-            n_batch = rendered.count()
+            # job 1: fetch+render straight into the attempts delta — the
+            # batch's single materialization of the fat payload; metrics
+            # fill in-flight, row count comes from the parquet footers
+            # (driver-side metadata, no extra job). Natural partitioning:
+            # a repartition would shuffle the payload, a coalesce would
+            # collapse the render parallelism.
+            attempts_t.append(
+                rendered.select([f.name for f in schemas.ATTEMPTS.fields]),
+                f"b{self.batch_id}",
+            )
+            n_batch = attempts_t.last_dir_row_count()
             t_ph = _mark("fetch_render", t_ph)
             if n_batch == 0:
                 for df in batch_caches:
                     df.unpersist()
-                rendered.unpersist()
                 break
             agg = obs.get
-
-            # jobs 2+3 (parallel, both read the rendered cache): docs + seen
-            docs = rendered.filter("is_doc").select(
-                "doc_id", "url", "spans", F.lit(self.batch_id).alias("batch_id")
-            )
-            seen_rows = rendered.select(
-                "url",
-                F.xxhash64("url").alias("url_hash"),
-                "status",
-                "error",
-                F.lit(self.batch_id).alias("attempted_in_batch"),
-                (F.lit(self.attempted) + F.col("parent_rank")).cast("long").alias(
-                    "crawl_rank"
-                ),
-            )
-            f_docs = pool.submit(_timed(
-                "w_docs",
-                self.catalog.tables["documents"].append,
-                docs, f"b{self.batch_id}", self._n_files_docs(n_batch), False,
-            ))
-            f_seen = pool.submit(
-                _timed(
-                    "w_seen", seen_t.append, seen_rows,
-                    f"b{self.batch_id}", self._n_files(n_batch), False,
-                )
+            delta = self.spark.read.schema(schemas.ATTEMPTS).parquet(
+                attempts_t.last_dir
             )
 
-            # --- discover + admit (runs concurrently with the two writes:
-            # all three read only the rendered cache) ---
+            # --- discover + admit: reads ONLY (depth, parent_rank, links)
+            # from the just-written delta (column pruning skips spans) ---
             dedup = self._discover(
-                rendered.filter("is_doc"), robots_filter, robots_join_dim
+                delta.filter("is_doc").select("depth", "parent_rank", "links"),
+                robots_filter,
+                robots_join_dim,
             )
             self._resolve_bloom()
             probed = None
@@ -954,9 +959,6 @@ class CrawlEngine:
                     "w_bloom",
                     lambda b=self._bloom, d=delta_urls: b.add(self.spark, d),
                 ))
-            # writes staged this batch must land before the catalog commit
-            f_docs.result()
-            f_seen.result()
 
             t_ph = _mark("bloom_lineage", t_ph)
             # --- atomic commit: the batch happened ---
@@ -981,7 +983,7 @@ class CrawlEngine:
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
 
-            for df in (*batch_caches, rendered):
+            for df in batch_caches:
                 df.unpersist()
             _mark("commit", t_ph)
 
@@ -994,10 +996,23 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def documents(self) -> DataFrame:
-        return self.catalog.tables["documents"].read()
+        """Column-pruned view of the attempts deltas (input_hint shape)."""
+        return (
+            self.catalog.tables["attempts"]
+            .read()
+            .filter("is_doc")
+            .select(
+                "doc_id", "url", "spans",
+                F.col("attempted_in_batch").alias("batch_id"),
+            )
+        )
 
     def seen(self) -> DataFrame:
-        return self.catalog.tables["seen"].read()
+        """Column-pruned view of the attempts deltas (D2/D3 seen set)."""
+        return self.catalog.tables["attempts"].read().select(
+            "url", "url_hash", "status", "error",
+            "attempted_in_batch", "crawl_rank",
+        )
 
     def lineage(self) -> DataFrame:
         return self.catalog.tables["lineage"].read()

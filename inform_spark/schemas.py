@@ -119,6 +119,30 @@ FETCHED = StructType(
     ]
 )
 
+# The per-batch materialization: ONE row per attempted URL carrying the
+# full fetch+render output. Each batch appends exactly one parquet delta of
+# this shape and every downstream consumer is a COLUMN-PRUNED view of it —
+# documents() reads (doc_id, url, spans), seen() reads (url, status, ...),
+# discover reads (depth, parent_rank, links) — so the fat span/link payload
+# is written once and never re-serialized into a row cache.
+ATTEMPTS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("depth", IntegerType(), True),
+        StructField("parent_rank", IntegerType(), True),
+        StructField("frontier_offset", LongType(), True),
+        StructField("status", StringType(), False),
+        StructField("error", StringType(), True),
+        StructField("is_doc", BooleanType(), False),
+        StructField("doc_id", StringType(), True),
+        StructField("spans", ArrayType(SPAN), True),
+        StructField("links", ArrayType(StringType()), True),
+        StructField("attempted_in_batch", LongType(), False),
+        StructField("crawl_rank", LongType(), False),
+    ]
+)
+
 # Per-batch / per-partition lineage + metrics (north_rule: resumable from
 # checkpoint with per-partition lineage + metrics).
 LINEAGE = StructType(

@@ -404,30 +404,51 @@ def parse_bluesky_feed(body: str, handle: str, limit: int = DEFAULT_LIMIT) -> li
 
 
 def parse_x_feed(body: str, username: str, limit: int = DEFAULT_LIMIT) -> list[dict]:
-    """API-v2 user tweets response → items (src/sources/x.js:64-182;
-    public_metrics surface as tags like 'likes:3')."""
+    """API-v2 user tweets response → items (src/sources/x.js:110-182):
+    [RT]/[QT]/[Reply] content prefix from referenced_tweets, expanded-URL
+    links block, public-metrics footer line, tags = ['x'] + hashtags."""
     doc = json.loads(body)
     out = []
     for tw in (doc.get("data") or [])[:limit]:
         tid = str(tw.get("id"))
         text = tw.get("text") or ""
         pm = tw.get("public_metrics") or {}
-        tags = [
-            f"likes:{pm.get('like_count', 0)}",
-            f"retweets:{pm.get('retweet_count', 0)}",
-            f"replies:{pm.get('reply_count', 0)}",
-        ] if pm else None
+        likes = pm.get("like_count", 0)
+        retweets = pm.get("retweet_count", 0)
+        replies = pm.get("reply_count", 0)
+        refs = tw.get("referenced_tweets") or []
+        ref_types = {r.get("type") for r in refs}
+        ent = tw.get("entities") or {}
+        hashtags = [h.get("tag") for h in (ent.get("hashtags") or []) if h.get("tag")]
+        urls = [
+            (u.get("expanded_url") or u.get("url"))
+            for u in (ent.get("urls") or [])
+            if (u.get("expanded_url") or u.get("url"))
+        ]
+        if "retweeted" in ref_types:
+            content = f"[RT] {text}"
+        elif "quoted" in ref_types:
+            content = f"[QT] {text}"
+        elif "replied_to" in ref_types:
+            content = f"[Reply] {text}"
+        else:
+            content = text
+        if urls:
+            content += "\n\nLinks:\n" + "\n".join(f"- {u}" for u in urls)
+        content += (
+            f"\n\n---\nLikes: {likes} | Retweets: {retweets} | Replies: {replies}"
+        )
         out.append(
             {
                 "kind": "x",
                 "id": tid,
                 "url": f"https://x.com/{username}/status/{tid}",
-                "title": (text.split("\n", 1)[0][:80] or "Post"),
+                "title": (text.split("\n", 1)[0][:80] or f"Tweet {tid}"),
                 "published_at": to_iso_date(tw.get("created_at")),
-                "author": username,
-                "content_text": text or None,
+                "author": f"@{username}",
+                "content_text": content,
                 "content_html": None,
-                "tags": tags,
+                "tags": ["x"] + hashtags,
                 "source": username,
             }
         )

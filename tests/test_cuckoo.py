@@ -1,0 +1,100 @@
+"""Sharded cuckoo filter: membership, deletes, and drop-in engine parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from inform_spark.operators.bloom import _with_hashes
+from inform_spark.operators.cuckoo import ShardedCuckoo
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def _probe(spark, filt, urls):
+    df = _with_hashes(_urls_df(spark, urls))
+    probe = filt.probe_udf(spark)
+    rows = df.withColumn("m", probe(F.col("__h1"), F.col("__h2"))).select(
+        "url", "m"
+    ).collect()
+    return {r["url"]: r["m"] for r in rows}
+
+
+URLS = [f"https://site{i % 7}.test/page-{i}" for i in range(3000)]
+OTHERS = [f"https://other{i % 5}.test/x-{i}" for i in range(3000)]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    return ShardedCuckoo.build(
+        spark, _urls_df(spark, URLS), n_shards=8, buckets_per_shard=1 << 11
+    )
+
+
+def test_no_false_negatives(spark, built):
+    got = _probe(spark, built, URLS)
+    assert all(got.values()), "inserted key reported absent"
+
+
+def test_false_positive_rate_sane(spark, built):
+    got = _probe(spark, built, OTHERS)
+    fp_rate = sum(got.values()) / len(got)
+    assert fp_rate < 0.05, f"fp rate {fp_rate}"
+
+
+def test_delete_removes_membership(spark, built):
+    victims, keep = URLS[:1500], URLS[1500:]
+    filt = built.delete(spark, _urls_df(spark, victims))
+    assert filt.version == built.version + 1
+    got_keep = _probe(spark, filt, keep)
+    assert all(got_keep.values()), "delete broke a remaining key"
+    got_victims = _probe(spark, filt, victims)
+    # deleted keys may still collide with remaining fingerprints, but the
+    # vast majority must be gone (a bloom can remove NONE)
+    still = sum(got_victims.values()) / len(got_victims)
+    assert still < 0.05, f"{still:.3f} of deleted keys still present"
+
+
+def test_incremental_add_versions(spark):
+    f0 = ShardedCuckoo.empty(n_shards=4, buckets_per_shard=1 << 10)
+    f1 = f0.add(spark, _urls_df(spark, URLS[:100]))
+    f2 = f1.add(spark, _urls_df(spark, URLS[100:200]))
+    assert (f0.version, f1.version, f2.version) == (0, 1, 2)
+    got = _probe(spark, f2, URLS[:200])
+    assert all(got.values())
+    # immutable snapshots: f1 does not see f2's keys (beyond collisions)
+    got1 = _probe(spark, f1, URLS[100:200])
+    assert sum(got1.values()) / len(got1) < 0.05
+
+
+def test_crawl_with_cuckoo_filter_matches_oracle(spark, tmp_path):
+    """Engine parity: seen_filter='cuckoo' must produce the identical seen
+    set / order / documents as the exact path (same contract as the bloom
+    path test)."""
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.reference_impl import crawl_sequential
+    from inform_spark.schemas import ROBOTS
+    from inform_spark.sources.pages import generate_site
+
+    pages, robots = generate_site(2, 22)
+    pages_df = spark.createDataFrame(pages)
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], r["exists"], r["disallow_prefixes"], r["crawl_delay_ms"])
+            for r in robots
+        ],
+        schema=ROBOTS,
+    )
+    seed = "https://site0.test/"
+    oracle = crawl_sequential(pages, robots, seed, limit=60)
+    cfg = CrawlConfig(
+        seeds=[seed], limit=60, use_bloom=True, seen_filter="cuckoo",
+        bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    eng = CrawlEngine(spark, pages_df, robots_df, cfg,
+                      checkpoint_dir=str(tmp_path / "cuckoo-ck"))
+    eng.run()
+    seen_rows = eng.seen().collect()
+    assert {r["url"]: r["status"] for r in seen_rows} == oracle.seen
+    order = [r["url"] for r in sorted(seen_rows, key=lambda r: r["crawl_rank"])]
+    assert order == oracle.order

@@ -180,7 +180,24 @@ def test_render_social_brackets_urls():
     (tw,) = feeds.parse_x_feed(XJSON, "someone")
     md = feeds.render_item_markdown(tw)
     assert "<https://x.test/page>" in md
-    assert tw["tags"] == ["likes:3", "retweets:1", "replies:0"]
+    # reference item mapping (x.js:110-182): metrics footer, 'x' tag,
+    # @username author
+    assert "Likes: 3 | Retweets: 1 | Replies: 0" in tw["content_text"]
+    assert tw["tags"] == ["x"]
+    assert tw["author"] == "@someone"
+
+
+def test_parse_x_feed_ref_prefixes_and_links():
+    body = (
+        '{"data":[{"id":"1","text":"quoting this","referenced_tweets":'
+        '[{"type":"quoted","id":"9"}],"entities":{"urls":[{"expanded_url":'
+        '"https://ex.test/a"}],"hashtags":[{"tag":"spark"}]},'
+        '"public_metrics":{"like_count":1,"retweet_count":0,"reply_count":2}}]}'
+    )
+    (tw,) = feeds.parse_x_feed(body, "someone")
+    assert tw["content_text"].startswith("[QT] quoting this")
+    assert "Links:\n- https://ex.test/a" in tw["content_text"]
+    assert tw["tags"] == ["x", "spark"]
 
 
 def test_transcript_paragraphing():
