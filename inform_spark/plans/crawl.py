@@ -226,6 +226,7 @@ class CrawlEngine:
                 "frontier": schemas.FRONTIER,
                 "attempts": schemas.ATTEMPTS,
                 "lineage": schemas.LINEAGE,
+                "tombstones": schemas.TOMBSTONES,
             },
         )
         # driver-side scalar state
@@ -301,6 +302,88 @@ class CrawlEngine:
         self.enqueued_total = st.get("enqueued_total")
         if self.enqueued_total is None:  # older checkpoints: one-time count
             self.enqueued_total = self.catalog.tables["frontier"].read().count()
+
+    # ------------------------------------------------------------------
+    @property
+    def _has_tombstones(self) -> bool:
+        return self.catalog.tables["tombstones"].version > 0
+
+    def _net_seen_urls(self) -> DataFrame:
+        """URLs currently counted as attempted: the attempts table minus
+        'seen' tombstones (Catalyst prunes the unread columns through the
+        anti-join, so this stays a 2-column scan). The tombstone is
+        time-scoped (kills only rows attempted BEFORE it), so a re-fetch
+        after invalidation makes the URL seen again. Equality on url +
+        the batch inequality as a join residual keeps this a hash join,
+        never a nested loop."""
+        return self._net_attempts().select("url")
+
+    def _net_frontier(self, frontier: DataFrame) -> DataFrame:
+        """Frontier minus 'frontier' (revocation) tombstones: a revoked URL
+        is neither fetchable nor does it block re-admission — a later
+        re-discovery enqueues it fresh with a new offset."""
+        if not self._has_tombstones:
+            return frontier
+        t = (
+            self.catalog.tables["tombstones"].read()
+            .filter(F.col("kind") == "frontier")
+            .select(F.col("url").alias("t_url"), "as_of_batch")
+        )
+        return frontier.join(
+            t,
+            (frontier["url"] == t["t_url"])
+            & (frontier["discovered_in_batch"] < t["as_of_batch"]),
+            "left_anti",
+        )
+
+    def invalidate(self, urls: list[str], revoke: bool = False) -> int:
+        """Invalidate previously-crawled URLs (recrawl-after-change,
+        robots tightening, takedown) — the workflow the north_star's
+        deletable cuckoo fallback exists for; the reference has no
+        counterpart (its seen set is an in-memory Set that dies with the
+        process).
+
+        ``revoke=False``: the URLs stay enqueued but their attempts are
+        tombstoned, so the next ``run(resume=True)`` fetches them again
+        (FIFO position = their original frontier offsets).
+
+        ``revoke=True``: additionally tombstones their frontier rows and
+        — when the live filter is a cuckoo — ``delete``s them from it, so
+        a future re-discovery treats them as brand new. With a bloom
+        filter the probe stays (safely) stale: it answers "maybe seen"
+        and the exact anti-join against the netted frontier re-admits the
+        URL anyway; the cuckoo keeps the pre-probe *tight* at O(changes)
+        instead of an O(frontier) rebuild.
+
+        Tombstones are append-only Iceberg-style equality deletes scoped
+        by batch id: rows written after the invalidation are untouched.
+        Returns the number of tombstone rows written."""
+        if self.batch_id == 0 and self.attempted == 0 and self.catalog.exists():
+            self._restore()  # fresh engine pointed at an existing checkpoint
+        normed = []
+        dedup = set()
+        for u in urls:
+            n = normalize_url(u)
+            if n not in dedup:
+                dedup.add(n)
+                normed.append(n)
+        rows = [(u, "seen", self.batch_id) for u in normed]
+        if revoke:
+            rows += [(u, "frontier", self.batch_id) for u in normed]
+        self.catalog.tables["tombstones"].append_rows(
+            rows, f"inv{self.batch_id}"
+        )
+        # seen now contains offsets below any FIFO watermark: the prefix
+        # property is gone for good, fall back to the exact anti-join
+        self.offset_watermark = None
+        if revoke and self._bloom is not None and hasattr(self._bloom, "delete"):
+            self._resolve_bloom()
+            self._bloom = self._bloom.delete(
+                self.spark,
+                self.spark.createDataFrame([(u,) for u in normed], "url string"),
+            )
+        self.catalog.commit(self._state())
+        return len(rows)
 
     # ------------------------------------------------------------------
     def _scopes_df(self) -> DataFrame:
@@ -643,11 +726,14 @@ class CrawlEngine:
         else:
             self._init_state()
         if cfg.use_bloom:
-            # the filter mirrors the FRONTIER table (everything ever
-            # enqueued, which supersets `seen`) — the set the exact
-            # anti-join uses. bloom = cheapest bits/key; cuckoo = same
-            # interface plus delete (north_star's deletable fallback).
-            frontier_urls = self.catalog.tables["frontier"].read().select("url")
+            # the filter mirrors the NET frontier (everything ever
+            # enqueued minus revocation tombstones, which supersets
+            # `seen`) — the set the exact anti-join uses. bloom =
+            # cheapest bits/key; cuckoo = same interface plus delete
+            # (north_star's deletable fallback).
+            frontier_urls = self._net_frontier(
+                self.catalog.tables["frontier"].read()
+            ).select("url")
             if cfg.seen_filter == "cuckoo":
                 from inform_spark.operators.cuckoo import ShardedCuckoo
 
@@ -727,9 +813,10 @@ class CrawlEngine:
             else:
                 # column-pruned parquet scan (url only) of the attempts
                 # table — never cached: the fat span/link columns would
-                # ride along into the row cache
-                seen_urls = attempts_t.read().select("url")
-                live = frontier_t.read(cached=True).join(
+                # ride along into the row cache. Both sides netted against
+                # tombstones (no-ops unless invalidate() was called).
+                seen_urls = self._net_seen_urls()
+                live = self._net_frontier(frontier_t.read(cached=True)).join(
                     seen_urls, "url", "left_anti"
                 )
 
@@ -742,8 +829,14 @@ class CrawlEngine:
             )
             # live frontier size by bookkeeping, not an extra anti-join job:
             # frontier rows are unique and seen ⊆ frontier, so
-            # |live| = |enqueued| - |attempted|
-            live_count = self.enqueued_total - self.attempted
+            # |live| = |enqueued| - |attempted|. Tombstones break the
+            # identity (invalidated urls are live again, revoked ones are
+            # gone), so the rare invalidation path pays an exact count —
+            # but only when the queue cap actually consumes the number.
+            if self._has_tombstones and cfg.max_queue_size is not None:
+                live_count = live.count()
+            else:
+                live_count = self.enqueued_total - self.attempted
 
             fetched = self._fetch(batch)
             # Render placement: fixture mode rides the (balanced) pages-scan
@@ -857,12 +950,16 @@ class CrawlEngine:
                     dedup, self._bloom, persist=True
                 )
                 checked = maybe_seen.join(
-                    frontier_t.read(cached=True).select("url"), "url", "left_anti"
+                    self._net_frontier(frontier_t.read(cached=True))
+                    .select("url"),
+                    "url", "left_anti",
                 )
                 new_links = fresh.unionByName(checked)
             else:
                 new_links = dedup.join(
-                    frontier_t.read(cached=True).select("url"), "url", "left_anti"
+                    self._net_frontier(frontier_t.read(cached=True))
+                    .select("url"),
+                    "url", "left_anti",
                 )
 
             # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
@@ -995,11 +1092,27 @@ class CrawlEngine:
         return summary
 
     # ------------------------------------------------------------------
+    def _net_attempts(self) -> DataFrame:
+        """Attempts minus 'seen' tombstones (full-width rows)."""
+        a = self.catalog.tables["attempts"].read()
+        if not self._has_tombstones:
+            return a
+        t = (
+            self.catalog.tables["tombstones"].read()
+            .filter(F.col("kind") == "seen")
+            .select(F.col("url").alias("t_url"), "as_of_batch")
+        )
+        return a.join(
+            t,
+            (a["url"] == t["t_url"])
+            & (a["attempted_in_batch"] < t["as_of_batch"]),
+            "left_anti",
+        )
+
     def documents(self) -> DataFrame:
         """Column-pruned view of the attempts deltas (input_hint shape)."""
         return (
-            self.catalog.tables["attempts"]
-            .read()
+            self._net_attempts()
             .filter("is_doc")
             .select(
                 "doc_id", "url", "spans",
@@ -1009,7 +1122,7 @@ class CrawlEngine:
 
     def seen(self) -> DataFrame:
         """Column-pruned view of the attempts deltas (D2/D3 seen set)."""
-        return self.catalog.tables["attempts"].read().select(
+        return self._net_attempts().select(
             "url", "url_hash", "status", "error",
             "attempted_in_batch", "crawl_rank",
         )

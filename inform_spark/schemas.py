@@ -143,6 +143,22 @@ ATTEMPTS = StructType(
     ]
 )
 
+# Invalidation tombstones (the reason the cuckoo fallback exists: a bloom
+# cannot unlearn a URL). kind='seen' nets attempts rows with
+# attempted_in_batch < as_of_batch out of the seen set (the URL becomes
+# live again and is re-fetched: recrawl-after-change / takedown); kind=
+# 'frontier' additionally nets frontier rows with discovered_in_batch <
+# as_of_batch (the URL is revoked — a later re-discovery is treated as
+# brand new). Append-only, so the netting predicate is time-scoped: rows
+# written AFTER the tombstone (>= as_of_batch) are untouched.
+TOMBSTONES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("as_of_batch", LongType(), False),
+    ]
+)
+
 # Per-batch / per-partition lineage + metrics (north_rule: resumable from
 # checkpoint with per-partition lineage + metrics).
 LINEAGE = StructType(
