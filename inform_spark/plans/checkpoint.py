@@ -139,6 +139,71 @@ class SnapshotTable:
             self._cache_df = None
         return new_version
 
+    # -- Iceberg-shaped snapshot operations ---------------------------------
+    def read_at(self, version: int) -> DataFrame:
+        """Time-travel: the table exactly as of snapshot ``version``
+        (Iceberg ``VERSION AS OF``). Snapshots are immutable manifests, so
+        this is just a scan of the dirs that manifest pins."""
+        if version == 0:
+            return self.spark.createDataFrame([], self.schema)
+        with open(self._manifest_path(version)) as f:
+            dirs = json.load(f)["dirs"]
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    def snapshots(self) -> list[dict]:
+        """All known snapshot manifests, oldest first (Iceberg
+        ``table.snapshots()``)."""
+        out = []
+        for f in sorted(
+            os.listdir(self.manifest_dir),
+            key=lambda n: int(n[1:-5]),  # v<N>.json
+        ):
+            with open(os.path.join(self.manifest_dir, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def compact(self, n_files: int = 1) -> int:
+        """Rewrite the current snapshot's many per-batch deltas into
+        ``n_files`` files and advance the version (Iceberg
+        ``rewrite_data_files``). Micro-batch crawls append one small delta
+        per batch; at 10^5 batches the file listing itself becomes the
+        scan bottleneck, so periodic compaction is the scale story. Old
+        snapshots still reference the old dirs (time-travel keeps working)
+        until ``vacuum`` expires them."""
+        out = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex[:8]}")
+        self.read().repartition(n_files).write.parquet(out, mode="overwrite")
+        new_version = self._version + 1
+        _atomic_write_json(
+            self._manifest_path(new_version),
+            {"version": new_version, "dirs": [out]},
+        )
+        self._dirs = [out]
+        self._version = new_version
+        if self._cache_df is not None:
+            self._cache_df.unpersist(blocking=False)
+            self._cache_df = None
+        return new_version
+
+    def vacuum(self) -> int:
+        """Expire everything but the current snapshot: delete data dirs
+        the current manifest does not reference (crashed-batch orphans,
+        pre-compaction deltas) and drop superseded manifests (Iceberg
+        ``expire_snapshots``). Time-travel to expired versions is gone —
+        that is the contract. Returns the number of dirs removed."""
+        import shutil
+
+        keep = set(self._dirs)
+        removed = 0
+        for name in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, name)
+            if full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        for f in os.listdir(self.manifest_dir):
+            if int(f[1:-5]) != self._version:
+                os.unlink(os.path.join(self.manifest_dir, f))
+        return removed
+
     @property
     def last_dir(self) -> str | None:
         """Directory of the most recently appended data files (the delta of
@@ -197,19 +262,51 @@ class CrawlCheckpoint:
         return os.path.exists(self.current_path)
 
     def commit(self, state: dict) -> None:
-        """Atomically pin every table's staged version + engine scalars."""
+        """Atomically pin every table's staged version + engine scalars.
+        Every commit is also journaled to ``_state/commits/<seq>.json``
+        (the Iceberg snapshot log), enabling ``history``/``rollback``."""
+        seq = self.state.get("_commit_seq", 0) + 1 if self.state else 1
         payload = {
             "tables": {n: t.version for n, t in self.tables.items()},
-            "state": state,
+            "state": {**state, "_commit_seq": seq},
         }
+        commits_dir = os.path.join(self.state_dir, "commits")
+        os.makedirs(commits_dir, exist_ok=True)
+        _atomic_write_json(os.path.join(commits_dir, f"{seq}.json"), payload)
         _atomic_write_json(self.current_path, payload)
-        self.state = state
+        self.state = payload["state"]
 
     def restore(self) -> dict:
         """Load the last committed state; tables see exactly the committed
         snapshot set (orphaned post-crash files are ignored)."""
         with open(self.current_path) as f:
             payload = json.load(f)
+        for name, version in payload["tables"].items():
+            self.tables[name].load_version(version)
+        self.state = payload["state"]
+        return self.state
+
+    def history(self) -> list[dict]:
+        """The commit journal, oldest first (Iceberg snapshot log)."""
+        commits_dir = os.path.join(self.state_dir, "commits")
+        if not os.path.isdir(commits_dir):
+            return []
+        out = []
+        for f in sorted(os.listdir(commits_dir), key=lambda n: int(n[:-5])):
+            with open(os.path.join(commits_dir, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def rollback(self, commit_seq: int) -> dict:
+        """Reset the catalog head to an earlier commit (Iceberg
+        ``rollback_to_snapshot``): the crawl resumes from that batch
+        boundary exactly — later appends become unreferenced orphans. Not
+        valid after a table ``vacuum`` expired the pinned snapshots."""
+        commits_dir = os.path.join(self.state_dir, "commits")
+        with open(os.path.join(commits_dir, f"{commit_seq}.json")) as f:
+            payload = json.load(f)
+        # the rollback itself is the new head (journaled like any commit)
+        _atomic_write_json(self.current_path, payload)
         for name, version in payload["tables"].items():
             self.tables[name].load_version(version)
         self.state = payload["state"]
