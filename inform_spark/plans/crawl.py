@@ -397,7 +397,9 @@ class CrawlEngine:
         return self.robots.select("host", "disallow_prefixes", "crawl_delay_ms")
 
     # ------------------------------------------------------------------
-    def _select_batch(self, live: DataFrame, b: int) -> DataFrame:
+    def _select_batch(
+        self, live: DataFrame, b: int, skip_limit: bool = False
+    ) -> DataFrame:
         sel = live
         if self.cfg.batch_wall_budget_ms is not None:
             robots_dim = self._robots_dim()
@@ -444,6 +446,16 @@ class CrawlEngine:
                 .filter(F.col("__rank") <= F.col("__budget"))
                 .drop("__budget", "__rank", "crawl_delay_ms")
             )
+        # When the caller proves the limit cannot bind (|live| <= b), the
+        # whole live set IS the batch: skip the top-k entirely. A global
+        # `orderBy().limit(b)` is TakeOrderedAndProject — top-b per
+        # partition, then ONE merge task all b rows funnel through. For a
+        # production batch of millions that single task is the wall; an
+        # unbounded crawl (limit >> frontier) should never pay it.
+        # Ordering is irrelevant here: parent_rank re-derives the exact
+        # (priority, offset) order distributed, downstream.
+        if skip_limit:
+            return sel
         # priority-then-FIFO prefix — TakeOrderedAndProject, no global sort
         return sel.orderBy("priority", "frontier_offset").limit(b)
 
@@ -822,21 +834,27 @@ class CrawlEngine:
 
             remaining = cfg.limit - self.attempted
             b = min(cfg.batch_size or remaining, remaining)
-            # parent_rank = attempt order within the batch, ranked
-            # distributed (range partitions + per-partition offsets)
-            batch, batch_caches = self._with_parent_rank(
-                self._select_batch(live, b)
-            )
             # live frontier size by bookkeeping, not an extra anti-join job:
             # frontier rows are unique and seen ⊆ frontier, so
             # |live| = |enqueued| - |attempted|. Tombstones break the
             # identity (invalidated urls are live again, revoked ones are
-            # gone), so the rare invalidation path pays an exact count —
-            # but only when the queue cap actually consumes the number.
-            if self._has_tombstones and cfg.max_queue_size is not None:
+            # gone), so the rare invalidation path pays an exact count.
+            if self._has_tombstones:
                 live_count = live.count()
             else:
                 live_count = self.enqueued_total - self.attempted
+            if live_count <= 0:
+                # frontier exhausted: don't plan+run a whole empty batch
+                # (fetch UDF spin-up, empty appends) just to learn n=0
+                break
+            # parent_rank = attempt order within the batch, ranked
+            # distributed (range partitions + per-partition offsets).
+            # skip_limit: the top-k funnel is pure overhead when the whole
+            # live set fits in the batch (the common case for unbounded /
+            # large-limit crawls).
+            batch, batch_caches = self._with_parent_rank(
+                self._select_batch(live, b, skip_limit=live_count <= b)
+            )
 
             fetched = self._fetch(batch)
             # Render placement: fixture mode rides the (balanced) pages-scan
