@@ -129,7 +129,16 @@ def main() -> None:
     crawl_only = "--crawl-only" in sys.argv
 
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        import shutil
+
+        spark = _spark(CPUS)
+        fixture_dir = tempfile.mkdtemp(prefix="bench-scale-fixture-") + "/pages"
+        pregen_fixture(spark, fixture_dir)
+        spark.stop()  # free the parent heap before the legs run
+        try:
+            print(json.dumps(run_scaling(fixture_dir=fixture_dir)))
+        finally:
+            shutil.rmtree(os.path.dirname(fixture_dir), ignore_errors=True)
         return
 
     spark = _spark(CPUS)

@@ -103,6 +103,11 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     render_partitions: int | None = None
     politeness_salts: int = 8  # two-phase per-host rank fan-out (skew)
+    # periodic snapshot compaction: every K batches, rewrite the
+    # frontier/attempts per-batch micro-deltas into right-sized files (a
+    # 10^5-batch crawl would otherwise accumulate 10^5 tiny files and the
+    # listing would dominate every scan). None = never.
+    compact_every_batches: int | None = None
     # fetch stage: "fixture" joins the synthetic pages table (tests/bench);
     # "http" GETs live via the mapInPandas batch fetcher (sources/httpfetch)
     fetch_mode: str = "fixture"
@@ -226,6 +231,7 @@ class CrawlEngine:
                 "frontier": schemas.FRONTIER,
                 "attempts": schemas.ATTEMPTS,
                 "lineage": schemas.LINEAGE,
+                "partition_lineage": schemas.PARTITION_LINEAGE,
                 "tombstones": schemas.TOMBSTONES,
             },
         )
@@ -384,6 +390,33 @@ class CrawlEngine:
             )
         self.catalog.commit(self._state())
         return len(rows)
+
+    # ------------------------------------------------------------------
+    def _partition_lineage_rows(self, delta_dir: str) -> list[tuple]:
+        """Per-partition lineage (north_rule) read straight off the
+        attempts delta's parquet footers: each data file is one partition
+        of the batch; row count and frontier_offset min/max come from the
+        file/column statistics — driver-side metadata, no Spark job."""
+        import pyarrow.parquet as pq
+
+        bloom_v = self._bloom.version if self._bloom is not None else 0
+        out = []
+        for fname in sorted(os.listdir(delta_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(delta_dir, fname)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            i_off = names.index("frontier_offset")
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i_off).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            out.append(
+                (self.batch_id, fname, md.num_rows, lo, hi, bloom_v)
+            )
+        return out
 
     # ------------------------------------------------------------------
     def _scopes_df(self) -> DataFrame:
@@ -1063,6 +1096,10 @@ class CrawlEngine:
             self.catalog.tables["lineage"].append_rows(
                 [lineage_row], f"b{self.batch_id}"
             )
+            self.catalog.tables["partition_lineage"].append_rows(
+                self._partition_lineage_rows(attempts_t.last_dir),
+                f"b{self.batch_id}",
+            )
             if self._bloom is not None and n_admit > 0:
                 delta_urls = (
                     self.spark.read.schema(schemas.FRONTIER)
@@ -1100,7 +1137,27 @@ class CrawlEngine:
 
             for df in batch_caches:
                 df.unpersist()
-            _mark("commit", t_ph)
+            t_ph = _mark("commit", t_ph)
+
+            if (
+                cfg.compact_every_batches
+                and self.batch_id % cfg.compact_every_batches == 0
+            ):
+                # table maintenance at a batch boundary: fold the
+                # accumulated micro-deltas into right-sized files and
+                # re-commit so the compacted snapshots are the pinned
+                # ones. The pipelined bloom fold-in reads the frontier
+                # delta lazily — resolve it BEFORE the delta dirs are
+                # superseded (vacuum stays manual: time-travel preserved).
+                self._resolve_bloom()
+                self.catalog.tables["attempts"].compact(
+                    n_files=max(1, self.attempted // 500_000)
+                )
+                self.catalog.tables["frontier"].compact(
+                    n_files=max(1, self.enqueued_total // 2_000_000)
+                )
+                self.catalog.commit(self._state())
+                _mark("compact", t_ph)
 
         self._resolve_bloom()
         pool.shutdown()
@@ -1147,6 +1204,9 @@ class CrawlEngine:
 
     def lineage(self) -> DataFrame:
         return self.catalog.tables["lineage"].read()
+
+    def partition_lineage(self) -> DataFrame:
+        return self.catalog.tables["partition_lineage"].read()
 
     def frontier(self) -> DataFrame:
         return self.catalog.tables["frontier"].read()

@@ -159,6 +159,22 @@ TOMBSTONES = StructType(
     ]
 )
 
+# Per-PARTITION lineage (north_rule: "per-partition lineage — frontier
+# offset, bloom shard version, fetch metrics"): one row per data file of
+# each batch's attempts delta. Derived driver-side from the parquet
+# footers (row counts + frontier_offset column min/max statistics) — zero
+# extra Spark jobs; the files ARE the batch's partitions.
+PARTITION_LINEAGE = StructType(
+    [
+        StructField("batch_id", LongType(), False),
+        StructField("file", StringType(), False),
+        StructField("rows", LongType(), False),
+        StructField("offset_lo", LongType(), True),
+        StructField("offset_hi", LongType(), True),
+        StructField("bloom_shard_version", LongType(), False),
+    ]
+)
+
 # Per-batch / per-partition lineage + metrics (north_rule: resumable from
 # checkpoint with per-partition lineage + metrics).
 LINEAGE = StructType(

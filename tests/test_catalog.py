@@ -130,3 +130,61 @@ def test_engine_resume_after_rollback_matches_straight_run(spark, tmp_path):
     eng2.run(resume=True)
     got = {(r["url"], r["crawl_rank"]) for r in eng2.seen().collect()}
     assert got == expect
+
+
+def _site_engine(spark, tmp_path, name, **cfg_kw):
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.schemas import ROBOTS
+    from inform_spark.sources.pages import generate_site
+
+    pages, robots = generate_site(2, 18)
+    pages_df = spark.createDataFrame(pages)
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], r["exists"], r["disallow_prefixes"], r["crawl_delay_ms"])
+            for r in robots
+        ],
+        schema=ROBOTS,
+    )
+    cfg = CrawlConfig(seeds=["https://site0.test/"], limit=40, **cfg_kw)
+    return CrawlEngine(spark, pages_df, robots_df, cfg,
+                       checkpoint_dir=str(tmp_path / name))
+
+
+def test_partition_lineage_matches_batch_totals(spark, tmp_path):
+    eng = _site_engine(spark, tmp_path, "pl")
+    eng.run()
+    lin = {r["batch_id"]: r for r in eng.lineage().collect()}
+    pl = eng.partition_lineage().collect()
+    assert pl, "no partition lineage rows"
+    by_batch = {}
+    for r in pl:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    for b, rows in by_batch.items():
+        assert sum(r["rows"] for r in rows) == lin[b]["pages_attempted"]
+        los = [r["offset_lo"] for r in rows if r["offset_lo"] is not None]
+        his = [r["offset_hi"] for r in rows if r["offset_hi"] is not None]
+        assert min(los) == lin[b]["offset_lo"]
+        assert max(his) == lin[b]["offset_hi"]
+
+
+def test_compact_every_batch_preserves_results(spark, tmp_path):
+    ref = _site_engine(spark, tmp_path, "nc")
+    ref.run()
+    expect = {(r["url"], r["crawl_rank"], r["status"])
+              for r in ref.seen().collect()}
+
+    eng = _site_engine(spark, tmp_path, "cc", compact_every_batches=1)
+    eng.run()
+    got = {(r["url"], r["crawl_rank"], r["status"])
+           for r in eng.seen().collect()}
+    assert got == expect
+    # every batch folded the deltas: exactly one live dir per table
+    assert len(eng.catalog.tables["attempts"]._dirs) == 1
+    assert len(eng.catalog.tables["frontier"]._dirs) == 1
+    # and a resumed crawl on the compacted checkpoint still behaves
+    eng2 = _site_engine(spark, tmp_path, "cc", compact_every_batches=1)
+    s = eng2.run(resume=True)
+    assert s.attempted == 0  # nothing live left
+    assert {(r["url"], r["crawl_rank"], r["status"])
+            for r in eng2.seen().collect()} == expect
