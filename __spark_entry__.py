@@ -103,14 +103,18 @@ def q_j2_broadcast_lookup(spark, sf_dir):
 
 def q_o3_rank_cap(spark, sf_dir):
     """O3 queue-cap admission (src/WebCrawler.js:553-560): global admission
-    rank over the merged frontier, keep first 100."""
+    rank over the merged frontier, keep first 100. The top-100 prefix is a
+    TakeOrderedAndProject (top-k per partition, one 100-row merge) and the
+    contiguous rank is assigned by the distributed two-phase rank operator
+    — no single-partition window anywhere in the plan."""
+    from inform_spark.operators.rank import distributed_row_number
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 100)
-        .select("event_id", "rk")
+    top = ev.orderBy("ts", "event_id").limit(100)
+    ranked, _caches = distributed_row_number(
+        top, [F.col("ts").asc(), F.col("event_id").asc()], out_col="rk"
     )
+    return ranked.select("event_id", "rk")
 
 
 def q_t2_window_budget(spark, sf_dir):

@@ -13,12 +13,18 @@ throughput of the URL-frontier crawl over the deterministic synthetic web
 (seed 42 — sources/pages.py), followed by the corpus-hygiene query suite
 over the provided testdata tables.
 
-``--scaling`` mode (north_rule evidence, sandbox protocol per BASELINE.md):
-run the identical crawl job in TWO subprocesses — local[8] (N) and
-local[32] (4N) — on the same input, and print throughput at both plus the
-scaling efficiency T(4N)/(4*T(N)).
+The default run EMBEDS the north_rule scaling evidence in the same JSON
+line (key "scaling"): the identical crawl job at two parallelism levels
+(amended protocol, default local[1] vs local[4] — rationale in
+BASELINE.md) over a shared pre-generated 24k-page x 84 KB fixture,
+interleaved reps, best-per-level, per-leg loadavg recorded. Skip with
+BENCH_SKIP_SCALING=1.
 
-``--crawl-only`` prints just the crawl JSON (used by --scaling workers).
+``--scaling`` runs just that protocol and prints its JSON (with per-leg
+detail); levels/reps via SPARK_GRAFT_SCALE_LEVELS / SPARK_GRAFT_SCALE_REPS
+(e.g. 8,32 for the declared-protocol levels).
+
+``--crawl-only`` prints just the crawl JSON (used by scaling leg workers).
 """
 
 from __future__ import annotations

@@ -117,7 +117,13 @@ class ShardedBloom:
 
     # ------------------------------------------------------------------
     def probe_udf(self, spark: SparkSession):
-        """pandas UDF (h1, h2) -> maybe_member boolean (Arrow-batched)."""
+        """pandas UDF (h1, h2) -> maybe_member boolean (Arrow-batched).
+        Memoized per filter snapshot: filters are immutable, so the
+        broadcast of the shard arrays happens ONCE per version instead of
+        once per probing batch."""
+        cached = getattr(self, "_probe_udf", None)
+        if cached is not None:
+            return cached
         bc = spark.sparkContext.broadcast(
             {"shards": self.shards, "m": self.bits_per_shard, "n": self.n_shards}
         )
@@ -142,6 +148,7 @@ class ShardedBloom:
                 out[mask] = bits.all(axis=1)
             return pd.Series(out)
 
+        object.__setattr__(self, "_probe_udf", probe)
         return probe
 
 

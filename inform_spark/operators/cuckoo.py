@@ -216,7 +216,12 @@ class ShardedCuckoo:
     # ------------------------------------------------------------------
     def probe_udf(self, spark: SparkSession):
         """pandas UDF (h1, h2) -> maybe_member — drop-in for ShardedBloom's
-        (bloom_partition and therefore the crawl engine use it unchanged)."""
+        (bloom_partition and therefore the crawl engine use it unchanged).
+        Memoized per (immutable) filter snapshot like ShardedBloom's, so
+        the table broadcast happens once per version, not per batch."""
+        cached = getattr(self, "_probe_udf", None)
+        if cached is not None:
+            return cached
         bc = spark.sparkContext.broadcast(
             {
                 "shards": self.shards,
@@ -261,4 +266,5 @@ class ShardedCuckoo:
                 out[mask] = hit
             return pd.Series(out)
 
+        object.__setattr__(self, "_probe_udf", probe)
         return probe

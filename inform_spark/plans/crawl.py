@@ -507,50 +507,10 @@ class CrawlEngine:
            in as a literal map lookup, no extra shuffle.
 
         Returns (ranked_df, [cached_dfs_to_unpersist_after_the_batch])."""
-        n = max(2, min(self.spark.sparkContext.defaultParallelism, 64))
-        # the range partitioner SAMPLES its input, so pin the select-batch
-        # pipeline in cache first — otherwise the anti-join/budget plan
-        # would execute twice (sampling pass + shuffle pass)
-        sel = sel.persist()
+        from inform_spark.operators.rank import distributed_row_number
+
         key = [F.col("priority").asc(), F.col("frontier_offset").asc()]
-        ranked = (
-            sel.repartitionByRange(n, *key)
-            .withColumn("__pid", F.spark_partition_id())
-            .withColumn(
-                "__local",
-                F.row_number().over(
-                    Window.partitionBy("__pid").orderBy(*key)
-                ),
-            )
-            .persist()
-        )
-        counts = sorted(
-            (r["__pid"], r["n"])
-            for r in ranked.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        base: dict[int, int] = {}
-        acc = 0
-        for pid, cnt in counts:
-            base[pid] = acc
-            acc += cnt
-        if base:
-            offset = F.coalesce(
-                F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for pid in base for x in (pid, base[pid])]
-                    ),
-                    F.col("__pid"),
-                ),
-                F.lit(0),
-            )
-        else:
-            offset = F.lit(0)
-        out = ranked.withColumn(
-            "parent_rank", (F.col("__local") + offset).cast("int")
-        ).drop("__pid", "__local")
-        return out, [sel, ranked]
+        return distributed_row_number(sel, key, out_col="parent_rank")
 
     # ------------------------------------------------------------------
     def _fetch(self, batch: DataFrame) -> DataFrame:
@@ -806,14 +766,17 @@ class CrawlEngine:
             # size-thresholded formulation choice: collect-into-closure is
             # one pickle and zero per-batch joins, but only while the dim
             # is provably small; past the threshold the rules stay
-            # distributed and each batch broadcast-joins them instead
-            n_hosts = robots_dim.count()
-            if n_hosts <= cfg.robots_closure_max_hosts:
+            # distributed and each batch broadcast-joins them instead.
+            # ONE job decides AND fetches: limit(threshold+1) either
+            # returns the whole (small) dim or proves it is too big.
+            head = (
+                robots_dim.select("host", "disallow_prefixes")
+                .limit(cfg.robots_closure_max_hosts + 1)
+                .collect()
+            )
+            if len(head) <= cfg.robots_closure_max_hosts:
                 rules = {
-                    r["host"]: list(r["disallow_prefixes"] or [])
-                    for r in robots_dim.select(
-                        "host", "disallow_prefixes"
-                    ).collect()
+                    r["host"]: list(r["disallow_prefixes"] or []) for r in head
                 }
                 robots_filter = make_robots_filter_udf(rules)
             else:

@@ -258,7 +258,15 @@ class GitCrawlEngine:
             )
             kept = dirs.filter(explore_ok(F.col("path")))
             prev_frontier = frontier
-            frontier = kept.select(F.col("path").alias("dir"), "depth").persist()
+            frontier = kept.select(F.col("path").alias("dir"), "depth")
+            if (round_no + 1) % CHECKPOINT_EVERY == 0:
+                # the frontier's plan is an O(depth)-deep join chain —
+                # persist() caches rows but the analyzer still walks the
+                # whole chain every round (heap-OOMs by depth ~50), so
+                # truncate its lineage on the same cadence as all_files
+                frontier = frontier.localCheckpoint()
+            else:
+                frontier = frontier.persist()
 
         if all_files is None:
             self._files = self.spark.createDataFrame([], FILES)

@@ -4,6 +4,7 @@ import pytest
 
 from inform_spark.functions.giturl import parse_git_url
 from inform_spark.plans.gitcrawl import (
+    CHECKPOINT_EVERY,
     GitCrawlEngine,
     is_binary_file,
     should_explore_directory,
@@ -127,6 +128,40 @@ def test_subdirectory_local_path_strip(spark, listing_df):
 )
 def test_binary_detection(path, expected):
     assert is_binary_file(path) == expected
+
+
+def test_deep_walk_bounded_plan(spark):
+    """50-level chain listing: the per-round localCheckpoint
+    (CHECKPOINT_EVERY) keeps the accumulated union's plan bounded — the
+    walk completes, finds every level's file, and the final plan string
+    stays small instead of growing O(depth) unions deep."""
+    deep = []
+    parent = ""
+    for i in range(50):
+        name = f"d{i}"
+        path = f"{parent}/{name}" if parent else name
+        deep.append((parent, name, "dir", 0, None, None))
+        deep.append((parent, f"f{i}.md", "file", 10, b64(f"level {i}"), None))
+        parent = path
+    deep.append((parent, "leaf.md", "file", 10, b64("leaf"), None))
+    df = spark.createDataFrame(
+        deep,
+        "parent string, name string, type string, size long, "
+        "content string, download_url string",
+    )
+    eng = GitCrawlEngine(
+        spark, df, parse_git_url("https://github.com/o/deep"),
+        output_dir="out",
+    )
+    files = eng.run()
+    got = {r["repo_path"] for r in files.collect()}
+    assert got == set(oracle_walk(deep, None, None))
+    assert len(got) == 51
+    assert eng.summary.rounds == 51
+    # bounded lineage: a 51-round un-checkpointed union chain explodes the
+    # plan string; the checkpointed one stays flat
+    plan = files._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") < 2 * CHECKPOINT_EVERY
 
 
 def test_dir_prune_table():
