@@ -129,6 +129,22 @@ def q_t2_window_budget(spark, sf_dir):
     )
 
 
+def q_t3_paced_admissions(spark, sf_dir):
+    """T3-family politeness admission as a continuous operator (batch
+    formulation of streaming/stateful.paced_admissions_stream — the
+    applyInPandasWithState form is stream-only; equality of the two is
+    pinned by tests/test_stateful.py). Budget 3 per user per minute."""
+    from inform_spark.streaming.stateful import paced_admissions_batch
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").cast("string").alias("url"),
+        "ts",
+    )
+    return paced_admissions_batch(cand, budget=3, window_ms=60_000)
+
+
 def q_f4_regex_filter(spark, sf_dir):
     """F4 binary-extension skip (src/WebCrawler.js:595-600): one vectorized
     rlike predicate, counted per group."""
@@ -393,6 +409,18 @@ def q_w1_tumbling_window(spark, sf_dir):
     return tumbling_counts(_t(spark, sf_dir, "events"))
 
 
+def q_w2_sliding_window(spark, sf_dir):
+    """Event-time HOPPING-window rollup (1h width, 30m slide — each event
+    in exactly 2 overlapping windows; streaming-capable with watermark).
+    Oracle formulation: a hop of width W, slide S is the union of W/S
+    tumbling rollups offset by i·S."""
+    from inform_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(
+        _t(spark, sf_dir, "events"), width="1 hour", slide="30 minutes"
+    )
+
+
 def q_w3_sessionization(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) per user."""
     from inform_spark.streaming.windows import sessionize
@@ -570,7 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_retry_backoff": q_t5_retry_backoff,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "t3_paced_admissions": q_t3_paced_admissions,
         "w1_tumbling_window": q_w1_tumbling_window,
+        "w2_sliding_window": q_w2_sliding_window,
         "w3_sessionization": q_w3_sessionization,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -931,6 +961,29 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) as bigint) as n_events, "
             "round(sum(value), 6) as sum_value "
             "from events group by 1, 2"
+        ),
+        "t3_paced_admissions": (
+            "with c as (select cast(user_id as varchar) as host, "
+            "cast(event_id as varchar) as url, ts, "
+            "epoch_ms(ts) - epoch_ms(ts) % 60000 as window_start_ms "
+            "from events) "
+            "select host, url, ts, cast(window_start_ms as bigint) "
+            "as window_start_ms, "
+            "row_number() over (partition by host, window_start_ms "
+            "order by ts, url) <= 3 as admitted from c"
+        ),
+        "w2_sliding_window": (
+            "with h as ("
+            "select time_bucket(interval '30 minutes', ts) as window_start, "
+            "event_type, value from events "
+            "union all "
+            "select time_bucket(interval '30 minutes', ts) "
+            "- interval '30 minutes' as window_start, "
+            "event_type, value from events) "
+            "select window_start, event_type, "
+            "cast(count(*) as bigint) as n_events, "
+            "round(sum(value), 6) as sum_value "
+            "from h group by 1, 2"
         ),
         "w3_sessionization": (
             "with e as (select user_id, event_id, ts, lag(ts) over "

@@ -48,6 +48,43 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key HOPPING-window count + value sum (width > slide ⇒ each event
+    lands in width/slide overlapping windows). Spark's ``F.window(ts,
+    width, slide)`` expands each row into its windows BEFORE the shuffle,
+    so map-side partial aggregation still applies — one shuffle on
+    (window, key), fan-out bounded by width/slide.
+
+    Epoch-aligned window starts (same property as :func:`tumbling_counts`),
+    which makes the op exactly SQL-checkable: a hop of width W and slide S
+    equals the UNION of W/S tumbling rollups offset by i·S — the DuckDB
+    oracle formulation in ``__spark_entry__.oracle_sql``."""
+    df = events
+    if watermark is not None:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

@@ -10,6 +10,7 @@ import pytest
 from inform_spark.streaming.windows import (
     session_window_agg,
     sessionize,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -84,6 +85,67 @@ def test_streaming_tumbling_with_watermark(spark, events, tmp_path):
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in tumbling_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_sliding_hop_membership(spark, events):
+    """Hopping windows (1h width, 30m slide): every event lands in exactly
+    width/slide = 2 windows, and each hop window's count equals the sum of
+    its two constituent 30-minute tumbling buckets."""
+    hop = sliding_counts(events, width="1 hour", slide="30 minutes")
+    n_events = events.count()
+    assert hop.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in hop.collect()
+    }
+    half = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    from datetime import timedelta
+
+    for (ws, et), n in got.items():
+        want = half.get((ws, et), 0) + half.get(
+            (ws + timedelta(minutes=30), et), 0
+        )
+        assert n == want, (ws, et)
+
+
+def test_streaming_sliding_with_watermark(spark, events, tmp_path):
+    """The SAME sliding_counts plan over a file stream equals batch."""
+    src = str(tmp_path / "slide-src")
+    events.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = sliding_counts(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from slide_smoke").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_counts(events).collect()
     }
     assert got == want
 
