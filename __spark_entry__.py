@@ -129,6 +129,61 @@ def q_t2_window_budget(spark, sf_dir):
     )
 
 
+def q_corpus_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample keyed on a cross-engine content hash
+    (operators/sampling.hash_sample): reproducible across engines,
+    partitionings and reruns — ``df.sample()`` is none of those."""
+    from inform_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 0.25, salt="bench").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def q_corpus_split_assign(spark, sf_dir):
+    """Named train/val/test split by hash bucket — a key's split never
+    changes when the corpus grows (operators/sampling.split_assign)."""
+    from inform_spark.operators.sampling import split_assign
+
+    return split_assign(
+        _docs(spark, sf_dir),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s1",
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Exactly-n-per-stratum deterministic sample: rank by content hash
+    within each stratum (operators/sampling.stratified_sample_exact) —
+    per-stratum windows, one shuffle, no global sort."""
+    from inform_spark.operators.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _docs(spark, sf_dir), "source", 20, "doc_id", salt="s2"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-then-chunk at seq_len=2048):
+    per-document window placement from a DISTRIBUTED exclusive prefix sum
+    (operators/packing.pack_sequences over rank.distributed_cumsum — the
+    two-phase range-partition formulation, no single-partition window)."""
+    from inform_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    out, _caches = pack_sequences(
+        docs, "tok", [F.col("doc_id").asc()], seq_len=2048
+    )
+    return out.select(
+        "doc_id", "tok", "cum_before", "seq_first", "seq_last",
+        "offset_in_seq", "n_seqs",
+    )
+
+
 def q_t3_paced_admissions(spark, sf_dir):
     """T3-family politeness admission as a continuous operator (batch
     formulation of streaming/stateful.paced_admissions_stream — the
@@ -598,6 +653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_retry_backoff": q_t5_retry_backoff,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "corpus_hash_sample": q_corpus_hash_sample,
+        "corpus_split_assign": q_corpus_split_assign,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "t3_paced_admissions": q_t3_paced_admissions,
         "w1_tumbling_window": q_w1_tumbling_window,
         "w2_sliding_window": q_w2_sliding_window,
@@ -961,6 +1020,42 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) as bigint) as n_events, "
             "round(sum(value), 6) as sum_value "
             "from events group by 1, 2"
+        ),
+        "corpus_hash_sample": (
+            "select cast(doc_id as bigint) as doc_id, source from documents "
+            f"where {_H60_SQL.format(s=chr(39) + 'bench' + chr(39) + ' || cast(doc_id as varchar)')} "
+            "% 1000000 < 250000"
+        ),
+        "corpus_split_assign": (
+            "with h as (select doc_id, "
+            f"{_H60_SQL.format(s=chr(39) + 's1' + chr(39) + ' || cast(doc_id as varchar)')} "
+            "% 1000000 as b from documents) "
+            "select cast(doc_id as bigint) as doc_id, "
+            "case when b < 100000 then 'test' "
+            "when b < 900000 then 'train' else 'val' end as split from h"
+        ),
+        "corpus_stratified_sample": (
+            "with h as (select doc_id, source, "
+            f"{_H60_SQL.format(s=chr(39) + 's2' + chr(39) + ' || cast(doc_id as varchar)')} "
+            "as hv from documents), "
+            "r as (select doc_id, source, row_number() over "
+            "(partition by source order by hv, doc_id) as rk from h) "
+            "select cast(doc_id as bigint) as doc_id, source from r "
+            "where rk <= 20"
+        ),
+        "pack_sequences": (
+            "with t as (select cast(doc_id as bigint) as doc_id, "
+            "cast(len(regexp_split_to_array(text, '\\s+')) as bigint) as tok "
+            "from documents), "
+            "c as (select doc_id, tok, cast(coalesce(sum(tok) over "
+            "(order by doc_id rows between unbounded preceding and 1 "
+            "preceding), 0) as bigint) as cum_before from t) "
+            "select doc_id, tok, cum_before, "
+            "cum_before // 2048 as seq_first, "
+            "(cum_before + greatest(tok, 1) - 1) // 2048 as seq_last, "
+            "cum_before % 2048 as offset_in_seq, "
+            "(cum_before + greatest(tok, 1) - 1) // 2048 "
+            "- cum_before // 2048 + 1 as n_seqs from c"
         ),
         "t3_paced_admissions": (
             "with c as (select cast(user_id as varchar) as host, "

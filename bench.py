@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "corpus_stratified_sample",
+    "pack_sequences",
     "t2_window_budget",
     "j1_anti_join_seen",
 ]

@@ -1,0 +1,89 @@
+"""Deterministic corpus sampling — reproducible, engine-independent.
+
+Training-data pipelines sample constantly (per-source mixing rates,
+held-out splits, eval carve-outs) and the sample MUST be reproducible
+across reruns and engines — ``df.sample()`` is seeded per-partition and
+changes with partitioning, so it is useless for lineage. These operators
+key every decision on a cross-engine content hash instead
+(``H60(s) = int(md5(s)[:15], 16)`` — the same hash the minhash/LSH family
+uses, DuckDB-identical, see operators/textops.py), so the same row set is
+selected no matter the cluster size, partitioning, or engine.
+
+Scale:
+- :func:`hash_sample` is NARROW — a filter on a hash of the key, no
+  shuffle, pushdown-friendly; rate changes don't move earlier decisions
+  (a row's fate depends only on (salt, key)).
+- :func:`stratified_sample_exact` shuffles once on the stratum and ranks
+  within each stratum — per-stratum windows, never a global one. Skewed
+  strata are bounded by the per-stratum top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inform_spark.operators.textops import _h60 as h60
+
+_DENOM = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a row iff ``H60(salt || key) % 1e6 < rate * 1e6`` — a
+    deterministic Bernoulli(rate) sample, independent of partitioning.
+    Nested rates are monotone per salt: rate=0.1 selects a subset of
+    rate=0.2's rows under the same salt."""
+    bucket = F.pmod(
+        h60(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    return df.filter(bucket < F.lit(int(rate * _DENOM)))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …) by
+    hash bucket; fractions must sum to ≤ 1 (remainder gets ``None``).
+    Deterministic and stable under data growth: a key's split never
+    changes when other rows are added."""
+    bucket = F.pmod(
+        h60(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in sorted(splits.items()):
+        lo, hi = hi, hi + int(frac * _DENOM)
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(
+            expr
+        )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: rank by the content
+    hash within each stratum (a deterministic shuffle order) and keep the
+    top n. One shuffle on the stratum; per-stratum windows."""
+    hcol = h60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(hcol.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
