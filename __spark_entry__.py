@@ -55,6 +55,32 @@ def _docs(spark, sf_dir):
 
 _H60_SQL = "cast('0x'||substr(md5({s}),1,15) as bigint)"
 
+# DuckDB mirror of operators/spans.synthesize_interleaved: 12-word text
+# spans, media span after text span i iff H60('spans'||doc_id||'-'||i)%5==0,
+# offsets numbering the interleaved sequence. Composed into every span-op
+# oracle below so the whole pipeline is checked end to end.
+_SPANS_CTE = (
+    "with w as (select cast(doc_id as varchar) as doc_id, "
+    "string_split(text, ' ') as words from documents), "
+    "n as (select doc_id, words, "
+    "greatest(cast(ceil(len(words)/12.0) as bigint), 1) as nc from w), "
+    "c as (select doc_id, i, "
+    "array_to_string(words[i*12+1:(i+1)*12], ' ') as chunk_text, "
+    "(cast('0x'||substr(md5('spans'||doc_id||'-'||cast(i as varchar)),1,15) "
+    "as bigint)) % 5 = 0 as add_media "
+    "from n, unnest(range(nc)) as t(i)), "
+    "u as (select doc_id, i, 0 as sub, 'text' as kind, "
+    "chunk_text as text, cast(null as varchar) as media_ref from c "
+    "union all "
+    "select doc_id, i, 1 as sub, 'media' as kind, "
+    "cast(null as varchar) as text, "
+    "'media://'||doc_id||'/'||cast(i as varchar) as media_ref "
+    "from c where add_media), "
+    "spans as (select doc_id, kind, text, media_ref, "
+    "cast(row_number() over (partition by doc_id order by i, sub) - 1 "
+    'as int) as "offset" from u)'
+)
+
 # shingle list (3-word) over lower(text), DuckDB side; mirrors
 # textops.shingles_col exactly (sequence bounds, slice width, dedup)
 _SHINGLES_SQL = (
@@ -182,6 +208,59 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", "tok", "cum_before", "seq_first", "seq_last",
         "offset_in_seq", "n_seqs",
     )
+
+
+def _spans_df(spark, sf_dir):
+    from inform_spark.operators.spans import synthesize_interleaved
+
+    return synthesize_interleaved(_docs(spark, sf_dir))
+
+
+def q_spans_synthesize(spark, sf_dir):
+    """Deterministic interleaved text+media span table (the engine's
+    input_hint document shape) synthesized from the plain-text corpus —
+    operators/spans.synthesize_interleaved, narrow built-ins only. The
+    oracle rebuilds the identical table in DuckDB, proving the
+    construction cross-engine byte-exact."""
+    df = _spans_df(spark, sf_dir)
+    s = df.select("doc_id", F.explode("spans").alias("s"))
+    return s.select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def q_span_stats(spark, sf_dir):
+    """Per-document interleaving statistics (operators/spans.span_stats):
+    all in-row higher-order functions, zero shuffle."""
+    from inform_spark.operators.spans import span_stats
+
+    return span_stats(_spans_df(spark, sf_dir))
+
+
+def q_span_rechunk(spark, sf_dir):
+    """Fixed-cost training-window assignment at span boundaries
+    (operators/spans.span_rechunk, max 512 chars, media cost 32): the
+    prefix sum runs inside each row's array — narrow, no window, no
+    shuffle."""
+    from inform_spark.operators.spans import span_rechunk
+
+    return span_rechunk(_spans_df(spark, sf_dir), max_chars=512, media_cost=32)
+
+
+def q_span_render(spark, sf_dir):
+    """Offset-order re-serialization of spans to markdown
+    (operators/spans.span_render) — the engine's per-row invariant
+    (span sequence ↔ rendered text) made queryable."""
+    from inform_spark.operators.spans import span_render
+
+    return span_render(_spans_df(spark, sf_dir))
+
+
+def q_media_manifest(spark, sf_dir):
+    """(media_ref, caption) pair mining: each media span with its
+    preceding text span (operators/spans.media_manifest) — the
+    image-caption extraction step of a multimodal pipeline, narrow."""
+    from inform_spark.operators.spans import media_manifest
+
+    return media_manifest(_spans_df(spark, sf_dir))
 
 
 def q_t3_paced_admissions(spark, sf_dir):
@@ -657,6 +736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assign": q_corpus_split_assign,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "spans_synthesize": q_spans_synthesize,
+        "span_stats": q_span_stats,
+        "span_rechunk": q_span_rechunk,
+        "span_render": q_span_render,
+        "media_manifest": q_media_manifest,
         "t3_paced_admissions": q_t3_paced_admissions,
         "w1_tumbling_window": q_w1_tumbling_window,
         "w2_sliding_window": q_w2_sliding_window,
@@ -1056,6 +1140,49 @@ def oracle_sql() -> dict[str, str]:
             "cum_before % 2048 as offset_in_seq, "
             "(cum_before + greatest(tok, 1) - 1) // 2048 "
             "- cum_before // 2048 + 1 as n_seqs from c"
+        ),
+        "spans_synthesize": (
+            f"{_SPANS_CTE} "
+            'select doc_id, kind, text, media_ref, "offset" from spans'
+        ),
+        "span_stats": (
+            f"{_SPANS_CTE} "
+            "select doc_id, cast(count(*) as bigint) as n_spans, "
+            "cast(sum(case when kind='text' then 1 else 0 end) as bigint) "
+            "as n_text, "
+            "cast(sum(case when kind='media' then 1 else 0 end) as bigint) "
+            "as n_media, "
+            "cast(coalesce(sum(case when kind='text' then len(text) end),0) "
+            "as bigint) as text_chars, "
+            "round(sum(case when kind='media' then 1 else 0 end) "
+            "/ count(*), 6) as media_ratio "
+            "from spans group by doc_id"
+        ),
+        "span_rechunk": (
+            f"{_SPANS_CTE}, "
+            'costed as (select doc_id, "offset", kind, media_ref, '
+            "case when kind='text' then len(text) else 32 end as cost "
+            "from spans), "
+            "cum as (select *, coalesce(sum(cost) over (partition by doc_id "
+            'order by "offset" rows between unbounded preceding and 1 '
+            "preceding), 0) as cumb from costed) "
+            'select doc_id, "offset", kind, media_ref, '
+            "cast(cumb // 512 as bigint) as chunk_id, "
+            "cast(cumb % 512 as bigint) as char_start from cum"
+        ),
+        "span_render": (
+            f"{_SPANS_CTE} "
+            "select doc_id, string_agg(case when kind='text' then text "
+            "else '![media]('||media_ref||')' end, chr(10)||chr(10) "
+            'order by "offset") as md from spans group by doc_id'
+        ),
+        "media_manifest": (
+            f"{_SPANS_CTE}, "
+            'lagged as (select doc_id, kind, media_ref, "offset", '
+            "lag(case when kind='text' then text end) over "
+            '(partition by doc_id order by "offset") as caption from spans) '
+            'select doc_id, media_ref, cast("offset" as bigint) as offset, '
+            "caption from lagged where kind='media'"
         ),
         "t3_paced_admissions": (
             "with c as (select cast(user_id as varchar) as host, "

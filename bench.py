@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "corpus_stratified_sample",
     "pack_sequences",
+    "span_rechunk",
+    "span_render",
     "t2_window_budget",
     "j1_anti_join_seen",
 ]
