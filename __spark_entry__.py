@@ -263,6 +263,23 @@ def q_media_manifest(spark, sf_dir):
     return media_manifest(_spans_df(spark, sf_dir))
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Crawl-prioritization PageRank over a deterministic synthetic link
+    graph (operators/linkgraph.pagerank, 3 iterations): FIXED-POINT long
+    arithmetic throughout, so the result is independent of partitioning
+    and execution order — which is what lets DuckDB hash-match it (float
+    PageRank never would). Two shuffles per iteration, map-side combine
+    on the skewed in-degree hubs."""
+    from inform_spark.operators.linkgraph import pagerank, synthetic_edges
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    return pagerank(synthetic_edges(nodes), nodes, iterations=3).select(
+        F.col("id").alias("doc_id"), "rank"
+    )
+
+
 def q_t3_paced_admissions(spark, sf_dir):
     """T3-family politeness admission as a continuous operator (batch
     formulation of streaming/stateful.paced_admissions_stream — the
@@ -738,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "spans_synthesize": q_spans_synthesize,
         "span_stats": q_span_stats,
+        "link_pagerank": q_link_pagerank,
         "span_rechunk": q_span_rechunk,
         "span_render": q_span_render,
         "media_manifest": q_media_manifest,
@@ -1175,6 +1193,35 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, string_agg(case when kind='text' then text "
             "else '![media]('||media_ref||')' end, chr(10)||chr(10) "
             'order by "offset") as md from spans group by doc_id'
+        ),
+        "link_pagerank": (
+            "with nodes as (select cast(doc_id as bigint) as id "
+            "from documents), "
+            "cnt as (select count(*) as n from nodes), "
+            "e0 as (select id as src, k from nodes, "
+            "unnest(range(1 + id % 3)) as t(k)), "
+            "edges as (select src, "
+            "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
+            "||cast(k as varchar)),1,15) as bigint) "
+            "% (select n from cnt) as dst from e0), "
+            "deg as (select src, count(*) as deg from edges group by src), "
+            "r0 as (select id, cast(1000000 as bigint) as rank from nodes), "
+            "c1 as (select e.dst as id, sum(r.rank // d.deg) as s "
+            "from edges e join deg d using(src) join r0 r on r.id = e.src "
+            "group by e.dst), "
+            "r1 as (select n.id, cast(150000 + (85 * coalesce(c.s, 0)) // 100 "
+            "as bigint) as rank from nodes n left join c1 c using(id)), "
+            "c2 as (select e.dst as id, sum(r.rank // d.deg) as s "
+            "from edges e join deg d using(src) join r1 r on r.id = e.src "
+            "group by e.dst), "
+            "r2 as (select n.id, cast(150000 + (85 * coalesce(c.s, 0)) // 100 "
+            "as bigint) as rank from nodes n left join c2 c using(id)), "
+            "c3 as (select e.dst as id, sum(r.rank // d.deg) as s "
+            "from edges e join deg d using(src) join r2 r on r.id = e.src "
+            "group by e.dst), "
+            "r3 as (select n.id, cast(150000 + (85 * coalesce(c.s, 0)) // 100 "
+            "as bigint) as rank from nodes n left join c3 c using(id)) "
+            "select id as doc_id, rank from r3"
         ),
         "media_manifest": (
             f"{_SPANS_CTE}, "
