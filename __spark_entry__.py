@@ -280,6 +280,58 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff (operators/recrawl.snapshot_diff):
+    added/removed/changed/unchanged per URL across two deterministic
+    synthetic snapshots (deletions H%10, edits H%7, additions H%13 of
+    the corpus). One full-outer join; bucketed co-location at 10^10."""
+    from inform_spark.operators.recrawl import snapshot_diff
+    from inform_spark.operators.textops import _h60
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+
+    def hmod(salt, m):
+        return F.pmod(_h60(F.concat(F.lit(salt), F.col("url"))), F.lit(m))
+
+    old = d.select("url", F.md5("text").alias("fingerprint"))
+    new_text = F.when(
+        hmod("mod", 7) == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    survived = d.filter(hmod("del", 10) != 0).select(
+        "url", F.md5(new_text).alias("fingerprint")
+    )
+    added = d.filter(hmod("add", 13) == 0).select(
+        F.concat(F.lit("n"), F.col("url")).alias("url"),
+        F.md5(F.concat(F.lit("new "), F.col("url"))).alias("fingerprint"),
+    )
+    return snapshot_diff(old, survived.unionByName(added))
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive revisit scheduling (operators/recrawl.recrawl_schedule):
+    per-URL change-rate stats from a revisit log, then the clamped
+    base*(checks+1)/(changes+1) interval — all deterministic integer
+    arithmetic (epoch millis), one aggregation."""
+    from inform_spark.operators.recrawl import (
+        change_history_stats,
+        recrawl_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("u"), F.pmod(F.col("event_id"), F.lit(2000)).cast("string")
+        ).alias("url"),
+        F.col("ts").alias("checked_at"),
+        (F.col("event_type") == "click").alias("changed"),
+    )
+    return recrawl_schedule(change_history_stats(hist)).select(
+        "url", "checks", "changes", "last_ms", "interval_ms", "next_due_ms"
+    )
+
+
 def q_t3_paced_admissions(spark, sf_dir):
     """T3-family politeness admission as a continuous operator (batch
     formulation of streaming/stateful.paced_admissions_stream — the
@@ -756,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_synthesize": q_spans_synthesize,
         "span_stats": q_span_stats,
         "link_pagerank": q_link_pagerank,
+        "snapshot_diff": q_snapshot_diff,
+        "recrawl_schedule": q_recrawl_schedule,
         "span_rechunk": q_span_rechunk,
         "span_render": q_span_render,
         "media_manifest": q_media_manifest,
@@ -1193,6 +1247,39 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, string_agg(case when kind='text' then text "
             "else '![media]('||media_ref||')' end, chr(10)||chr(10) "
             'order by "offset") as md from spans group by doc_id'
+        ),
+        "snapshot_diff": (
+            "with d as (select cast(doc_id as varchar) as url, text "
+            "from documents), "
+            "old as (select url, md5(text) as f from d), "
+            "survived as (select url, md5(case when "
+            f"{_H60_SQL.format(s=chr(39) + 'mod' + chr(39) + '||url')} % 7 = 0 "
+            "then text||' v2' else text end) as f from d where "
+            f"{_H60_SQL.format(s=chr(39) + 'del' + chr(39) + '||url')} % 10 <> 0), "
+            "added as (select 'n'||url as url, md5('new '||url) as f "
+            "from d where "
+            f"{_H60_SQL.format(s=chr(39) + 'add' + chr(39) + '||url')} % 13 = 0), "
+            "nw as (select * from survived union all select * from added) "
+            "select coalesce(o.url, n.url) as url, "
+            "case when o.f is null then 'added' "
+            "when n.f is null then 'removed' "
+            "when o.f <> n.f then 'changed' else 'unchanged' end as change "
+            "from old o full outer join nw n on o.url = n.url"
+        ),
+        "recrawl_schedule": (
+            "with h as (select 'u'||cast(event_id % 2000 as varchar) as url, "
+            "ts, (event_type = 'click') as changed from events), "
+            "s as (select url, cast(count(*) as bigint) as checks, "
+            "cast(sum(case when changed then 1 else 0 end) as bigint) "
+            "as changes, cast(max(epoch_ms(ts)) as bigint) as last_ms "
+            "from h group by url) "
+            "select url, checks, changes, last_ms, "
+            "cast(least(2592000000, greatest(3600000, "
+            "86400000 * (checks + 1) // (changes + 1))) as bigint) "
+            "as interval_ms, "
+            "cast(last_ms + least(2592000000, greatest(3600000, "
+            "86400000 * (checks + 1) // (changes + 1))) as bigint) "
+            "as next_due_ms from s"
         ),
         "link_pagerank": (
             "with nodes as (select cast(doc_id as bigint) as id "

@@ -1,0 +1,106 @@
+"""Snapshot diff + freshness-driven recrawl scheduling.
+
+The reference crawls once and exits; a production crawler RE-crawls, and
+what it recrawls first is decided by (a) what changed between the last
+two snapshots and (b) each URL's observed change frequency (the classic
+adaptive-revisit policy: pages that change often are revisited often —
+Cho & Garcia-Molina, "Effective page refresh policies for web crawlers",
+ACM TODS 2003). This module implements both halves over the engine's
+snapshot tables (plans/checkpoint.SnapshotTable.read_at gives any two
+document snapshots; the tombstone/invalidation API handles takedowns —
+these operators decide what to fetch NEXT).
+
+Everything is deterministic integer arithmetic (counts, epoch millis,
+integer-clamped intervals) so schedules are reproducible across engines
+and partitionings — a recrawl plan that changes when the cluster resizes
+would make incremental crawls unauditable.
+
+Scale:
+- :func:`snapshot_diff` is ONE full-outer shuffle join on the URL key —
+  at 10^10 rows, bucket both snapshot tables by ``bucket(url_hash)`` so
+  the join is co-located (zero shuffle); AQE absorbs host skew here.
+- :func:`change_history_stats` is a single groupBy with map-side combine.
+- :func:`recrawl_schedule` is narrow arithmetic on the stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fingerprint: str = "fingerprint",
+) -> DataFrame:
+    """Classify every key across two snapshots: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, fingerprints differ),
+    ``unchanged``. One full-outer join on ``key``."""
+    o = old.select(F.col(key).alias("__k"), F.col(fingerprint).alias("__fo"))
+    n = new.select(F.col(key).alias("__k"), F.col(fingerprint).alias("__fn"))
+    j = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("__k").alias(key), change.alias("change"))
+
+
+def change_history_stats(
+    history: DataFrame,
+    key: str = "url",
+    checked_col: str = "checked_at",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Per-URL revisit statistics from a (url, checked_at, changed) log:
+    total checks, observed changes, last check time (epoch ms)."""
+    return history.groupBy(key).agg(
+        F.count(F.lit(1)).alias("checks"),
+        F.sum(F.col(changed_col).cast("long")).alias("changes"),
+        # cast handles TIMESTAMP_NTZ parquet columns; the engine pins
+        # spark.sql.session.timeZone=UTC (session.py) so the naive value
+        # is read as UTC — identical to DuckDB's epoch_ms
+        F.max(F.unix_millis(F.col(checked_col).cast("timestamp"))).alias(
+            "last_ms"
+        ),
+    )
+
+
+def recrawl_schedule(
+    stats: DataFrame,
+    base_interval_ms: int = 86_400_000,
+    min_interval_ms: int = 3_600_000,
+    max_interval_ms: int = 2_592_000_000,
+) -> DataFrame:
+    """Adaptive revisit interval per URL: ``base * (checks+1) div
+    (changes+1)``, clamped to [min, max] — a URL that changed on every
+    check converges to ~base, one that never changes backs off toward
+    ``max``. Emits ``next_due_ms = last_ms + interval_ms`` for the
+    frontier's admission filter. Narrow integer arithmetic."""
+    interval = F.least(
+        F.lit(max_interval_ms),
+        F.greatest(
+            F.lit(min_interval_ms),
+            F.expr(
+                f"{base_interval_ms} * (checks + 1) div (changes + 1)"
+            ),
+        ),
+    ).cast("long")
+    return stats.withColumn("interval_ms", interval).withColumn(
+        "next_due_ms", (F.col("last_ms") + F.col("interval_ms")).cast("long")
+    )
+
+
+def due_now(
+    schedule: DataFrame, now_ms: int, budget: int | None = None
+) -> DataFrame:
+    """URLs whose revisit is due at ``now_ms``, most-overdue first,
+    optionally capped to a fetch budget (TakeOrdered — no global sort
+    materialization)."""
+    due = schedule.filter(F.col("next_due_ms") <= F.lit(now_ms))
+    due = due.orderBy(F.col("next_due_ms").asc(), F.col("url").asc())
+    return due.limit(budget) if budget else due
