@@ -280,6 +280,26 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_gopher_gates(spark, sf_dir):
+    """Gopher document-quality rule gates (operators/quality.gopher_gates,
+    Rae et al. 2021 A1.1 thresholds): per-rule booleans + overall pass,
+    all narrow in-row array arithmetic. Booleans cast to int for the
+    cross-engine hash."""
+    from inform_spark.operators.quality import gopher_gates
+
+    g = gopher_gates(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    keep = ["doc_id", "word_count", "mean_word_len", "symbol_ratio",
+            "alpha_ratio", "stop_hits"]
+    flags = [c for c in g.columns if c.startswith("gate_")] + ["pass_all"]
+    return g.select(
+        *keep, *[F.col(c).cast("int").alias(c) for c in flags]
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-crawl snapshot diff (operators/recrawl.snapshot_diff):
     added/removed/changed/unchanged per URL across two deterministic
@@ -808,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_synthesize": q_spans_synthesize,
         "span_stats": q_span_stats,
         "link_pagerank": q_link_pagerank,
+        "gopher_gates": q_gopher_gates,
         "snapshot_diff": q_snapshot_diff,
         "recrawl_schedule": q_recrawl_schedule,
         "span_rechunk": q_span_rechunk,
@@ -1247,6 +1268,45 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, string_agg(case when kind='text' then text "
             "else '![media]('||media_ref||')' end, chr(10)||chr(10) "
             'order by "offset") as md from spans group by doc_id'
+        ),
+        "gopher_gates": (
+            "with w as (select cast(doc_id as bigint) as doc_id, text, "
+            "string_split(text, ' ') as words, "
+            "string_split(text, chr(10)) as lines from documents), "
+            "m as (select doc_id, "
+            "cast(len(words) as bigint) as wc, "
+            "round(list_sum(list_transform(words, x -> len(x))) "
+            "/ len(words), 6) as mean_word_len, "
+            "round((cast((len(text) - len(replace(text, '#', ''))) "
+            "as bigint) + cast((len(text) - len(replace(text, '...', ''))) "
+            "/ 3 as bigint)) / len(words), 6) as symbol_ratio, "
+            "round(len(list_filter(words, x -> "
+            "regexp_matches(x, '[a-zA-Z]'))) / len(words), 6) "
+            "as alpha_ratio, "
+            "cast(len(list_filter(['the','be','to','of','and','that',"
+            "'have','with'], s -> list_contains(list_transform(words, "
+            "x -> lower(x)), s))) as bigint) as stop_hits, "
+            "cast(len(lines) as bigint) as n_lines, "
+            "cast(len(list_filter(lines, x -> regexp_matches(x, "
+            "'^\\s*[-*•]'))) as bigint) as bullets, "
+            "cast(len(list_filter(lines, x -> regexp_matches(x, "
+            "'(\\.\\.\\.|…)\\s*$'))) as bigint) as ellipsis_ends "
+            "from w) "
+            "select doc_id, wc as word_count, mean_word_len, symbol_ratio, "
+            "alpha_ratio, stop_hits, "
+            "cast(wc >= 50 and wc <= 100000 as int) as gate_word_count, "
+            "cast(mean_word_len >= 3 and mean_word_len <= 10 as int) "
+            "as gate_mean_word_len, "
+            "cast(symbol_ratio <= 0.1 as int) as gate_symbol_ratio, "
+            "cast(alpha_ratio >= 0.80 as int) as gate_alpha_ratio, "
+            "cast(stop_hits >= 2 as int) as gate_stop_words, "
+            "cast(bullets <= 0.9 * n_lines as int) as gate_bullets, "
+            "cast(ellipsis_ends <= 0.3 * n_lines as int) as gate_ellipsis, "
+            "cast((wc >= 50 and wc <= 100000) and "
+            "(mean_word_len >= 3 and mean_word_len <= 10) and "
+            "symbol_ratio <= 0.1 and alpha_ratio >= 0.80 and "
+            "stop_hits >= 2 and bullets <= 0.9 * n_lines and "
+            "ellipsis_ends <= 0.3 * n_lines as int) as pass_all from m"
         ),
         "snapshot_diff": (
             "with d as (select cast(doc_id as varchar) as url, text "

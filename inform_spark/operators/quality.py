@@ -1,0 +1,121 @@
+"""Document-level quality gates for training-data curation.
+
+operators/textops.quality_score emits a continuous score; this module
+implements the published RULE-GATE form — the Gopher document filters
+(Rae et al., "Scaling Language Models: ... Gopher", 2021, Appendix A1.1)
+adapted to the corpus schema: each document gets one boolean per rule
+plus the overall pass, so a pipeline can either filter on ``pass_all``
+or audit per-rule rejection rates (the rollup a curation run reports).
+
+Rules (thresholds are the paper's):
+- word count in [min_words, max_words] (50..100k)
+- mean word length in [3, 10]
+- symbol-to-word ratio (# and ellipsis) <= 0.1
+- fraction of words with >=1 alphabetic char >= 0.80
+- >= 2 distinct stop words present (the, be, to, of, and, that, have, with)
+- line-shape gates: <=90% of lines start with a bullet, <=30% end with
+  an ellipsis
+
+Scale: entirely narrow in-row array arithmetic (split / filter /
+aggregate / higher-order functions) — zero shuffle, zero Python, fully
+codegen'd; a quality pass over 100 TB is a pure map with column-pruned
+scans. Rejection-rate rollups are one groupBy on booleans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _count_occurrences(text: Column, token: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(token), F.lit(""))))
+        / len(token)
+    ).cast("long")
+
+
+def gopher_gates(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule gates. Returns doc_id + one boolean per
+    rule + ``pass_all``, plus the measured values the gates derive from
+    (word_count, mean_word_len, symbol_ratio, alpha_ratio, stop_hits)."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    wc = F.size(words).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = F.round(char_sum / wc, 6)
+    symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    symbol_ratio = F.round(symbols / wc, 6)
+    alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    alpha_ratio = F.round(alpha / wc, 6)
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in STOP_WORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullets = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^\\s*[-*•]"))
+    ).cast("long")
+    ellipsis_ends = F.size(
+        F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)\\s*$"))
+    ).cast("long")
+
+    g_words = (wc >= min_words) & (wc <= max_words)
+    g_mean = (mean_wl >= 3) & (mean_wl <= 10)
+    g_symbol = symbol_ratio <= 0.1
+    g_alpha = alpha_ratio >= 0.80
+    g_stop = stop_hits >= 2
+    g_bullet = bullets <= 0.9 * n_lines
+    g_ellipsis = ellipsis_ends <= 0.3 * n_lines
+
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        g_words.alias("gate_word_count"),
+        g_mean.alias("gate_mean_word_len"),
+        g_symbol.alias("gate_symbol_ratio"),
+        g_alpha.alias("gate_alpha_ratio"),
+        g_stop.alias("gate_stop_words"),
+        g_bullet.alias("gate_bullets"),
+        g_ellipsis.alias("gate_ellipsis"),
+        (
+            g_words & g_mean & g_symbol & g_alpha & g_stop & g_bullet
+            & g_ellipsis
+        ).alias("pass_all"),
+    )
+
+
+def gate_rejection_rollup(gates: DataFrame) -> DataFrame:
+    """Curation audit: how many documents each rule rejects, and the
+    overall pass count — one aggregation with map-side combine."""
+    gate_cols = [c for c in gates.columns if c.startswith("gate_")] + [
+        "pass_all"
+    ]
+    return gates.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(f"rejected_{c[5:]}")
+            if c != "pass_all"
+            else F.sum(F.col(c).cast("long")).alias("passed")
+            for c in gate_cols
+        ],
+    )
