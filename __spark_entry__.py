@@ -280,6 +280,26 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/textops.ngram_contamination):
+    training docs sharing any 8-gram with the hash-designated 5%
+    benchmark partition. Broadcast semi-join on shingle hashes — no
+    pair materialization, 100 TB-safe."""
+    from inform_spark.operators.textops import _h60, ngram_contamination
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    is_bench = (
+        F.pmod(
+            _h60(F.concat(F.lit("bench"), F.col("doc_id").cast("string"))),
+            F.lit(20),
+        )
+        == 0
+    )
+    return ngram_contamination(d, is_bench, w=8)
+
+
 def q_gopher_gates(spark, sf_dir):
     """Gopher document-quality rule gates (operators/quality.gopher_gates,
     Rae et al. 2021 A1.1 thresholds): per-rule booleans + overall pass,
@@ -828,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_synthesize": q_spans_synthesize,
         "span_stats": q_span_stats,
         "link_pagerank": q_link_pagerank,
+        "decontaminate": q_decontaminate,
         "gopher_gates": q_gopher_gates,
         "snapshot_diff": q_snapshot_diff,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1268,6 +1289,21 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, string_agg(case when kind='text' then text "
             "else '![media]('||media_ref||')' end, chr(10)||chr(10) "
             'order by "offset") as md from spans group by doc_id'
+        ),
+        "decontaminate": (
+            "with d as (select cast(doc_id as bigint) as doc_id, "
+            "list_distinct(list_transform("
+            "range(0, greatest(len(string_split(lower(text),' '))-8,0)+1), "
+            "i -> array_to_string((string_split(lower(text),' '))[i+1:i+8], "
+            "' '))) as sh, "
+            f"{_H60_SQL.format(s=chr(39) + 'bench' + chr(39) + ' || cast(doc_id as varchar)')} "
+            "% 20 = 0 as is_bench from documents), "
+            "hs as (select doc_id, is_bench, "
+            "cast('0x'||substr(md5(s),1,15) as bigint) as h "
+            "from d, unnest(sh) as t(s)), "
+            "bh as (select distinct h from hs where is_bench) "
+            "select distinct doc_id from hs "
+            "where not is_bench and h in (select h from bh)"
         ),
         "gopher_gates": (
             "with w as (select cast(doc_id as bigint) as doc_id, text, "

@@ -26,7 +26,7 @@ with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 8
@@ -333,4 +333,43 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(sh).cast("long").alias("n_shingles"),
         F.array_min(F.transform(sh, _h60)).alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (w-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    is_bench: Column,
+    w: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAINING document that
+    shares at least one w-word shingle with any BENCHMARK document (the
+    standard n-gram-overlap test-set-leak check run before training;
+    8-grams is the conventional window). ``is_bench`` is a boolean
+    Column partitioning ``docs``. Returns the distinct contaminated
+    ``doc_id``s.
+
+    Scale: shingle hashes (60-bit md5, cross-engine) are exploded on
+    both sides, the benchmark side is distinct-ed and BROADCAST (a
+    benchmark suite is tiny next to a 100 TB corpus), and the semi-join
+    never materializes pairs — flagged ids come straight out of the
+    probe. For a benchmark too large to broadcast, drop the hint and
+    the same plan runs as a shuffled semi-join with AQE skew handling.
+    """
+    hs = docs.withColumn(
+        "__hs", F.transform(shingles_col(text_col, w), _h60)
+    )
+    bench = hs.filter(is_bench).select(F.explode("__hs").alias("h")).distinct()
+    train = hs.filter(~is_bench).select(
+        "doc_id", F.explode("__hs").alias("h")
+    )
+    return (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
