@@ -114,3 +114,23 @@ def test_pack_sequences_total_coverage(spark, docs):
         cum += r["tok"]
         touched.update(range(r["seq_first"], r["seq_last"] + 1))
     assert touched == set(range(max(touched) + 1))
+
+
+def test_ngram_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.textops import ngram_contamination
+
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, bench_text),  # benchmark doc
+        (2, "x " * 4 + bench_text),  # contains the full 8-gram -> flagged
+        (3, "w1 w2 w3 w4 w5 a b c d e f g h"),  # only a 5-gram overlap
+        (4, "totally different words here nothing shared at all ok"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in ngram_contamination(d, F.col("doc_id") == 1, w=8).collect()
+    )
+    assert got == [2]
