@@ -50,6 +50,34 @@ AUDITS = {
         "require": ["LeftAnti"],
         "forbid": ["CartesianProduct"],
     },
+    # interleaved-span rechunk: strictly narrow — in-row higher-order
+    # functions only; ANY exchange means the design regressed
+    "span_rechunk": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # quality gates: narrow map over a two-column scan
+    "gopher_gates": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["source", "n_chars"],
+    },
+    # decontamination: benchmark side broadcast, semi-join probe, never
+    # a pair materialization
+    "decontaminate": {
+        "require": ["BroadcastHashJoin", "LeftSemi"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    # fixed-point pagerank: aggregation-based, no cartesian anywhere
+    "link_pagerank": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct"],
+    },
+    "snapshot_diff": {
+        "require": ["FullOuter"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
