@@ -122,6 +122,15 @@ class CrawlConfig:
     http_min_interval_ms: int = 0
     http_max_bytes: int = 16 * 1024 * 1024  # hard body cap; over -> 'truncated'
     http_user_agent: str = "Inform/1.0 (inform-spark)"
+    # distributed seeding (recrawl / bulk re-queue): a DataFrame with a
+    # `url` column (optional int `priority`), e.g. recrawl.due_now()
+    # output. Normalized + deduped DISTRIBUTED, FIFO order = sorted url
+    # (a DataFrame has no row order; the sort makes seeding
+    # deterministic). A driver-side `seeds` list of 10^6+ due URLs would
+    # serialize through append_rows — this path never collects. When
+    # only seeds_df is given, host/base-path scoping (F2/F3) is OPEN:
+    # bulk seeds are already-admitted URLs, not a site boundary.
+    seeds_df: object = None
     # raw mode (reference --raw, src/WebCrawler.js:336-341): documents carry
     # the extracted content HTML as one text span, doc_id gets .html
     raw: bool = False
@@ -262,6 +271,10 @@ class CrawlEngine:
         )
         self._bloom = None
         self._bloom_future = None
+        self._seed_priorities = (
+            config.seeds_df is not None
+            and "priority" in config.seeds_df.columns
+        )
         self._render_udf = make_extract_render_udf(raw=config.raw)
 
     def _resolve_bloom(self) -> None:
@@ -272,6 +285,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _init_state(self) -> None:
+        if self.cfg.seeds_df is not None:
+            self._init_state_df()
+            return
         seeds = []
         seen_urls = set()
         for s in self.cfg.seeds:
@@ -288,6 +304,52 @@ class CrawlEngine:
         ]
         self.catalog.tables["frontier"].append_rows(rows, "seed")
         self.enqueued_total = len(rows)
+        self.catalog.commit(self._state())
+
+    def _init_state_df(self) -> None:
+        """Distributed bulk seeding from cfg.seeds_df (never collects):
+        normalize + dedup + rank, all as DataFrame ops; frontier offsets
+        are the sorted-url rank so seeding is deterministic."""
+        from inform_spark.functions.urls import (
+            normalize_urls_udf,
+            url_host_udf,
+            url_path_udf,
+        )
+        from inform_spark.operators.rank import distributed_row_number
+
+        sdf = self.cfg.seeds_df
+        prio = (
+            F.col("priority").cast("int")
+            if "priority" in sdf.columns
+            else F.lit(0)
+        )
+        s = (
+            sdf.select(
+                normalize_urls_udf(F.col("url")).alias("url"),
+                prio.alias("priority"),
+            )
+            .dropDuplicates(["url"])
+        )
+        ranked, caches = distributed_row_number(
+            s, [F.col("url").asc()], out_col="__rk"
+        )
+        rows = ranked.withColumn("__p", url_path_udf("url")).select(
+            "url",
+            url_host_udf("url").alias("host"),
+            F.when(F.col("__p") == "", "/")
+            .otherwise(F.col("__p"))
+            .alias("path"),
+            F.lit(0).cast("int").alias("depth"),
+            F.col("priority").cast("int"),
+            (F.col("__rk") - 1).cast("long").alias("frontier_offset"),
+            F.lit(0).cast("long").alias("discovered_in_batch"),
+        )
+        self.catalog.tables["frontier"].append(rows, "seed", n_files=None)
+        self.enqueued_total = self.catalog.tables[
+            "frontier"
+        ].last_dir_row_count()
+        for df in caches:
+            df.unpersist()
         self.catalog.commit(self._state())
 
     def _state(self) -> dict:
@@ -647,7 +709,9 @@ class CrawlEngine:
         # need only a host membership test — a literal isin stays in codegen
         # and skips a per-batch broadcast join; non-trivial base paths take
         # the broadcast scope join.
-        if all(bp == "/" for _, bp in self._scopes):
+        if not self._scopes:
+            pass  # open scope: seeds_df bulk mode with no seed-list sites
+        elif all(bp == "/" for _, bp in self._scopes):
             cand = cand.filter(F.col("host").isin(self._scope_hosts))
         else:
             cand = cand.join(F.broadcast(self._scopes_df()), "host", "inner").filter(
@@ -810,8 +874,14 @@ class CrawlEngine:
             frontier_t = self.catalog.tables["frontier"]
             attempts_t = self.catalog.tables["attempts"]
             # the watermark prefix property needs pure FIFO: no politeness
-            # budget AND no custom priority rule
-            fifo = cfg.batch_wall_budget_ms is None and cfg.priority_col is None
+            # budget, no custom priority rule, and no seed-supplied
+            # priorities (seeds_df with a priority column selects by
+            # (priority, offset) — not an offset prefix)
+            fifo = (
+                cfg.batch_wall_budget_ms is None
+                and cfg.priority_col is None
+                and not self._seed_priorities
+            )
             if fifo and self.offset_watermark is not None:
                 # FIFO mode: live frontier by watermark predicate (no seen
                 # read, no anti-join; prunes at the scan)
