@@ -320,6 +320,72 @@ def q_gopher_gates(spark, sf_dir):
     )
 
 
+def q_repetition_gates(spark, sf_dir):
+    """Gopher A1.1 repetition gates (operators/repetition.repetition_gates):
+    top-n-gram / duplicate-n-gram / duplicate-line character fractions +
+    threshold booleans. ZERO-shuffle: per-doc sorted-array fold
+    (array_sort + F.aggregate), semantics identical to the relational
+    groupBy the oracle runs."""
+    from inform_spark.operators.repetition import repetition_gates
+
+    g = repetition_gates(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    flags = [c for c in g.columns if c.startswith("gate_")] + ["pass_all"]
+    return g.select(
+        *[c for c in g.columns if c not in flags],
+        *[F.col(c).cast("int").alias(c) for c in flags],
+    )
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/sampling.per_source_cap,
+    RefinedWeb-style domain caps): at most k docs per source in
+    deterministic content-hash order. One shuffle on source; hot-source
+    hash prefilter available for skewed domains."""
+    from inform_spark.operators.sampling import per_source_cap
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return per_source_cap(d, "source", 25, "doc_id").select(
+        "doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank")
+    )
+
+
+def q_boilerplate_filter(spark, sf_dir):
+    """CCNet-style line-level boilerplate filtering
+    (operators/quality.boilerplate_line_filter) over deterministically
+    8-word-chunked lines: drop short / letterless / pattern-matching
+    lines, re-join, report retention. Narrow end-to-end."""
+    from inform_spark.operators.quality import boilerplate_line_filter
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    words = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nlines - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
+            ),
+        ).alias("text"),
+    )
+    out = boilerplate_line_filter(
+        chunked, min_chars=35, patterns=("table",)
+    )
+    return out.select(
+        "doc_id", "clean_text", "kept_lines", "total_lines",
+        "kept_char_ratio",
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-crawl snapshot diff (operators/recrawl.snapshot_diff):
     added/removed/changed/unchanged per URL across two deterministic
@@ -850,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "decontaminate": q_decontaminate,
         "gopher_gates": q_gopher_gates,
+        "repetition_gates": q_repetition_gates,
+        "source_cap": q_source_cap,
+        "boilerplate_filter": q_boilerplate_filter,
         "snapshot_diff": q_snapshot_diff,
         "recrawl_schedule": q_recrawl_schedule,
         "span_rechunk": q_span_rechunk,
@@ -1075,6 +1144,92 @@ def _embedding_neardup_sql(per_group: int = 3) -> str:
         "as rank from p) "
         "select cast(g as int) as g, cast(a as bigint) as a, cast(b as bigint) as b, "
         f"cosine, cast(rank as int) as rank from rk where rank <= {per_group}"
+    )
+
+
+def _repetition_oracle() -> str:
+    """Relational mirror of operators/repetition.repetition_gates: per
+    width, unnest grams -> group counts -> top-1 window / duplicate sums;
+    the Spark side computes the same values with a shuffle-free sorted
+    fold (tie-break parity: ORDER BY cnt DESC, gram ASC == first max-run
+    gram in sorted order)."""
+    widths = {2: "top", 3: "top", 4: "top", 5: "dup", 8: "dup", 10: "dup"}
+    thr = {"top2": 0.20, "top3": 0.18, "top4": 0.16,
+           "dup5": 0.15, "dup8": 0.12, "dup10": 0.10}
+    ctes = [
+        "base as (select cast(doc_id as bigint) as doc_id, text, "
+        "string_split(lower(text), ' ') as ws, "
+        "string_split(text, chr(10)) as lines, "
+        "cast(greatest(length(text), 1) as double) as nc from documents)"
+    ]
+    joins, sel = [], []
+    for w, kind in widths.items():
+        ctes.append(
+            f"g{w} as (select doc_id, array_to_string(ws[i:i+{w-1}], ' ') "
+            f"as gram from base, unnest(generate_series(1, len(ws)-{w-1})) "
+            f"s(i) where len(ws) >= {w})"
+        )
+        ctes.append(
+            f"c{w} as (select doc_id, gram, count(*) as cnt from g{w} "
+            "group by all)"
+        )
+        if kind == "top":
+            ctes.append(
+                f"a{w} as (select doc_id, cnt*length(gram) as v from "
+                f"(select *, row_number() over (partition by doc_id "
+                f"order by cnt desc, gram asc) as rn from c{w}) where rn=1)"
+            )
+        else:
+            ctes.append(
+                f"a{w} as (select doc_id, sum((cnt-1)*length(gram)) as v "
+                f"from c{w} group by doc_id)"
+            )
+        joins.append(f"left join a{w} using (doc_id)")
+        sel.append(
+            f"round(coalesce(a{w}.v, 0)/base.nc, 6) as {kind}{w}_frac"
+        )
+    ctes.append(
+        "lc as (select doc_id, line, count(*) as cnt from "
+        "(select doc_id, unnest(lines) as line from base) group by all)"
+    )
+    ctes.append(
+        "ls as (select doc_id, sum(cnt-1) as dcnt, "
+        "sum((cnt-1)*length(line)) as dchars, sum(cnt) as total, "
+        "sum(cnt*length(line)) as chars from lc group by doc_id)"
+    )
+    joins.append("left join ls using (doc_id)")
+    sel.append(
+        "round(coalesce(ls.dcnt, 0)/greatest(ls.total, 1), 6) "
+        "as dup_line_frac"
+    )
+    sel.append(
+        "round(coalesce(ls.dchars, 0)/greatest(ls.chars, 1), 6) "
+        "as dup_line_char_frac"
+    )
+    frac_names = [s.split(" as ")[-1] for s in sel]
+    gate_exprs = [
+        f"cast({n} <= {thr[n.removesuffix('_frac')]} as int) as "
+        f"gate_{n.removesuffix('_frac')}"
+        for n in frac_names
+        if n.removesuffix("_frac") in thr
+    ]
+    gate_exprs.append(
+        "cast(dup_line_frac <= 0.30 as int) as gate_dup_line"
+    )
+    gate_exprs.append(
+        "cast(dup_line_char_frac <= 0.20 as int) as gate_dup_line_chars"
+    )
+    conds = [
+        f"{n} <= {thr[n.removesuffix('_frac')]}"
+        for n in frac_names
+        if n.removesuffix("_frac") in thr
+    ] + ["dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20"]
+    return (
+        "with " + ", ".join(ctes) + ", fr as (select base.doc_id, "
+        "cast(len(base.ws) as bigint) as n_words, " + ", ".join(sel)
+        + " from base " + " ".join(joins) + ") select *, "
+        + ", ".join(gate_exprs)
+        + ", cast(" + " and ".join(conds) + " as int) as pass_all from fr"
     )
 
 
@@ -1343,6 +1498,33 @@ def oracle_sql() -> dict[str, str]:
             "symbol_ratio <= 0.1 and alpha_ratio >= 0.80 and "
             "stop_hits >= 2 and bullets <= 0.9 * n_lines and "
             "ellipsis_ends <= 0.3 * n_lines as int) as pass_all from m"
+        ),
+        "repetition_gates": _repetition_oracle(),
+        "source_cap": (
+            "select doc_id, source, cap_rank from ("
+            "select cast(doc_id as bigint) as doc_id, source, "
+            "cast(row_number() over (partition by source order by "
+            "cast('0x'||substr(md5(cast(doc_id as varchar)),1,15) "
+            "as bigint) asc, cast(doc_id as varchar) asc) as bigint) "
+            "as cap_rank from documents) where cap_rank <= 25"
+        ),
+        "boilerplate_filter": (
+            "with b as (select cast(doc_id as bigint) as doc_id, "
+            "string_split(text, ' ') as ws from documents), "
+            "l as (select doc_id, list_transform("
+            "generate_series(0, cast(ceil(len(ws)/8.0) as int)-1), "
+            "i -> array_to_string(ws[i*8+1:i*8+8], ' ')) as lines from b), "
+            "f as (select doc_id, lines, list_filter(lines, x -> "
+            "length(x) >= 35 and regexp_matches(x, '[A-Za-z]') and "
+            "not contains(lower(x), 'table')) as kept from l) "
+            "select doc_id, coalesce(array_to_string(kept, chr(10)), '') "
+            "as clean_text, "
+            "cast(len(kept) as bigint) as kept_lines, "
+            "cast(len(lines) as bigint) as total_lines, "
+            "round(coalesce(list_sum(list_transform(kept, "
+            "x -> length(x))), 0) / greatest(coalesce(list_sum("
+            "list_transform(lines, x -> length(x))), 0), 1), 6) "
+            "as kept_char_ratio from f"
         ),
         "snapshot_diff": (
             "with d as (select cast(doc_id as varchar) as url, text "

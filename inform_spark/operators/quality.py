@@ -119,3 +119,58 @@ def gate_rejection_rollup(gates: DataFrame) -> DataFrame:
             for c in gate_cols
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate filtering (CCNet/RefinedWeb line rules)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_PATTERNS = (
+    "javascript",
+    "cookie",
+    "all rights reserved",
+    "terms of service",
+    "subscribe",
+    "click here",
+    "sign in",
+)
+
+
+def boilerplate_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 10,
+    patterns: tuple = BOILERPLATE_PATTERNS,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level cleanup (the CCNet/RefinedWeb step between crawl and
+    dedup): drop lines that are too short, contain no letters, or match a
+    boilerplate pattern (case-insensitive substring); re-join survivors.
+    Adds kept_lines / total_lines / kept_char_ratio for the curation
+    audit. NARROW — ``F.filter`` over the split array, no UDF, no
+    shuffle; composes with the scan."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(ln: Column) -> Column:
+        cond = (F.length(ln) >= min_chars) & ln.rlike("[A-Za-z]")
+        low = F.lower(ln)
+        for p in patterns:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    kept = F.filter(lines, keep)
+
+    def char_sum(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    return docs.select(
+        "*",
+        F.concat_ws("\n", kept).alias(out_col),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.size(lines).cast("long").alias("total_lines"),
+        F.round(
+            char_sum(kept) / F.greatest(char_sum(lines), F.lit(1)), 6
+        ).alias("kept_char_ratio"),
+    )

@@ -87,3 +87,58 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    source_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+    prefilter: bool = False,
+) -> DataFrame:
+    """Domain/source cap (RefinedWeb-style): keep at most ``k`` rows per
+    source, chosen deterministically by content-hash order (the same
+    cross-engine H60, so the kept set is engine- and partitioning-
+    independent). Adds ``cap_rank`` (1..k within the source).
+
+    Scale: one shuffle on the source key; per-source windows. A hot
+    source (one domain = 10% of a 100 TB crawl) would make that window's
+    sort huge — ``prefilter=True`` first drops hot-source rows by a
+    generous hash cutoff (expected 4k survivors per hot source, so the
+    sort ranks thousands, not billions), then VERIFIES exactness: any
+    hot source left with fewer than min(k, count) survivors is re-ranked
+    without the cutoff. The verification collect is over the hot-source
+    dim only (tiny), never over rows."""
+    hcol = h60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    base = df
+    if prefilter:
+        counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+        hot = counts.filter(F.col("__n") > 16 * k)
+        space = float(1 << 60)
+        cut = hot.select(
+            source_col,
+            (F.lit(4.0 * k) / F.col("__n") * space).cast("long").alias("__cut"),
+        )
+        pruned = (
+            df.join(F.broadcast(cut), source_col, "left")
+            .filter(F.col("__cut").isNull() | (hcol <= F.col("__cut")))
+            .drop("__cut")
+        )
+        surv = pruned.groupBy(source_col).agg(F.count("*").alias("__m"))
+        short = (
+            surv.join(F.broadcast(hot.withColumnRenamed("__n", "__nn")), source_col, "inner")
+            .filter(F.col("__m") < F.least(F.col("__nn"), F.lit(k)))
+        )
+        short_keys = [r[source_col] for r in short.collect()]
+        if short_keys:
+            pruned = pruned.filter(
+                ~F.col(source_col).isin(short_keys)
+            ).unionByName(df.filter(F.col(source_col).isin(short_keys)))
+        base = pruned
+    w = Window.partitionBy(source_col).orderBy(
+        hcol.asc(), F.col(key_col).cast("string").asc()
+    )
+    return base.withColumn("cap_rank", F.row_number().over(w)).filter(
+        F.col("cap_rank") <= k
+    )
