@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_stratified_sample",
+    "repetition_gates",
+    "source_cap",
     "pack_sequences",
     "span_rechunk",
     "span_render",

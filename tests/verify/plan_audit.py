@@ -78,6 +78,23 @@ AUDITS = {
         "require": ["FullOuter"],
         "forbid": ["CartesianProduct"],
     },
+    # repetition gates: the whole point is the shuffle-free fold — any
+    # Exchange means the sorted-fold design regressed to explode/groupBy
+    "repetition_gates": {
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # per-source cap: exactly one exchange (hash on source for the
+    # window); a global sort or a second shuffle is a regression
+    "source_cap": {
+        "require": ["Window", "hashpartitioning(source"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["text"],
+    },
+    "boilerplate_filter": {
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
