@@ -38,7 +38,7 @@ if _REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inform_spark.operators import similarity, textops
+from inform_spark.operators import components, similarity, textops
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -754,6 +754,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_clusters(spark, sf_dir):
+    return components.minhash_clusters(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_survivors(spark, sf_dir):
+    return components.minhash_survivors(_docs(spark, sf_dir))
+
+
+def q_dedup_lines(spark, sf_dir):
+    return textops.dedup_lines(_docs(spark, sf_dir), min_chars=10)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -931,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_minhash_survivors": q_dedup_minhash_survivors,
+        "dedup_lines": q_dedup_lines,
         "simhash": q_simhash,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "lang_id": q_lang_id,
@@ -975,6 +990,64 @@ def _lsh_pairs_sql(k: int = 8, band: int = 2) -> str:
         f"select doc_id, unnest([{keys}]) as band_key from sig) "
         f"select distinct l.doc_id as a, r.doc_id as b "
         f"from bands l join bands r using (band_key) where l.doc_id < r.doc_id"
+    )
+
+
+def _minhash_clusters_sql(k: int = 8, band: int = 2) -> str:
+    """Transitive closure of the LSH pair graph via a recursive CTE:
+    min reachable doc_id == the Spark hash-min component label."""
+    pairs = _lsh_pairs_sql(k, band)
+    return (
+        f"with recursive pairs as ({pairs}), "
+        "edges as (select a as u, b as v from pairs "
+        "union select b, a from pairs), "
+        "nodes as (select distinct u as v from edges), "
+        "walk(v, lbl) as (select v, v from nodes "
+        "union select e.v, w.lbl from walk w join edges e on e.u = w.v), "
+        "comp as (select v, min(lbl) as lbl from walk group by v) "
+        "select cast(d.doc_id as bigint) as doc_id, "
+        "cast(coalesce(c.lbl, d.doc_id) as bigint) as cluster_id "
+        "from documents d left join comp c on c.v = d.doc_id"
+    )
+
+
+def _minhash_survivors_sql(k: int = 8, band: int = 2) -> str:
+    clusters = _minhash_clusters_sql(k, band)
+    return (
+        f"with clusters as ({clusters}), "
+        "sizes as (select cluster_id, cast(count(*) as bigint) as n_members "
+        "from clusters group by cluster_id) "
+        "select c.doc_id, s.n_members from clusters c "
+        "join sizes s using (cluster_id) where c.doc_id = c.cluster_id"
+    )
+
+
+def _dedup_lines_sql(min_chars: int = 10) -> str:
+    """Mirror of textops.dedup_lines: first corpus-wide occurrence of each
+    dedup-eligible line wins (min doc_id*2^32+pos key), docs rebuilt from
+    surviving lines in order."""
+    return (
+        "with lines as (select doc_id, t.s.pos as pos, t.s.line as line, "
+        "doc_id * 4294967296 + t.s.pos as k from "
+        "(select cast(doc_id as bigint) as doc_id, "
+        "list_transform(string_split(text, chr(10)), "
+        "(x, i) -> {'pos': i, 'line': x}) as pls from documents), "
+        "unnest(pls) as t(s)), "
+        f"winners as (select line, min(k) as wk from lines "
+        f"where len(line) >= {min_chars} group by line), "
+        "kept as (select l.doc_id, l.pos, l.line from lines l "
+        "left join winners w on l.line = w.line "
+        f"where len(l.line) < {min_chars} or l.k = w.wk), "
+        "rebuilt as (select doc_id, "
+        "string_agg(line, chr(10) order by pos) as t, "
+        "cast(count(*) as bigint) as kept_n from kept group by doc_id), "
+        "totals as (select cast(doc_id as bigint) as doc_id, "
+        "cast(len(string_split(text, chr(10))) as bigint) as total_n "
+        "from documents) "
+        "select t.doc_id, coalesce(r.t, '') as text_dedup, "
+        "coalesce(r.kept_n, 0) as n_lines_kept, "
+        "t.total_n - coalesce(r.kept_n, 0) as n_lines_dropped "
+        "from totals t left join rebuilt r using (doc_id)"
     )
 
 
@@ -1636,6 +1709,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_minhash_clusters": _minhash_clusters_sql(),
+        "dedup_minhash_survivors": _minhash_survivors_sql(),
+        "dedup_lines": _dedup_lines_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "

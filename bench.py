@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "a1b_pricing_rollup",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "dedup_lines",
     "simhash",
     "lang_id",
     "quality_score",

@@ -1,0 +1,131 @@
+"""Duplicate-cluster resolution — connected components over candidate
+pairs, and per-cluster survivor selection.
+
+``textops.minhash_lsh_pairs`` (and ``ngram_jaccard_topk``,
+``similarity.dedup_embedding_cosine``) emit candidate duplicate PAIRS.
+A training-data pipeline needs one step more: the transitive closure of
+those pairs (near-dup of a near-dup is the same document family), one
+canonical survivor per family, and the rest dropped. The reference has
+no analog (its dedup is an in-memory URL ``Set``,
+src/WebCrawler.js:54,523-524); this is the corpus-scale counterpart
+used by RefinedWeb/SlimPajama-style dedup.
+
+Algorithm — hash-min label propagation with pointer-jumping shortcuts:
+every node starts labeled with itself; each round a node takes the min
+label among itself and its neighbors, then every label is replaced by
+its label's label (path halving). Rounds needed: O(log diameter), not
+O(diameter) — a 1M-link chain resolves in ~20 rounds, not 1M. The loop
+is driver-controlled with a cheap has-anything-changed probe
+(``limit(1).count()`` after an inequality join), exactly like the
+engine's crawl loop; labels are ``localCheckpoint``-ed per round so the
+plan does not grow with iterations (same hygiene as
+plans/gitcrawl.py:206).
+
+Scale design:
+- Each round is two hash-shuffles (neighbor join + min groupBy) plus the
+  shortcut self-join; ``min`` is commutative/associative so map-side
+  partial aggregation absorbs the hub skew that hash-min creates (the
+  component-minimum node hears from the whole component — its partial
+  mins reduce per-partition before the shuffle).
+- No ``collect()``: the driver sees only the changed-row probe count.
+- Determinism: ``min`` over exact values is partitioning- and
+  order-independent, so results hash-match a sequential oracle (the
+  DuckDB recursive-CTE oracle in ``__spark_entry__``).
+- 100 TB: the edge set (LSH pairs) is orders of magnitude smaller than
+  the corpus — bounded by sum over buckets of |bucket|^2, see
+  textops.minhash_lsh_pairs — so the per-round shuffles are on the
+  pair graph, never the corpus. The final cluster→corpus join is one
+  equi-join on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(v, component) for every node appearing in ``edges``; component =
+    the minimum node id reachable from v (a canonical, engine-independent
+    representative). Undirected: edges are symmetrized. Converges early
+    when a round changes nothing; ``max_iter`` is a safety bound
+    (O(log diameter) rounds suffice thanks to pointer jumping)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    sym = (
+        e.unionByName(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        .distinct()
+        .persist()
+    )
+    # init = one hash-min step folded into the groupBy (lbl0 = min(self,
+    # neighbors)): LSH families are bucket-cliques, so this alone already
+    # converges them and the loop exits after a single confirm round
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("w").alias("__mn"))
+        .select(F.col("u").alias("v"), F.least("u", "__mn").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("v", "u"), "u"
+        ).select(F.col("w").alias("v"), "lbl")
+        new = (
+            msgs.unionByName(labels)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl <- lbl's own label (labels are node ids, so
+        # every label has a row); halves remaining chain depth per round
+        hop = new.select(F.col("v").alias("jv"), F.col("lbl").alias("jl"))
+        new = (
+            new.join(hop, new["lbl"] == hop["jv"], "left")
+            .select("v", F.coalesce("jl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("v", F.col("lbl").alias("component"))
+
+
+def minhash_clusters(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
+    """(doc_id, cluster_id) over the WHOLE corpus: transitive closure of
+    the MinHash-LSH candidate pairs; singletons (no near-dup) cluster as
+    themselves. cluster_id is the min doc_id in the family."""
+    from inform_spark.operators import textops
+
+    pairs = textops.minhash_lsh_pairs(docs, k, band)
+    comp = connected_components(pairs, "a", "b").withColumnRenamed("v", "doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def minhash_survivors(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
+    """One kept document per duplicate family: (doc_id, n_members).
+    Survivor = the family's min doc_id (deterministic); n_members audits
+    how many near-duplicates it absorbed (1 = unique document). The
+    filter to survivors is the pipeline's actual dedup drop step."""
+    clusters = minhash_clusters(docs, k, band)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_members")
+    )

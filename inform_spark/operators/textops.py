@@ -373,3 +373,69 @@ def ngram_contamination(
         .select("doc_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level global dedup (C4 / CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(docs: DataFrame, min_chars: int = 0) -> DataFrame:
+    """Global line-level dedup: across the WHOLE corpus, each distinct
+    line survives only at its first occurrence — the instance with the
+    minimum (doc_id, line_position) — and every other occurrence is
+    dropped; each document's text is rebuilt from its surviving lines in
+    original order. This is the C4 three-sentence-span / CCNet line-hash
+    dedup shape (boilerplate that repeats across a site — nav text, cookie
+    banners, footers — survives exactly once corpus-wide). Lines shorter
+    than ``min_chars`` are never dedup-eligible (always kept), matching
+    production pipelines that exempt short/structural lines.
+
+    Returns (doc_id, text_dedup, n_lines_kept, n_lines_dropped) for every
+    input document (a fully-deduped document keeps its row with empty
+    text).
+
+    Scale design: two shuffles — the first-occurrence groupBy on the line
+    value (``min`` combines map-side, so a line repeated 10^9 times
+    reduces per-partition before the shuffle) and the per-doc
+    reassembly groupBy. The join back from winners to occurrences is an
+    equi-join on the line value; heavy-hitter lines skew it, which AQE's
+    skew-join split absorbs (the engine enables AQE in session.py). The
+    (doc_id, pos) pair is encoded as one long (doc_id·2^32 + pos) so the
+    winner min is a plain long min — identical pick in any engine.
+    """
+    big = F.lit(1 << 32)
+    lines = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    ).withColumn("k", F.col("doc_id") * big + F.col("pos"))
+    winners = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min("k").alias("wk"))
+    )
+    kept = lines.join(winners, "line", "left").filter(
+        (F.length("line") < min_chars) | (F.col("k") == F.col("wk"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", "\n")).cast("long").alias("__total"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("__text", F.lit("")).alias("text_dedup"),
+        F.coalesce("__kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("__total") - F.coalesce("__kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )

@@ -1,0 +1,114 @@
+"""Connected-components cluster resolution + line-level global dedup.
+
+Covers the graph algorithm directly on adversarial shapes (a long chain
+— the pointer-jumping case — plus a star, a pair, and isolation), the
+minhash cluster/survivor wrappers, and dedup_lines first-occurrence
+semantics including the short-line exemption and a fully-deduped doc.
+"""
+
+from pyspark.sql import functions as F
+
+from inform_spark.operators.components import (
+    connected_components,
+    minhash_clusters,
+    minhash_survivors,
+)
+from inform_spark.operators.textops import dedup_lines
+
+
+def _cc_map(spark, edges, max_iter=25):
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df, max_iter=max_iter).collect()
+    return {r["v"]: r["component"] for r in rows}
+
+
+def test_cc_chain_star_pair(spark):
+    # chain 0-1-2-...-9 ; star 100<-{101,102,103}; pair (200,201)
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(101, 100), (102, 100), (103, 100)]
+    edges += [(200, 201)]
+    got = _cc_map(spark, edges)
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 100 for i in (100, 101, 102, 103))
+    assert got[200] == 200 and got[201] == 200
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # 64-node chain: hash-min alone needs 63 rounds; pointer jumping
+    # must resolve it within the default bound (O(log n))
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_map(spark, edges, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_cc_symmetric_and_duplicate_edges(spark):
+    # duplicate + reversed edges must not change the result
+    edges = [(1, 2), (2, 1), (1, 2), (3, 2)]
+    got = _cc_map(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_minhash_clusters_and_survivors(spark):
+    # 0 and 1 are identical (same shingles -> same signature -> pair);
+    # 2 is unrelated
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten",
+    ]
+    docs = _docs_df(spark, texts)
+    cl = {r["doc_id"]: r["cluster_id"] for r in minhash_clusters(docs).collect()}
+    assert cl[0] == 0 and cl[1] == 0 and cl[2] == 2
+    sv = {r["doc_id"]: r["n_members"] for r in minhash_survivors(docs).collect()}
+    assert sv == {0: 2, 2: 1}
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    texts = [
+        "shared navigation line\nunique line of doc zero",
+        "shared navigation line\nunique line of doc one",
+    ]
+    out = {
+        r["doc_id"]: r for r in dedup_lines(_docs_df(spark, texts)).collect()
+    }
+    assert out[0]["text_dedup"] == texts[0]
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 0
+    assert out[1]["text_dedup"] == "unique line of doc one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 1
+
+
+def test_dedup_lines_short_line_exemption(spark):
+    # "ok" repeats but is under min_chars -> always kept
+    texts = ["ok\nthis is a long repeated line", "ok\nthis is a long repeated line"]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs_df(spark, texts), min_chars=5).collect()
+    }
+    assert out[0]["text_dedup"] == texts[0]
+    assert out[1]["text_dedup"] == "ok"
+    assert out[1]["n_lines_dropped"] == 1
+
+
+def test_dedup_lines_fully_deduped_doc_keeps_row(spark):
+    texts = ["only line in the corpus", "only line in the corpus"]
+    out = {
+        r["doc_id"]: r for r in dedup_lines(_docs_df(spark, texts)).collect()
+    }
+    assert out[1]["text_dedup"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[1]["n_lines_dropped"] == 1
+
+
+def test_dedup_lines_intra_doc_duplicates(spark):
+    # the same line twice within one doc: second instance dropped
+    out = dedup_lines(
+        _docs_df(spark, ["repeat me please\nmiddle row\nrepeat me please"])
+    ).collect()[0]
+    assert out["text_dedup"] == "repeat me please\nmiddle row"
+    assert out["n_lines_kept"] == 2 and out["n_lines_dropped"] == 1
