@@ -766,6 +766,18 @@ def q_dedup_lines(spark, sf_dir):
     return textops.dedup_lines(_docs(spark, sf_dir), min_chars=10)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # even doc_ids play the existing corpus index, odd ones the new batch
+    docs = _docs(spark, sf_dir)
+    return components.minhash_incremental(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    return textops.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -946,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "dedup_lines": q_dedup_lines,
+        "dedup_incremental": q_dedup_incremental,
+        "vocab_topk": q_vocab_topk,
         "simhash": q_simhash,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "lang_id": q_lang_id,
@@ -976,15 +990,7 @@ def _minhash_sql(k: int = 8) -> str:
 
 def _lsh_pairs_sql(k: int = 8, band: int = 2) -> str:
     sig = _minhash_sql(k)
-    n_bands = k // band
-    keys = ", ".join(
-        "concat_ws('_', "
-        + str(j)
-        + ", "
-        + ", ".join(f"mh_{j * band + x}" for x in range(band))
-        + ")"
-        for j in range(n_bands)
-    )
+    keys = _bands_keys_expr(k, band)
     return (
         f"with sig as ({sig}), bands as ("
         f"select doc_id, unnest([{keys}]) as band_key from sig) "
@@ -1019,6 +1025,64 @@ def _minhash_survivors_sql(k: int = 8, band: int = 2) -> str:
         "from clusters group by cluster_id) "
         "select c.doc_id, s.n_members from clusters c "
         "join sizes s using (cluster_id) where c.doc_id = c.cluster_id"
+    )
+
+
+def _bands_keys_expr(k: int = 8, band: int = 2) -> str:
+    n_bands = k // band
+    return ", ".join(
+        "concat_ws('_', "
+        + str(j)
+        + ", "
+        + ", ".join(f"mh_{j * band + x}" for x in range(band))
+        + ")"
+        for j in range(n_bands)
+    )
+
+
+def _incremental_sql(k: int = 8, band: int = 2) -> str:
+    """Mirror of components.minhash_incremental with even doc_ids as the
+    index and odd ones as the new batch: band-collision probe against the
+    index, then recursive-CTE connected components among the survivors."""
+    sig = _minhash_sql(k)
+    keys = _bands_keys_expr(k, band)
+    return (
+        f"with recursive sig as ({sig}), "
+        f"bands as (select doc_id, unnest([{keys}]) as band_key from sig), "
+        "idx as (select * from bands where doc_id % 2 = 0), "
+        "newb as (select * from bands where doc_id % 2 = 1), "
+        "hits as (select n.doc_id, min(i.doc_id) as match_id from newb n "
+        "join idx i using (band_key) group by n.doc_id), "
+        "survb as (select n.* from newb n left join hits h "
+        "on n.doc_id = h.doc_id where h.match_id is null), "
+        "pairs as (select distinct l.doc_id as a, r.doc_id as b from survb l "
+        "join survb r using (band_key) where l.doc_id < r.doc_id), "
+        "edges as (select a as u, b as v from pairs "
+        "union select b, a from pairs), "
+        "nodes as (select distinct u as v from edges), "
+        "walk(v, lbl) as (select v, v from nodes "
+        "union select e.v, w.lbl from walk w join edges e on e.u = w.v), "
+        "comp as (select v, min(lbl) as lbl from walk group by v), "
+        "newids as (select distinct cast(doc_id as bigint) as doc_id "
+        "from documents where doc_id % 2 = 1) "
+        "select n.doc_id, "
+        "case when h.match_id is not null then 'dup_of_index' "
+        "when c.lbl is not null and c.lbl <> n.doc_id then 'dup_of_new' "
+        "else 'kept' end as verdict, "
+        "cast(coalesce(h.match_id, "
+        "case when c.lbl <> n.doc_id then c.lbl end) as bigint) as match_id "
+        "from newids n left join hits h on h.doc_id = n.doc_id "
+        "left join comp c on c.v = n.doc_id"
+    )
+
+
+def _vocab_topk_sql(k: int = 100) -> str:
+    return (
+        "with w as (select unnest(string_split(lower(text), ' ')) as token "
+        "from documents) "
+        "select token, cast(count(*) as bigint) as cnt from w "
+        f"where len(token) > 0 group by token "
+        f"order by cnt desc, token asc limit {k}"
     )
 
 
@@ -1712,6 +1776,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_clusters": _minhash_clusters_sql(),
         "dedup_minhash_survivors": _minhash_survivors_sql(),
         "dedup_lines": _dedup_lines_sql(),
+        "dedup_incremental": _incremental_sql(),
+        "vocab_topk": _vocab_topk_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "

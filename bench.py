@@ -52,7 +52,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "dedup_minhash_clusters",
+    "dedup_incremental",
     "dedup_lines",
+    "vocab_topk",
     "simhash",
     "lang_id",
     "quality_score",

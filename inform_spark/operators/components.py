@@ -129,3 +129,67 @@ def minhash_survivors(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
         .join(sizes, "cluster_id")
         .select("doc_id", "n_members")
     )
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    k: int = 8,
+    band: int = 2,
+) -> DataFrame:
+    """Incremental near-dup dedup: judge a NEW batch of documents against
+    an EXISTING corpus without re-clustering the corpus — the production
+    shape (a daily crawl delta is deduped against the 100 TB index; the
+    index is never recomputed). Returns one row per new document:
+    (doc_id, verdict, match_id) with verdict ∈ {'dup_of_index' (shares an
+    LSH band with an index document; match_id = min such index doc),
+    'dup_of_new' (collides only within the new batch and lost to its
+    family's min doc_id; match_id = that survivor), 'kept'}.
+
+    Scale design: the index side is only its (doc_id, band_key) banding —
+    the persisted signature store, bucketed by band_key at scale, so the
+    new→index probe is a co-located join that touches just the new
+    batch's band buckets, never the corpus. New-vs-new resolution runs
+    connected components on the (small) survivor pair graph. Everything
+    is min-based and hence partitioning-independent; the DuckDB oracle
+    hash-matches."""
+    from inform_spark.operators import textops
+
+    nb = textops.minhash_band_keys(new_docs, k, band).persist()
+    ib = textops.minhash_band_keys(index_docs, k, band)
+    hits = (
+        nb.join(
+            ib.select(F.col("doc_id").alias("__idx"), "band_key"), "band_key"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__idx").alias("__hit"))
+    )
+    survivors = nb.join(hits, "doc_id", "left_anti")
+    comp = connected_components(
+        textops.pairs_from_bands(survivors), "a", "b"
+    ).withColumnRenamed("v", "doc_id")
+    out = (
+        new_docs.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__hit").isNotNull(), F.lit("dup_of_index"))
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.lit("dup_of_new"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce(
+                "__hit",
+                F.when(
+                    F.col("component") != F.col("doc_id"), F.col("component")
+                ),
+            ).alias("match_id"),
+        )
+    )
+    nb.unpersist()
+    return out

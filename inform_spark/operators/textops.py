@@ -123,15 +123,18 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     return staged.select(*cols)
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the signature.
-    (a, b) with a < b, distinct. Bucket-grouped pair generation — the
-    signature pipeline runs ONCE (a band self-join would recompute it per
-    side), pairs expand natively inside each bucket, and bucket size bounds
-    the n^2 (never a cross join over the corpus)."""
+def minhash_band_keys(
+    docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band_key): the LSH banding of the minhash signature —
+    ``k // band`` keys per document, each hashing ``band`` adjacent
+    signature slots. Two documents share a band_key iff that band of
+    their signatures is identical. This is also the INDEX format a
+    persisted corpus signature store keeps (bucketed by band_key at
+    scale) for incremental dedup — see components.minhash_incremental."""
     sig = minhash_signatures(docs, k)
     n_bands = k // band
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -146,6 +149,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE
             )
         ).alias("band_key"),
     )
+
+
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate pairs (a, b), a < b, distinct, from a (doc_id, band_key)
+    banding. Bucket-grouped: pairs expand natively inside each band
+    bucket, so the pair count is bounded by sum(|bucket|^2) — never a
+    corpus-wide cross join, and never a self-join that would recompute
+    the signature pipeline per side."""
     buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -167,6 +178,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE
         ).alias("p")
     )
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+    (a, b) with a < b, distinct. The signature pipeline runs ONCE and
+    bucket size bounds the n^2 — see :func:`pairs_from_bands`."""
+    return pairs_from_bands(minhash_band_keys(docs, k, band))
 
 
 # ---------------------------------------------------------------------------
@@ -439,3 +457,24 @@ def dedup_lines(docs: DataFrame, min_chars: int = 0) -> DataFrame:
         .cast("long")
         .alias("n_lines_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent whitespace tokens,
+    (token, cnt), ties broken by token ascending — the first step of
+    tokenizer training / frequency-based quality features.
+
+    Scale: explode + count groupBy with map-side partial aggregation
+    (the Zipf head reduces per-partition before the shuffle), then a
+    TakeOrdered top-k — the global sort never materializes, each
+    partition ships only its k best."""
+    words = docs.select(F.explode(words_col()).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)

@@ -112,3 +112,34 @@ def test_dedup_lines_intra_doc_duplicates(spark):
     ).collect()[0]
     assert out["text_dedup"] == "repeat me please\nmiddle row"
     assert out["n_lines_kept"] == 2 and out["n_lines_dropped"] == 1
+
+
+def test_minhash_incremental_verdicts(spark):
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+    B = "one two three four five six seven eight nine ten"
+    C = "unrelated words entirely fresh content never seen anywhere else"
+    index = spark.createDataFrame([(0, A)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, A), (11, B), (12, B), (13, C)], "doc_id long, text string"
+    )
+    from inform_spark.operators.components import minhash_incremental
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in minhash_incremental(new, index).collect()
+    }
+    assert got[10] == ("dup_of_index", 0)
+    assert got[11] == ("kept", None)
+    assert got[12] == ("dup_of_new", 11)
+    assert got[13] == ("kept", None)
+
+
+def test_vocab_topk_order_and_ties(spark):
+    from inform_spark.operators.textops import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b a a"), (1, "c b A")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    # a appears 3x (lowercased), b 2x; ties broken by token asc
+    assert [(r["token"], r["cnt"]) for r in rows] == [("a", 3), ("b", 2)]
