@@ -95,6 +95,29 @@ AUDITS = {
         "forbid": ["Exchange", "CartesianProduct"],
         "absent_in_readschema": ["source", "lang", "n_chars"],
     },
+    # global line dedup: two hash shuffles, never a global sort; only
+    # doc_id+text read
+    "dedup_lines": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang"],
+    },
+    # top-k vocabulary: TakeOrdered (per-partition k then merge), never a
+    # global sort; text is the only column read
+    "vocab_topk": {
+        "require": ["TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["doc_id", "source", "lang", "n_chars"],
+    },
+    # cluster resolution: the iterative part is localCheckpoint-ed; the
+    # visible tail must still be joins/aggregates, never a cartesian or
+    # global sort
+    "dedup_minhash_clusters": {
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
+    "dedup_incremental": {
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
 }
 
 
