@@ -778,6 +778,24 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_trap_templates(spark, sf_dir):
+    """Crawler-trap detection over a synthesized URL corpus: 20 hosts x 5
+    path families; templates whose member count beats the uniform
+    expectation get flagged."""
+    from inform_spark.operators import traps
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".test/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+    )
+    return traps.trap_templates(ev.select(url.alias("url")), min_count=110)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -960,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
         "vocab_topk": q_vocab_topk,
+        "trap_templates": q_trap_templates,
         "simhash": q_simhash,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "lang_id": q_lang_id,
@@ -1073,6 +1092,21 @@ def _incremental_sql(k: int = 8, band: int = 2) -> str:
         "case when c.lbl <> n.doc_id then c.lbl end) as bigint) as match_id "
         "from newids n left join hits h on h.doc_id = n.doc_id "
         "left join comp c on c.v = n.doc_id"
+    )
+
+
+def _trap_templates_sql(min_count: int = 110) -> str:
+    return (
+        "with u as (select concat('https://h', cast(user_id % 20 as varchar), "
+        "'.test/', event_type, '/', cast(event_id as varchar)) as url "
+        "from events), "
+        "t as (select regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) as host, "
+        "regexp_replace(regexp_replace(regexp_extract(url, "
+        "'^[a-z]+://[^/?#]+(/[^?#]*)', 1), '[0-9a-f]{8,}', '{H}', 'g'), "
+        "'[0-9]+', '{N}', 'g') as template, url from u) "
+        "select host, template, cast(count(*) as bigint) as n_urls, "
+        "min(url) as example_url from t group by host, template "
+        f"having count(*) >= {min_count}"
     )
 
 
@@ -1778,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _dedup_lines_sql(),
         "dedup_incremental": _incremental_sql(),
         "vocab_topk": _vocab_topk_sql(),
+        "trap_templates": _trap_templates_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "

@@ -139,6 +139,16 @@ class CrawlConfig:
     # closure becomes a driver bottleneck (10^6-10^8 hosts at web scale)
     # and the engine switches to a broadcast join per batch instead
     robots_closure_max_hosts: int = 4096
+    # structural crawler-trap defense (operators/traps.py): admit at most
+    # this many NEW urls per (host, url-path template) per batch — digit
+    # runs -> {N}, >=8-char hex runs -> {H}. A calendar/session-id/facet
+    # trap then drips template_cap urls per batch instead of flooding the
+    # frontier (the reference has only the global queue cap,
+    # src/WebCrawler.js:553-560). Order-stable: the kept prefix is the
+    # lowest frontier_offsets, so non-trap crawl order is unchanged.
+    # None = off (zero plan change). Costs one extra count job per batch
+    # when enabled (drop accounting).
+    template_cap: int | None = None
 
 
 @dataclass
@@ -151,6 +161,7 @@ class CrawlSummary:
     links_discovered: int = 0
     links_admitted: int = 0
     links_dropped_cap: int = 0
+    links_dropped_template: int = 0
     wall_ms: float = 0.0
     extra: dict = field(default_factory=dict)
 
@@ -1046,6 +1057,32 @@ class CrawlEngine:
                     "url", "left_anti",
                 )
 
+            # structural trap cap: at most template_cap new urls per
+            # (host, path template) this batch, keeping the FIFO prefix.
+            # The per-(host,template) window sorts exactly the rows the
+            # cap exists to drop — bounded by this batch's candidates.
+            n_tpl_dropped = 0
+            if cfg.template_cap is not None:
+                from inform_spark.operators.traps import url_template_from_path
+
+                new_links = new_links.persist()
+                n_pre_tpl = new_links.count()
+                if probed is not None:
+                    probed.unpersist()
+                    probed = None
+                tpl_w = Window.partitionBy(
+                    "host", url_template_from_path(F.col("path"))
+                ).orderBy("frontier_offset")
+                capped_links = (
+                    new_links.withColumn("__tr", F.row_number().over(tpl_w))
+                    .filter(F.col("__tr") <= cfg.template_cap)
+                    .drop("__tr")
+                    .persist()
+                )
+                n_tpl_dropped = n_pre_tpl - capped_links.count()
+                new_links.unpersist()
+                new_links = capped_links
+
             # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
             # NOTE deliberately NOT an Observation: AQE's empty-relation
             # propagation can elide CollectMetrics nodes when the candidate
@@ -1098,6 +1135,8 @@ class CrawlEngine:
                 )
                 if probed is not None:
                     probed.unpersist()
+                if cfg.template_cap is not None:
+                    new_links.unpersist()
                 n_cand = n_admit = frontier_t.last_dir_row_count()
                 t_ph = _mark("writes_discover", t_ph)
 
@@ -1167,6 +1206,7 @@ class CrawlEngine:
             summary.links_discovered += int(n_disc)
             summary.links_admitted += n_admit
             summary.links_dropped_cap += n_cand - n_admit
+            summary.links_dropped_template += n_tpl_dropped
 
             for df in batch_caches:
                 df.unpersist()
