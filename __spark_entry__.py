@@ -778,6 +778,10 @@ def q_vocab_topk(spark, sf_dir):
     return textops.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_duplicate_passages(spark, sf_dir):
+    return textops.duplicate_passage_stats(_docs(spark, sf_dir), w=8)
+
+
 def q_trap_templates(spark, sf_dir):
     """Crawler-trap detection over a synthesized URL corpus: 20 hosts x 5
     path families; templates whose member count beats the uniform
@@ -979,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "vocab_topk": q_vocab_topk,
         "trap_templates": q_trap_templates,
+        "duplicate_passages": q_duplicate_passages,
         "simhash": q_simhash,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "lang_id": q_lang_id,
@@ -1092,6 +1097,26 @@ def _incremental_sql(k: int = 8, band: int = 2) -> str:
         "case when c.lbl <> n.doc_id then c.lbl end) as bigint) as match_id "
         "from newids n left join hits h on h.doc_id = n.doc_id "
         "left join comp c on c.v = n.doc_id"
+    )
+
+
+def _duplicate_passages_sql(w: int = 8) -> str:
+    split = "string_split(lower(text),' ')"
+    return (
+        "with d as (select cast(doc_id as bigint) as doc_id, "
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len({split})-{w},0)+1), "
+        f"i -> array_to_string(({split})[i+1:i+{w}], ' '))) as sh "
+        "from documents), "
+        "wins as (select doc_id, "
+        "cast('0x'||substr(md5(s),1,15) as bigint) as h "
+        "from d, unnest(sh) as t(s)), "
+        "dc as (select h, count(*) as n_docs from wins group by h) "
+        "select w.doc_id, cast(count(*) as bigint) as n_windows, "
+        "cast(sum(case when dc.n_docs >= 2 then 1 else 0 end) as bigint) "
+        "as n_shared, "
+        "round(sum(case when dc.n_docs >= 2 then 1 else 0 end) / count(*), 6) "
+        "as dup_frac from wins w join dc using (h) group by w.doc_id"
     )
 
 
@@ -1813,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_sql(),
         "vocab_topk": _vocab_topk_sql(),
         "trap_templates": _trap_templates_sql(),
+        "duplicate_passages": _duplicate_passages_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "

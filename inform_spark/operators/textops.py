@@ -478,3 +478,55 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
     counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-passage signal (exact-substring dedup input)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_passage_stats(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Per-document exact-substring duplication signal: the fraction of a
+    document's distinct w-word windows that also occur in at least one
+    OTHER document — the doc-level decision input for exact-substring
+    dedup (train-data dedup a la 'Deduplicating Training Data Makes
+    Language Models Better': docs past a threshold get their duplicated
+    passages cut or are dropped). Complements repetition_gates (INTRA-doc
+    repetition) and ngram_contamination (train-vs-benchmark).
+
+    Returns (doc_id, n_windows, n_shared, dup_frac) with dup_frac
+    rounded to 6 places (cross-engine float safety).
+
+    Scale: three key-shuffles — (doc_id, window-hash) dedup, docs-per-
+    hash count (map-side combine), and the hash join back (boilerplate
+    windows are heavy hitters; AQE skew split absorbs them) — each on
+    60-bit hashes, never on text. No pair materialization anywhere:
+    sharing is counted per window, not per doc pair, so a window shared
+    by 10^6 docs costs 10^6 rows, not 10^12 pairs."""
+    wins = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_col("text", w), _h60)
+            )
+        ).alias("h"),
+    )
+    doc_counts = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")  # wins is distinct per (doc, h)
+    )
+    return (
+        wins.join(doc_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -143,3 +143,22 @@ def test_vocab_topk_order_and_ties(spark):
     rows = vocab_topk(docs, k=2).collect()
     # a appears 3x (lowercased), b 2x; ties broken by token asc
     assert [(r["token"], r["cnt"]) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def test_duplicate_passage_stats(spark):
+    from inform_spark.operators.textops import duplicate_passage_stats
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail unique to zero entirely"),
+            (1, shared + " other completely different ending here"),
+            (2, "nothing in common with anyone at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_passage_stats(docs, w=8).collect()}
+    # docs 0 and 1 share exactly the one full 'shared' window
+    assert got[0]["n_shared"] == 1 and got[1]["n_shared"] == 1
+    assert got[2]["n_shared"] == 0 and got[2]["dup_frac"] == 0.0
+    assert 0 < got[0]["dup_frac"] < 1
