@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-queue-size", type=int, default=None,
                    help="frontier cap, drop-new (default 10000)")
     p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--template-cap", type=int, default=None,
+                   help="crawler-trap damping: admit at most N new urls per "
+                        "(host, url-path template) per batch (default off)")
     p.add_argument("--include", action="append", default=None,
                    help="minimatch-style include glob (repeatable)")
     p.add_argument("--exclude", action="append", default=None,
@@ -78,6 +81,7 @@ def _load_config_layers(args) -> dict:
             "ignore_robots": args.ignore_robots or None,
             "raw": args.raw or None,
             "max_depth": args.max_depth,
+            "template_cap": args.template_cap,
             "output_dir": args.output_dir,
         }.items()
         if v is not None
@@ -134,6 +138,7 @@ def run_web(args, opts, spark) -> int:
         default_delay_ms=delay,
         batch_wall_budget_ms=delay * 16 if delay > 0 else None,
         max_depth=opts.get("max_depth"),
+        template_cap=opts.get("template_cap"),
         fetch_mode="http",
         http_min_interval_ms=delay,
         use_bloom=True,

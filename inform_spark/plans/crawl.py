@@ -500,7 +500,13 @@ class CrawlEngine:
     def _robots_dim(self) -> DataFrame | None:
         if self.robots is None or self.cfg.ignore_robots:
             return None
-        return self.robots.select("host", "disallow_prefixes", "crawl_delay_ms")
+        dim = self.robots
+        # reference S3: a missing/failed robots.txt is allow-all
+        # (src/RobotsParser.js:20-64) — an exists=False row must not
+        # contribute disallow rules OR a crawl-delay, whatever it carries
+        if "exists" in dim.columns:
+            dim = dim.filter(F.col("exists"))
+        return dim.select("host", "disallow_prefixes", "crawl_delay_ms")
 
     # ------------------------------------------------------------------
     def _select_batch(
