@@ -280,6 +280,26 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation per link target over the same synthetic
+    link graph as link_pagerank (operators/linkgraph.anchor_text_agg):
+    in-degree, distinct-anchor count, and the modal anchor with a
+    deterministic (count DESC, anchor ASC) tie-break. Two-phase agg —
+    map-side combine on (dst, anchor), then an associative min(struct)
+    modal pick; no window, no sort, hub-skew-safe."""
+    from inform_spark.operators.linkgraph import (
+        anchor_text_agg,
+        synthetic_edges,
+        with_synthetic_anchors,
+    )
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    edges = with_synthetic_anchors(synthetic_edges(nodes))
+    return anchor_text_agg(edges)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/textops.ngram_contamination):
     training docs sharing any 8-gram with the hash-designated 5%
@@ -960,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_synthesize": q_spans_synthesize,
         "span_stats": q_span_stats,
         "link_pagerank": q_link_pagerank,
+        "anchor_text_agg": q_anchor_text_agg,
         "decontaminate": q_decontaminate,
         "gopher_gates": q_gopher_gates,
         "repetition_gates": q_repetition_gates,
@@ -1783,6 +1804,31 @@ def oracle_sql() -> dict[str, str]:
             "r3 as (select n.id, cast(150000 + (85 * coalesce(c.s, 0)) // 100 "
             "as bigint) as rank from nodes n left join c3 c using(id)) "
             "select id as doc_id, rank from r3"
+        ),
+        "anchor_text_agg": (
+            "with nodes as (select cast(doc_id as bigint) as id "
+            "from documents), "
+            "cnt as (select count(*) as n from nodes), "
+            "e0 as (select id as src, k from nodes, "
+            "unnest(range(1 + id % 3)) as t(k)), "
+            "edges as (select src, "
+            "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
+            "||cast(k as varchar)),1,15) as bigint) "
+            "% (select n from cnt) as dst from e0), "
+            "ea as (select dst, 'a' || cast("
+            "cast('0x'||substr(md5('anchor'||cast(src as varchar)||'-'"
+            "||cast(dst as varchar)),1,15) as bigint) % 5 as varchar) "
+            "as anchor from edges), "
+            "per as (select dst, anchor, count(*) as cnt "
+            "from ea group by dst, anchor), "
+            "ranked as (select dst, anchor, cnt, "
+            "row_number() over (partition by dst "
+            "order by cnt desc, anchor asc) as rn, "
+            "sum(cnt) over (partition by dst) as in_degree, "
+            "count(*) over (partition by dst) as n_anchors from per) "
+            "select dst, cast(in_degree as bigint) as in_degree, "
+            "cast(n_anchors as bigint) as n_anchors, anchor as top_anchor, "
+            "cast(cnt as bigint) as top_anchor_cnt from ranked where rn = 1"
         ),
         "media_manifest": (
             f"{_SPANS_CTE}, "

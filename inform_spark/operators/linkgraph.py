@@ -133,3 +133,71 @@ def synthetic_edges(nodes: DataFrame, salt: str = "edge") -> DataFrame:
             ).cast("long").alias("dst"),
         )
     )
+
+
+def with_synthetic_anchors(edges: DataFrame, salt: str = "anchor",
+                           vocab: int = 5) -> DataFrame:
+    """Deterministic anchor text per edge for tests/benchmarks:
+    ``'a' ‖ H60(salt‖src‖-‖dst) % vocab`` — the DuckDB oracle rebuilds
+    the identical column from the same edge set."""
+    from inform_spark.operators.textops import _h60
+
+    return edges.withColumn(
+        "anchor",
+        F.concat(
+            F.lit("a"),
+            F.pmod(
+                _h60(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("src").cast("string"),
+                        F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                F.lit(vocab),
+            ).cast("string"),
+        ),
+    )
+
+
+def anchor_text_agg(edges: DataFrame, anchor_col: str = "anchor") -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic web-scale
+    relevance/labeling signal (how the rest of the web describes a
+    page), mined from the crawl's discovered link graph the same way
+    the reference surfaces per-page link lists (src/WebCrawler.js
+    extractLinks) but rolled up across documents.
+
+    Returns (dst, in_degree, n_anchors, top_anchor, top_anchor_cnt):
+    total in-links, distinct anchor strings, and the modal anchor with
+    deterministic tie-break (count DESC, anchor ASC).
+
+    Scale design: two-phase aggregation. Phase 1 groups by
+    (dst, anchor) with map-side partial aggregation, so a hub page
+    linked a billion times with the same anchor reduces inside each map
+    task before anything shuffles. Phase 2 groups by dst over the
+    already-tiny per-anchor counts; the modal pick is an order-free
+    ``min(struct(-cnt, anchor))`` — associative, so no window, no sort,
+    partitioning-independent. No step is ever proportional to edge
+    count after phase 1's combine."""
+    per = edges.groupBy("dst", anchor_col).agg(F.count(F.lit(1)).alias("cnt"))
+    top = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("neg_cnt"), F.col(anchor_col).alias("a")
+        )
+    ).alias("_top")
+    return (
+        per.groupBy("dst")
+        .agg(
+            F.sum("cnt").cast("long").alias("in_degree"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            top,
+        )
+        .select(
+            "dst",
+            "in_degree",
+            "n_anchors",
+            F.col("_top.a").alias("top_anchor"),
+            (-F.col("_top.neg_cnt")).cast("long").alias("top_anchor_cnt"),
+        )
+    )

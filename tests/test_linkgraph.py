@@ -73,3 +73,26 @@ def test_priority_from_rank(spark, graph):
         else:
             assert prio == 0  # unranked hosts (60..69) default to lowest
     assert 0 <= min(got.values()) and max(got.values()) <= 7
+
+
+def test_anchor_text_agg_modal_tiebreak(spark):
+    from inform_spark.operators.linkgraph import anchor_text_agg
+
+    # dst 1: 'b' wins by count; dst 2: tie between 'a' and 'b' -> 'a'
+    # (count DESC, anchor ASC); dst 3: single edge
+    edges = spark.createDataFrame(
+        [
+            (10, 1, "b"), (11, 1, "b"), (12, 1, "a"),
+            (10, 2, "b"), (11, 2, "a"),
+            (10, 3, "z"),
+        ],
+        "src long, dst long, anchor string",
+    )
+    got = {r["dst"]: r for r in anchor_text_agg(edges).collect()}
+    assert got[1]["top_anchor"] == "b" and got[1]["top_anchor_cnt"] == 2
+    assert got[1]["in_degree"] == 3 and got[1]["n_anchors"] == 2
+    assert got[2]["top_anchor"] == "a" and got[2]["top_anchor_cnt"] == 1
+    assert got[3]["top_anchor"] == "z" and got[3]["in_degree"] == 1
+    # scale property: plan is pure aggregation — no window/sort/cartesian
+    plan = anchor_text_agg(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "CartesianProduct" not in plan
