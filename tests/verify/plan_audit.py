@@ -74,6 +74,12 @@ AUDITS = {
         "require": ["HashAggregate"],
         "forbid": ["CartesianProduct"],
     },
+    # anchor-text agg: two-phase aggregation only — a Window or a global
+    # sort means the associative modal pick regressed
+    "anchor_text_agg": {
+        "require": ["HashAggregate"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+    },
     "snapshot_diff": {
         "require": ["FullOuter"],
         "forbid": ["CartesianProduct"],
