@@ -79,13 +79,34 @@ class ShardedBloom:
         urls: DataFrame,
         n_shards: int = 16,
         bits_per_shard: int = 1 << 20,
+        approx_count: int | None = None,
     ) -> "ShardedBloom":
-        return ShardedBloom.empty(n_shards, bits_per_shard).add(spark, urls)
+        return ShardedBloom.empty(n_shards, bits_per_shard).add(
+            spark, urls, approx_count=approx_count
+        )
 
-    def add(self, spark: SparkSession, urls: DataFrame) -> "ShardedBloom":
+    # below this many urls the distributed OR-reduce costs more than it
+    # saves: the groupBy shuffle + applyInPandas python-worker spin-up is
+    # seconds of fixed cost, while collecting (shard, h1, h2) longs for a
+    # small set is one narrow JVM-only job and a microsecond numpy fold
+    SMALL_ADD_MAX = 1 << 16
+
+    def add(
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        approx_count: int | None = None,
+    ) -> "ShardedBloom":
         """Fold new urls in: distributed per-shard bitmap build, OR on driver.
         Returns a NEW ShardedBloom with version+1 (immutable snapshots so a
-        resumed crawl can pin the version recorded in lineage)."""
+        resumed crawl can pin the version recorded in lineage).
+
+        ``approx_count``: caller's upper bound on |urls| (the crawl engine
+        knows it from bookkeeping — seed-list length, batch admission
+        count). When provably small the bitmaps are folded driver-side
+        from JVM-computed hashes — bit-identical (same xxhash64 pair, same
+        shard pmod, same ``_build_bitmap``), no shuffle, no python workers.
+        Unknown (None) or large counts take the distributed path."""
         m = self.bits_per_shard
         n_shards = self.n_shards
         hashed = _with_hashes(urls).select(
@@ -93,6 +114,21 @@ class ShardedBloom:
             "__h1",
             "__h2",
         )
+
+        if approx_count is not None and approx_count <= self.SMALL_ADD_MAX:
+            small = hashed.collect()  # JVM-only narrow job
+            shards = {k: v.copy() for k, v in self.shards.items()}
+            by_shard: dict[int, list] = {}
+            for r in small:
+                by_shard.setdefault(r["shard"], []).append((r["__h1"], r["__h2"]))
+            for shard, hs in by_shard.items():
+                a = np.asarray(hs, dtype=np.int64)
+                delta = _build_bitmap(a[:, 0], a[:, 1], m)
+                if shard in shards:
+                    shards[shard] = shards[shard] | delta
+                else:
+                    shards[shard] = delta
+            return ShardedBloom(n_shards, m, self.version + 1, shards)
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:

@@ -124,18 +124,47 @@ class ShardedCuckoo:
         urls: DataFrame,
         n_shards: int = 16,
         buckets_per_shard: int = 1 << 15,
+        approx_count: int | None = None,
     ) -> "ShardedCuckoo":
-        return ShardedCuckoo.empty(n_shards, buckets_per_shard).add(spark, urls)
+        return ShardedCuckoo.empty(n_shards, buckets_per_shard).add(
+            spark, urls, approx_count=approx_count
+        )
+
+    # below this many urls the groupBy + applyInPandas python-worker spin-up
+    # dominates: collect JVM-computed (shard, h1, h2) and derive
+    # bucket/fingerprint driver-side with the same numpy helpers instead
+    SMALL_ADD_MAX = 1 << 16
 
     # -- shared hashing ----------------------------------------------------
-    def _entries(self, spark: SparkSession, urls: DataFrame):
-        """Distributed: (shard, bucket1, fp) rows, deduped per shard."""
+    def _entries(
+        self, spark: SparkSession, urls: DataFrame, approx_count: int | None = None
+    ):
+        """Distributed: (shard, bucket1, fp) rows, deduped per shard.
+        ``approx_count``-provably-small sets skip the shuffle and python
+        workers (hashes still JVM xxhash64 — entries are identical)."""
         nb = self.buckets_per_shard
         hashed = _with_hashes(urls).select(
             F.pmod(F.col("__h1"), F.lit(self.n_shards)).cast("int").alias("shard"),
             "__h1",
             "__h2",
         )
+
+        if approx_count is not None and approx_count <= self.SMALL_ADD_MAX:
+            small = hashed.collect()  # JVM-only narrow job
+            if not small:
+                return []
+            pdf = pd.DataFrame(
+                {
+                    "shard": [r["shard"] for r in small],
+                    "bucket": _bucket1(
+                        np.array([r["__h1"] for r in small], dtype=np.int64), nb
+                    ),
+                    "fp": _fingerprints(
+                        np.array([r["__h2"] for r in small], dtype=np.int64)
+                    ).astype(np.int64),
+                }
+            ).drop_duplicates()
+            return pdf.to_dict("records")  # r["shard"]-style access, like Rows
 
         def prep(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
@@ -154,10 +183,15 @@ class ShardedCuckoo:
             .collect()
         )
 
-    def add(self, spark: SparkSession, urls: DataFrame) -> "ShardedCuckoo":
+    def add(
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        approx_count: int | None = None,
+    ) -> "ShardedCuckoo":
         """Fold urls in; returns a NEW versioned filter (immutable snapshots
         like ShardedBloom, so lineage can pin versions)."""
-        rows = self._entries(spark, urls)
+        rows = self._entries(spark, urls, approx_count=approx_count)
         shards = {k: v.copy() for k, v in self.shards.items()}
         stashes = {k: set(v) for k, v in self.stashes.items()}
         by_shard: dict[int, list[tuple[int, int]]] = {}

@@ -811,6 +811,19 @@ class CrawlEngine:
             self._restore()
         else:
             self._init_state()
+        pool = ThreadPoolExecutor(max_workers=4)
+        # robots sizing and the seen-filter build are independent Spark
+        # jobs — overlap them (setup fixed cost = max, not sum). ONE job
+        # decides AND fetches: limit(threshold+1) either returns the whole
+        # (small) dim or proves it is too big.
+        robots_dim = self._robots_dim()
+        robots_head_f = None
+        if robots_dim is not None:
+            robots_head_f = pool.submit(
+                robots_dim.select("host", "disallow_prefixes")
+                .limit(cfg.robots_closure_max_hosts + 1)
+                .collect
+            )
         if cfg.use_bloom:
             # the filter mirrors the NET frontier (everything ever
             # enqueued minus revocation tombstones, which supersets
@@ -830,31 +843,30 @@ class CrawlEngine:
                 self._bloom = ShardedCuckoo.build(
                     self.spark, frontier_urls,
                     n_shards=cfg.bloom_shards, buckets_per_shard=nb,
+                    approx_count=self.enqueued_total,
                 )
             else:
                 from inform_spark.operators.bloom import ShardedBloom
 
+                # enqueued_total is an exact upper bound on the net
+                # frontier (tombstones only shrink it): small runs fold
+                # the bitmaps driver-side, a 10^10-frontier resume stays
+                # on the distributed OR-reduce
                 self._bloom = ShardedBloom.build(
                     self.spark, frontier_urls,
                     n_shards=cfg.bloom_shards,
                     bits_per_shard=cfg.bloom_bits_per_shard,
+                    approx_count=self.enqueued_total,
                 )
         summary = CrawlSummary()
-        robots_dim = self._robots_dim()
         robots_filter = None
         robots_join_dim = None
-        if robots_dim is not None:
+        if robots_head_f is not None:
             # size-thresholded formulation choice: collect-into-closure is
             # one pickle and zero per-batch joins, but only while the dim
             # is provably small; past the threshold the rules stay
             # distributed and each batch broadcast-joins them instead.
-            # ONE job decides AND fetches: limit(threshold+1) either
-            # returns the whole (small) dim or proves it is too big.
-            head = (
-                robots_dim.select("host", "disallow_prefixes")
-                .limit(cfg.robots_closure_max_hosts + 1)
-                .collect()
-            )
+            head = robots_head_f.result()
             if len(head) <= cfg.robots_closure_max_hosts:
                 rules = {
                     r["host"]: list(r["disallow_prefixes"] or []) for r in head
@@ -864,8 +876,10 @@ class CrawlEngine:
                 robots_join_dim = robots_dim.persist()
         batches_run = 0
 
-        pool = ThreadPoolExecutor(max_workers=4)
         phase = summary.extra.setdefault("phase_s", {})
+        # pre-loop fixed cost: state init/restore, bloom/cuckoo build over
+        # the net frontier, robots dim sizing — all once per run
+        phase["setup"] = round(time.monotonic() - t0, 3)
 
         def _mark(name, t_start):
             now = time.monotonic()
@@ -1187,7 +1201,9 @@ class CrawlEngine:
                 # bind loop variables NOW — the future runs after they rebind
                 self._bloom_future = pool.submit(_timed(
                     "w_bloom",
-                    lambda b=self._bloom, d=delta_urls: b.add(self.spark, d),
+                    lambda b=self._bloom, d=delta_urls, n=n_admit: b.add(
+                        self.spark, d, approx_count=n
+                    ),
                 ))
 
             t_ph = _mark("bloom_lineage", t_ph)
@@ -1238,10 +1254,12 @@ class CrawlEngine:
                 self.catalog.commit(self._state())
                 _mark("compact", t_ph)
 
+        t_fin = time.monotonic()
         self._resolve_bloom()
         pool.shutdown()
         if robots_join_dim is not None:
             robots_join_dim.unpersist()
+        phase["final"] = round(time.monotonic() - t_fin, 3)
         summary.wall_ms = (time.monotonic() - t0) * 1000
         return summary
 

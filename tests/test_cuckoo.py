@@ -98,3 +98,40 @@ def test_crawl_with_cuckoo_filter_matches_oracle(spark, tmp_path):
     assert {r["url"]: r["status"] for r in seen_rows} == oracle.seen
     order = [r["url"] for r in sorted(seen_rows, key=lambda r: r["crawl_rank"])]
     assert order == oracle.order
+
+
+def test_small_add_path_identical_entries(spark):
+    """The approx_count small path must build the same filter as the
+    distributed applyInPandas path: identical table bytes and stashes for
+    the cuckoo, so membership (and deletes) are indistinguishable."""
+    df = _urls_df(spark, URLS[:500])
+    dist = ShardedCuckoo.build(spark, df, n_shards=8, buckets_per_shard=1 << 11)
+    small = ShardedCuckoo.build(
+        spark, df, n_shards=8, buckets_per_shard=1 << 11, approx_count=500
+    )
+    assert set(dist.shards) == set(small.shards)
+    for sid in dist.shards:
+        import numpy as np
+
+        # same multiset of fingerprints per shard (layout may differ by
+        # insert order, membership may not)
+        assert sorted(dist.shards[sid][dist.shards[sid] != 0].tolist()) == sorted(
+            small.shards[sid][small.shards[sid] != 0].tolist()
+        )
+    assert dist.stashes == small.stashes
+    got_d = _probe(spark, dist, URLS[:500] + OTHERS[:200])
+    got_s = _probe(spark, small, URLS[:500] + OTHERS[:200])
+    assert got_d == got_s
+
+
+def test_bloom_small_add_path_identical(spark):
+    from inform_spark.operators.bloom import ShardedBloom
+
+    df = _urls_df(spark, URLS[:500])
+    dist = ShardedBloom.build(spark, df, n_shards=8, bits_per_shard=1 << 16)
+    small = ShardedBloom.build(
+        spark, df, n_shards=8, bits_per_shard=1 << 16, approx_count=500
+    )
+    assert set(dist.shards) == set(small.shards)
+    for sid in dist.shards:
+        assert (dist.shards[sid] == small.shards[sid]).all()
