@@ -174,3 +174,60 @@ def distributed_cumsum(
         ).cast("long"),
     ).drop("__pid", "__run")
     return out, [df, summed]
+
+
+def distributed_row_number_lazy(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Same contract and partitioning scheme as
+    :func:`distributed_row_number`, but with ZERO driver actions: the
+    per-partition base offsets are folded in via a broadcast join on a
+    lazily-aggregated counts plan, so the whole rank rides the consuming
+    job instead of paying a collect round-trip per call. The exclusive
+    prefix sum over the (≤ n_partitions)-row counts is a tiny
+    triangular self-join — deliberately NOT a global window, so no
+    single-partition WindowExec ever appears in the plan.
+
+    Use this in per-batch loops (the crawl engine's parent_rank) where
+    an extra job launch per batch is pure latency; keep the collect
+    variant where the caller wants the ranked result materialized
+    anyway. The input is persisted for the same reason as the collect
+    variant (the range partitioner samples its input; both the counts
+    branch and the main branch must see ONE materialization)."""
+    spark = df.sparkSession
+    n = num_partitions or max(
+        2, min(spark.sparkContext.defaultParallelism, 64)
+    )
+    df = df.persist()
+    ranked = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "__pid", F.shiftright("__mid", _PID_SHIFT).cast("int")
+        )
+        .withColumn(
+            "__local",
+            (F.col("__mid") % F.lit(1 << _PID_SHIFT) + 1).cast("long"),
+        )
+        .drop("__mid")
+        .persist()
+    )
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    bases = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__base"))
+    )
+    out = (
+        ranked.join(F.broadcast(bases), "__pid")
+        .withColumn(
+            out_col, (F.col("__local") + F.col("__base")).cast("int")
+        )
+        .drop("__pid", "__local", "__base")
+    )
+    return out, [df, ranked]

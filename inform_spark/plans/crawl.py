@@ -581,15 +581,16 @@ class CrawlEngine:
         1. range-repartition the batch on the order key — partition i's
            keys all precede partition i+1's (ordered partitions),
         2. row_number per partition (each task ranks only its slice),
-        3. add the cumulative row count of earlier partitions — a
-           driver-side scalar per partition (<= n_partitions rows), folded
-           in as a literal map lookup, no extra shuffle.
+        3. add the cumulative row count of earlier partitions — folded in
+           via a broadcast join on the lazily-aggregated per-partition
+           counts (<= n_partitions rows), so the rank rides the batch's
+           fetch+render job with ZERO extra driver actions per batch.
 
         Returns (ranked_df, [cached_dfs_to_unpersist_after_the_batch])."""
-        from inform_spark.operators.rank import distributed_row_number
+        from inform_spark.operators.rank import distributed_row_number_lazy
 
         key = [F.col("priority").asc(), F.col("frontier_offset").asc()]
-        return distributed_row_number(sel, key, out_col="parent_rank")
+        return distributed_row_number_lazy(sel, key, out_col="parent_rank")
 
     # ------------------------------------------------------------------
     def _fetch(self, batch: DataFrame) -> DataFrame:
