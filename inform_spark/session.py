@@ -58,13 +58,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # small enough that even fat rows (100KB html strings) keep each
-        # Arrow record batch far from the 2GB single-chunk limit; tunable
-        # for bandwidth experiments (smaller batches = smaller per-worker
-        # working set at high thread counts)
+        # sized for FAT rows (the crawl's ~100KB html payloads): 256 rows
+        # ≈ 20-25 MB per Arrow batch, so each python worker's working set
+        # stays cache/bandwidth-friendly at high thread counts (measured:
+        # +4-5% render throughput at 4 cores vs 2048-row batches, flat at
+        # 1 core) and far from the 2GB single-chunk limit. Narrow-row
+        # pandas UDFs see more per-batch overhead, but every hot corpus
+        # op here is JVM-native, so the fat-row case sets the default.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_ARROW_MAX_RECORDS", "2048"),
+            os.environ.get("SPARK_ARROW_MAX_RECORDS", "256"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
