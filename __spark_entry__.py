@@ -300,6 +300,28 @@ def q_anchor_text_agg(spark, sf_dir):
     return anchor_text_agg(edges)
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style data-selection importance weights
+    (operators/importance.dsir_weights): hash-designated ~10% of docs
+    are the target corpus; every doc scores the count-weighted mean of
+    its token-buckets' smoothed target/raw ratios, in FIXED-POINT long
+    arithmetic (associative sums — partitioning/engine independent, so
+    DuckDB hash-matches exactly). Two data shuffles + one fixed-size
+    (4096-bucket) stats shuffle broadcast back — nothing O(corpus²)."""
+    from inform_spark.operators.importance import dsir_weights
+    from inform_spark.operators.textops import _h60
+
+    d = _docs(spark, sf_dir)
+    is_target = (
+        F.pmod(
+            _h60(F.concat(F.lit("dsir-t"), F.col("doc_id").cast("string"))),
+            F.lit(10),
+        )
+        == 0
+    )
+    return dsir_weights(d, is_target)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/textops.ngram_contamination):
     training docs sharing any 8-gram with the hash-designated 5%
@@ -981,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": q_span_stats,
         "link_pagerank": q_link_pagerank,
         "anchor_text_agg": q_anchor_text_agg,
+        "dsir_importance": q_dsir_importance,
         "decontaminate": q_decontaminate,
         "gopher_gates": q_gopher_gates,
         "repetition_gates": q_repetition_gates,
@@ -1829,6 +1852,26 @@ def oracle_sql() -> dict[str, str]:
             "select dst, cast(in_degree as bigint) as in_degree, "
             "cast(n_anchors as bigint) as n_anchors, anchor as top_anchor, "
             "cast(cnt as bigint) as top_anchor_cnt from ranked where rn = 1"
+        ),
+        "dsir_importance": (
+            "with w as (select cast(doc_id as bigint) as doc_id, "
+            "(cast('0x'||substr(md5('dsir-t'||cast(doc_id as varchar)),1,15) "
+            "as bigint) % 10) = 0 as is_target, "
+            "unnest(string_split(lower(text), ' ')) as token "
+            "from documents), "
+            "t as (select doc_id, is_target, "
+            "cast('0x'||substr(md5('dsir'||token),1,15) as bigint) % 4096 "
+            "as bucket from w where len(token) > 0), "
+            "db as (select doc_id, is_target, bucket, count(*) as cnt "
+            "from t group by doc_id, is_target, bucket), "
+            "bw as (select bucket, "
+            "((coalesce(sum(cnt) filter (where is_target), 0) + 1) "
+            "* 1000000) // (sum(cnt) + 1) as w from db group by bucket) "
+            "select db.doc_id, db.is_target, "
+            "cast(sum(db.cnt) as bigint) as n_tokens, "
+            "cast(sum(db.cnt * bw.w) // sum(db.cnt) as bigint) as importance "
+            "from db join bw using(bucket) "
+            "group by db.doc_id, db.is_target"
         ),
         "media_manifest": (
             f"{_SPANS_CTE}, "

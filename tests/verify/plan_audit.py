@@ -80,6 +80,13 @@ AUDITS = {
         "require": ["HashAggregate"],
         "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
     },
+    # DSIR importance: bucket weights must come back via broadcast, and
+    # nothing may sort or window — pure aggregation pipeline
+    "dsir_importance": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning",
+                   "SortMergeJoin"],
+    },
     "snapshot_diff": {
         "require": ["FullOuter"],
         "forbid": ["CartesianProduct"],
