@@ -1866,12 +1866,17 @@ def oracle_sql() -> dict[str, str]:
             "from t group by doc_id, is_target, bucket), "
             "bw as (select bucket, "
             "((coalesce(sum(cnt) filter (where is_target), 0) + 1) "
-            "* 1000000) // (sum(cnt) + 1) as w from db group by bucket) "
-            "select db.doc_id, db.is_target, "
+            "* 1000000) // (sum(cnt) + 1) as w from db group by bucket), "
+            "scored as (select db.doc_id, "
             "cast(sum(db.cnt) as bigint) as n_tokens, "
             "cast(sum(db.cnt * bw.w) // sum(db.cnt) as bigint) as importance "
-            "from db join bw using(bucket) "
-            "group by db.doc_id, db.is_target"
+            "from db join bw using(bucket) group by db.doc_id), "
+            "base as (select cast(doc_id as bigint) as doc_id, "
+            "(cast('0x'||substr(md5('dsir-t'||cast(doc_id as varchar)),1,15) "
+            "as bigint) % 10) = 0 as is_target from documents) "
+            "select base.doc_id, base.is_target, "
+            "cast(coalesce(scored.n_tokens, 0) as bigint) as n_tokens, "
+            "scored.importance from base left join scored using(doc_id)"
         ),
         "media_manifest": (
             f"{_SPANS_CTE}, "

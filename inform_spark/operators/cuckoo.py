@@ -153,18 +153,20 @@ class ShardedCuckoo:
             small = hashed.collect()  # JVM-only narrow job
             if not small:
                 return []
-            pdf = pd.DataFrame(
-                {
-                    "shard": [r["shard"] for r in small],
-                    "bucket": _bucket1(
-                        np.array([r["__h1"] for r in small], dtype=np.int64), nb
-                    ),
-                    "fp": _fingerprints(
-                        np.array([r["__h2"] for r in small], dtype=np.int64)
-                    ).astype(np.int64),
-                }
-            ).drop_duplicates()
-            return pdf.to_dict("records")  # r["shard"]-style access, like Rows
+            buckets = _bucket1(
+                np.array([r["__h1"] for r in small], dtype=np.int64), nb
+            )
+            fps = _fingerprints(
+                np.array([r["__h2"] for r in small], dtype=np.int64)
+            )
+            seen: set[tuple[int, int, int]] = set()
+            out = []
+            for r, b, fp in zip(small, buckets, fps):
+                key = (r["shard"], int(b), int(fp))
+                if key not in seen:
+                    seen.add(key)
+                    out.append({"shard": key[0], "bucket": key[1], "fp": key[2]})
+            return out
 
         def prep(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
@@ -209,14 +211,21 @@ class ShardedCuckoo:
             self.n_shards, self.buckets_per_shard, self.version + 1, shards, stashes
         )
 
-    def delete(self, spark: SparkSession, urls: DataFrame) -> "ShardedCuckoo":
+    def delete(
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        approx_count: int | None = None,
+    ) -> "ShardedCuckoo":
         """Remove urls (the operation blooms cannot do): drops ONE matching
         fingerprint per key from its candidate buckets / stash. Deleting a
         never-inserted key can only remove a colliding fingerprint — i.e.
         turn a false positive into a miss — so membership stays sound for
         all keys still inserted (standard cuckoo-filter contract: only
-        delete what you inserted)."""
-        rows = self._entries(spark, urls)
+        delete what you inserted). ``approx_count``: same small-set fast
+        path as :meth:`add` (invalidation lists are typically a handful
+        of urls — no shuffle, no python workers)."""
+        rows = self._entries(spark, urls, approx_count=approx_count)
         shards = {k: v.copy() for k, v in self.shards.items()}
         stashes = {k: set(v) for k, v in self.stashes.items()}
         nb = self.buckets_per_shard

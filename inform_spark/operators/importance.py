@@ -53,7 +53,16 @@ def dsir_weights(
     """(doc_id, is_target, n_tokens, importance) — importance is a LONG:
     the count-weighted mean over the doc's tokens of the token-bucket's
     smoothed target/raw ratio, in units of ``1/scale``. ``is_target`` is
-    a boolean Column over ``docs`` designating the target corpus."""
+    a boolean Column over ``docs`` designating the target corpus.
+
+    EVERY input doc appears in the output: a zero-token doc (empty /
+    whitespace-only text) has no feature evidence, so it carries
+    ``n_tokens = 0`` and ``importance = NULL`` — explicit "unknown", not
+    a silent omission a downstream weight-join would drop."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        is_target.alias("is_target"),
+    )
     toks = (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -85,11 +94,17 @@ def dsir_weights(
             F.expr(f"((tgt + 1) * {scale}) div (raw + 1)").alias("w"),
         )
     )
-    return (
+    scored = (
         per_doc_bucket.join(F.broadcast(bucket_w), "bucket")
-        .groupBy("doc_id", "is_target")
+        .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
             F.expr("sum(cnt * w) div sum(cnt)").cast("long").alias("importance"),
         )
+    )
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "is_target",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        "importance",
     )

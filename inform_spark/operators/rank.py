@@ -64,6 +64,32 @@ def _bases(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return out
 
 
+def _ranked_with_local(
+    df: DataFrame, order_cols: list[Column], n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the row-number variants: persist the input (the
+    range partitioner SAMPLES it — without the pin the upstream plan
+    would execute twice), range-partition + sort within partitions, and
+    decode (__pid, __local) from ``monotonically_increasing_id``.
+    Returns (persisted_input, persisted_ranked)."""
+    df = df.persist()
+    ranked = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "__pid", F.shiftright("__mid", _PID_SHIFT).cast("int")
+        )
+        .withColumn(
+            "__local",
+            (F.col("__mid") % F.lit(1 << _PID_SHIFT) + 1).cast("long"),
+        )
+        .drop("__mid")
+        .persist()
+    )
+    return df, ranked
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -86,21 +112,7 @@ def distributed_row_number(
     n = num_partitions or max(
         2, min(spark.sparkContext.defaultParallelism, 64)
     )
-    df = df.persist()
-    ranked = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn(
-            "__pid", F.shiftright("__mid", _PID_SHIFT).cast("int")
-        )
-        .withColumn(
-            "__local",
-            (F.col("__mid") % F.lit(1 << _PID_SHIFT) + 1).cast("long"),
-        )
-        .drop("__mid")
-        .persist()
-    )
+    df, ranked = _ranked_with_local(df, order_cols, n)
     base = _bases(
         [
             (r["__pid"], r["n"])
@@ -201,21 +213,7 @@ def distributed_row_number_lazy(
     n = num_partitions or max(
         2, min(spark.sparkContext.defaultParallelism, 64)
     )
-    df = df.persist()
-    ranked = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn(
-            "__pid", F.shiftright("__mid", _PID_SHIFT).cast("int")
-        )
-        .withColumn(
-            "__local",
-            (F.col("__mid") % F.lit(1 << _PID_SHIFT) + 1).cast("long"),
-        )
-        .drop("__mid")
-        .persist()
-    )
+    df, ranked = _ranked_with_local(df, order_cols, n)
     counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     a, b = counts.alias("a"), counts.alias("b")
     bases = (

@@ -460,6 +460,7 @@ class CrawlEngine:
             self._bloom = self._bloom.delete(
                 self.spark,
                 self.spark.createDataFrame([(u,) for u in normed], "url string"),
+                approx_count=len(normed),
             )
         self.catalog.commit(self._state())
         return len(rows)
@@ -813,456 +814,462 @@ class CrawlEngine:
         else:
             self._init_state()
         pool = ThreadPoolExecutor(max_workers=4)
-        # robots sizing and the seen-filter build are independent Spark
-        # jobs — overlap them (setup fixed cost = max, not sum). ONE job
-        # decides AND fetches: limit(threshold+1) either returns the whole
-        # (small) dim or proves it is too big.
-        robots_dim = self._robots_dim()
-        robots_head_f = None
-        if robots_dim is not None:
-            robots_head_f = pool.submit(
-                robots_dim.select("host", "disallow_prefixes")
-                .limit(cfg.robots_closure_max_hosts + 1)
-                .collect
-            )
-        if cfg.use_bloom:
-            # the filter mirrors the NET frontier (everything ever
-            # enqueued minus revocation tombstones, which supersets
-            # `seen`) — the set the exact anti-join uses. bloom =
-            # cheapest bits/key; cuckoo = same interface plus delete
-            # (north_star's deletable fallback).
-            frontier_urls = self._net_frontier(
-                self.catalog.tables["frontier"].read()
-            ).select("url")
-            if cfg.seen_filter == "cuckoo":
-                from inform_spark.operators.cuckoo import ShardedCuckoo
-
-                # bits_per_shard -> bucket count at ~equal capacity:
-                # SLOTS(4) x 16-bit slots per bucket = 64 filter bits/bucket
-                nb = max(1 << 10, cfg.bloom_bits_per_shard // 64)
-                nb = 1 << (nb - 1).bit_length()  # next power of two
-                self._bloom = ShardedCuckoo.build(
-                    self.spark, frontier_urls,
-                    n_shards=cfg.bloom_shards, buckets_per_shard=nb,
-                    approx_count=self.enqueued_total,
+        try:
+            # robots sizing and the seen-filter build are independent Spark
+            # jobs — overlap them (setup fixed cost = max, not sum). ONE job
+            # decides AND fetches: limit(threshold+1) either returns the whole
+            # (small) dim or proves it is too big.
+            robots_dim = self._robots_dim()
+            robots_head_f = None
+            if robots_dim is not None:
+                robots_head_f = pool.submit(
+                    robots_dim.select("host", "disallow_prefixes")
+                    .limit(cfg.robots_closure_max_hosts + 1)
+                    .collect
                 )
-            else:
-                from inform_spark.operators.bloom import ShardedBloom
+            if cfg.use_bloom:
+                # the filter mirrors the NET frontier (everything ever
+                # enqueued minus revocation tombstones, which supersets
+                # `seen`) — the set the exact anti-join uses. bloom =
+                # cheapest bits/key; cuckoo = same interface plus delete
+                # (north_star's deletable fallback).
+                frontier_urls = self._net_frontier(
+                    self.catalog.tables["frontier"].read()
+                ).select("url")
+                if cfg.seen_filter == "cuckoo":
+                    from inform_spark.operators.cuckoo import ShardedCuckoo
 
-                # enqueued_total is an exact upper bound on the net
-                # frontier (tombstones only shrink it): small runs fold
-                # the bitmaps driver-side, a 10^10-frontier resume stays
-                # on the distributed OR-reduce
-                self._bloom = ShardedBloom.build(
-                    self.spark, frontier_urls,
-                    n_shards=cfg.bloom_shards,
-                    bits_per_shard=cfg.bloom_bits_per_shard,
-                    approx_count=self.enqueued_total,
-                )
-        summary = CrawlSummary()
-        robots_filter = None
-        robots_join_dim = None
-        if robots_head_f is not None:
-            # size-thresholded formulation choice: collect-into-closure is
-            # one pickle and zero per-batch joins, but only while the dim
-            # is provably small; past the threshold the rules stay
-            # distributed and each batch broadcast-joins them instead.
-            head = robots_head_f.result()
-            if len(head) <= cfg.robots_closure_max_hosts:
-                rules = {
-                    r["host"]: list(r["disallow_prefixes"] or []) for r in head
-                }
-                robots_filter = make_robots_filter_udf(rules)
-            else:
-                robots_join_dim = robots_dim.persist()
-        batches_run = 0
-
-        phase = summary.extra.setdefault("phase_s", {})
-        # pre-loop fixed cost: state init/restore, bloom/cuckoo build over
-        # the net frontier, robots dim sizing — all once per run
-        phase["setup"] = round(time.monotonic() - t0, 3)
-
-        def _mark(name, t_start):
-            now = time.monotonic()
-            phase[name] = round(phase.get(name, 0.0) + (now - t_start), 3)
-            return now
-
-        def _timed(name, fn, *a, **kw):
-            """Wrap a pool task so its own wall lands in phase_s[name]."""
-            def run():
-                t = time.monotonic()
-                try:
-                    return fn(*a, **kw)
-                finally:
-                    phase[name] = round(
-                        phase.get(name, 0.0) + (time.monotonic() - t), 3
+                    # bits_per_shard -> bucket count at ~equal capacity:
+                    # SLOTS(4) x 16-bit slots per bucket = 64 filter bits/bucket
+                    nb = max(1 << 10, cfg.bloom_bits_per_shard // 64)
+                    nb = 1 << (nb - 1).bit_length()  # next power of two
+                    self._bloom = ShardedCuckoo.build(
+                        self.spark, frontier_urls,
+                        n_shards=cfg.bloom_shards, buckets_per_shard=nb,
+                        approx_count=self.enqueued_total,
                     )
-            return run
+                else:
+                    from inform_spark.operators.bloom import ShardedBloom
 
-        while self.attempted < cfg.limit:
-            t_ph = time.monotonic()
-            if max_batches is not None and batches_run >= max_batches:
-                break
-            frontier_t = self.catalog.tables["frontier"]
-            attempts_t = self.catalog.tables["attempts"]
-            # the watermark prefix property needs pure FIFO: no politeness
-            # budget, no custom priority rule, and no seed-supplied
-            # priorities (seeds_df with a priority column selects by
-            # (priority, offset) — not an offset prefix)
-            fifo = (
-                cfg.batch_wall_budget_ms is None
-                and cfg.priority_col is None
-                and not self._seed_priorities
-            )
-            if fifo and self.offset_watermark is not None:
-                # FIFO mode: live frontier by watermark predicate (no seen
-                # read, no anti-join; prunes at the scan)
-                live = frontier_t.read(cached=True).filter(
-                    F.col("frontier_offset") > F.lit(self.offset_watermark)
+                    # enqueued_total is an exact upper bound on the net
+                    # frontier (tombstones only shrink it): small runs fold
+                    # the bitmaps driver-side, a 10^10-frontier resume stays
+                    # on the distributed OR-reduce
+                    self._bloom = ShardedBloom.build(
+                        self.spark, frontier_urls,
+                        n_shards=cfg.bloom_shards,
+                        bits_per_shard=cfg.bloom_bits_per_shard,
+                        approx_count=self.enqueued_total,
+                    )
+            summary = CrawlSummary()
+            robots_filter = None
+            robots_join_dim = None
+            if robots_head_f is not None:
+                # size-thresholded formulation choice: collect-into-closure is
+                # one pickle and zero per-batch joins, but only while the dim
+                # is provably small; past the threshold the rules stay
+                # distributed and each batch broadcast-joins them instead.
+                head = robots_head_f.result()
+                if len(head) <= cfg.robots_closure_max_hosts:
+                    rules = {
+                        r["host"]: list(r["disallow_prefixes"] or []) for r in head
+                    }
+                    robots_filter = make_robots_filter_udf(rules)
+                else:
+                    robots_join_dim = robots_dim.persist()
+            batches_run = 0
+
+            phase = summary.extra.setdefault("phase_s", {})
+            # pre-loop fixed cost: state init/restore, bloom/cuckoo build over
+            # the net frontier, robots dim sizing — all once per run
+            phase["setup"] = round(time.monotonic() - t0, 3)
+
+            def _mark(name, t_start):
+                now = time.monotonic()
+                phase[name] = round(phase.get(name, 0.0) + (now - t_start), 3)
+                return now
+
+            def _timed(name, fn, *a, **kw):
+                """Wrap a pool task so its own wall lands in phase_s[name]."""
+                def run():
+                    t = time.monotonic()
+                    try:
+                        return fn(*a, **kw)
+                    finally:
+                        phase[name] = round(
+                            phase.get(name, 0.0) + (time.monotonic() - t), 3
+                        )
+                return run
+
+            while self.attempted < cfg.limit:
+                t_ph = time.monotonic()
+                if max_batches is not None and batches_run >= max_batches:
+                    break
+                frontier_t = self.catalog.tables["frontier"]
+                attempts_t = self.catalog.tables["attempts"]
+                # the watermark prefix property needs pure FIFO: no politeness
+                # budget, no custom priority rule, and no seed-supplied
+                # priorities (seeds_df with a priority column selects by
+                # (priority, offset) — not an offset prefix)
+                fifo = (
+                    cfg.batch_wall_budget_ms is None
+                    and cfg.priority_col is None
+                    and not self._seed_priorities
                 )
-            else:
-                # column-pruned parquet scan (url only) of the attempts
-                # table — never cached: the fat span/link columns would
-                # ride along into the row cache. Both sides netted against
-                # tombstones (no-ops unless invalidate() was called).
-                seen_urls = self._net_seen_urls()
-                live = self._net_frontier(frontier_t.read(cached=True)).join(
-                    seen_urls, "url", "left_anti"
+                if fifo and self.offset_watermark is not None:
+                    # FIFO mode: live frontier by watermark predicate (no seen
+                    # read, no anti-join; prunes at the scan)
+                    live = frontier_t.read(cached=True).filter(
+                        F.col("frontier_offset") > F.lit(self.offset_watermark)
+                    )
+                else:
+                    # column-pruned parquet scan (url only) of the attempts
+                    # table — never cached: the fat span/link columns would
+                    # ride along into the row cache. Both sides netted against
+                    # tombstones (no-ops unless invalidate() was called).
+                    seen_urls = self._net_seen_urls()
+                    live = self._net_frontier(frontier_t.read(cached=True)).join(
+                        seen_urls, "url", "left_anti"
+                    )
+
+                remaining = cfg.limit - self.attempted
+                b = min(cfg.batch_size or remaining, remaining)
+                # live frontier size by bookkeeping, not an extra anti-join job:
+                # frontier rows are unique and seen ⊆ frontier, so
+                # |live| = |enqueued| - |attempted|. Tombstones break the
+                # identity (invalidated urls are live again, revoked ones are
+                # gone), so the rare invalidation path pays an exact count.
+                if self._has_tombstones:
+                    live_count = live.count()
+                else:
+                    live_count = self.enqueued_total - self.attempted
+                if live_count <= 0:
+                    # frontier exhausted: don't plan+run a whole empty batch
+                    # (fetch UDF spin-up, empty appends) just to learn n=0
+                    break
+                # parent_rank = attempt order within the batch, ranked
+                # distributed (range partitions + per-partition offsets).
+                # skip_limit: the top-k funnel is pure overhead when the whole
+                # live set fits in the batch (the common case for unbounded /
+                # large-limit crawls).
+                batch, batch_caches = self._with_parent_rank(
+                    self._select_batch(live, b, skip_limit=live_count <= b)
                 )
 
-            remaining = cfg.limit - self.attempted
-            b = min(cfg.batch_size or remaining, remaining)
-            # live frontier size by bookkeeping, not an extra anti-join job:
-            # frontier rows are unique and seen ⊆ frontier, so
-            # |live| = |enqueued| - |attempted|. Tombstones break the
-            # identity (invalidated urls are live again, revoked ones are
-            # gone), so the rare invalidation path pays an exact count.
-            if self._has_tombstones:
-                live_count = live.count()
-            else:
-                live_count = self.enqueued_total - self.attempted
-            if live_count <= 0:
-                # frontier exhausted: don't plan+run a whole empty batch
-                # (fetch UDF spin-up, empty appends) just to learn n=0
-                break
-            # parent_rank = attempt order within the batch, ranked
-            # distributed (range partitions + per-partition offsets).
-            # skip_limit: the top-k funnel is pure overhead when the whole
-            # live set fits in the batch (the common case for unbounded /
-            # large-limit crawls).
-            batch, batch_caches = self._with_parent_rank(
-                self._select_batch(live, b, skip_limit=live_count <= b)
-            )
+                fetched = self._fetch(batch)
+                # Render placement: fixture mode rides the (balanced) pages-scan
+                # partitions — no shuffle of the html payload. HTTP mode fetches
+                # partitioned BY HOST (exact pacing), which is render-skewed
+                # whenever one host dominates the batch, so there the payload is
+                # re-balanced by url hash before the CPU-heavy render. An
+                # explicit render_partitions forces the url-hash repartition in
+                # either mode.
+                if cfg.render_partitions:
+                    fetched = fetched.repartition(cfg.render_partitions, "url")
+                elif cfg.fetch_mode == "http":
+                    fetched = fetched.repartition(
+                        self.spark.sparkContext.defaultParallelism, "url"
+                    )
 
-            fetched = self._fetch(batch)
-            # Render placement: fixture mode rides the (balanced) pages-scan
-            # partitions — no shuffle of the html payload. HTTP mode fetches
-            # partitioned BY HOST (exact pacing), which is render-skewed
-            # whenever one host dominates the batch, so there the payload is
-            # re-balanced by url hash before the CPU-heavy render. An
-            # explicit render_partitions forces the url-hash repartition in
-            # either mode.
-            if cfg.render_partitions:
-                fetched = fetched.repartition(cfg.render_partitions, "url")
-            elif cfg.fetch_mode == "http":
-                fetched = fetched.repartition(
-                    self.spark.sparkContext.defaultParallelism, "url"
+                # ONE materialization for the whole batch: fetch + render fused,
+                # written STRAIGHT to the attempts delta (no row cache of the
+                # fat span/link payload — every consumer below re-reads the
+                # delta with parquet column pruning: seen-ish consumers touch
+                # url/status, discover touches links, documents() touches
+                # spans). Non-documents pass a null html through the UDF (empty
+                # spans). Batch metrics ride along as an Observation — no
+                # separate agg job.
+                obs = Observation(f"batch-{self.batch_id}")
+                rendered = (
+                    fetched.withColumn(
+                        "r",
+                        self._render_udf(
+                            F.col("url"),
+                            F.when(F.col("is_doc"), F.col("html")),
+                        ),
+                    )
+                    .select(
+                        "url",
+                        F.xxhash64("url").alias("url_hash"),
+                        "depth",
+                        "parent_rank",
+                        "frontier_offset",
+                        "status",
+                        "error",
+                        "is_doc",
+                        F.col("r.doc_id").alias("doc_id"),
+                        F.col("r.spans").alias("spans"),
+                        F.col("r.links").alias("links"),
+                        F.lit(self.batch_id).cast("long").alias("attempted_in_batch"),
+                        (F.lit(self.attempted) + F.col("parent_rank"))
+                        .cast("long")
+                        .alias("crawl_rank"),
+                    )
+                    .observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+                        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+                            "failed"
+                        ),
+                        F.sum(
+                            F.when(
+                                (F.col("status") == "ok") & ~F.col("is_doc"), 1
+                            ).otherwise(0)
+                        ).alias("skipped"),
+                        F.min("frontier_offset").alias("lo"),
+                        F.max("frontier_offset").alias("hi"),
+                        F.coalesce(
+                            F.sum(F.when(F.col("is_doc"), F.size("links")).otherwise(0)),
+                            F.lit(0),
+                        ).alias("n_disc"),
+                    )
                 )
 
-            # ONE materialization for the whole batch: fetch + render fused,
-            # written STRAIGHT to the attempts delta (no row cache of the
-            # fat span/link payload — every consumer below re-reads the
-            # delta with parquet column pruning: seen-ish consumers touch
-            # url/status, discover touches links, documents() touches
-            # spans). Non-documents pass a null html through the UDF (empty
-            # spans). Batch metrics ride along as an Observation — no
-            # separate agg job.
-            obs = Observation(f"batch-{self.batch_id}")
-            rendered = (
-                fetched.withColumn(
-                    "r",
-                    self._render_udf(
-                        F.col("url"),
-                        F.when(F.col("is_doc"), F.col("html")),
-                    ),
+                t_ph = _mark("plan", t_ph)
+                # job 1: fetch+render straight into the attempts delta — the
+                # batch's single materialization of the fat payload; metrics
+                # fill in-flight, row count comes from the parquet footers
+                # (driver-side metadata, no extra job). Natural partitioning:
+                # a repartition would shuffle the payload, a coalesce would
+                # collapse the render parallelism.
+                attempts_t.append(
+                    rendered.select([f.name for f in schemas.ATTEMPTS.fields]),
+                    f"b{self.batch_id}",
                 )
-                .select(
+                n_batch = attempts_t.last_dir_row_count()
+                t_ph = _mark("fetch_render", t_ph)
+                if n_batch == 0:
+                    for df in batch_caches:
+                        df.unpersist()
+                    break
+                agg = obs.get
+                delta = self.spark.read.schema(schemas.ATTEMPTS).parquet(
+                    attempts_t.last_dir
+                )
+
+                # --- discover + admit: reads ONLY (depth, parent_rank, links)
+                # from the just-written delta (column pruning skips spans) ---
+                dedup = self._discover(
+                    delta.filter("is_doc").select("depth", "parent_rank", "links"),
+                    robots_filter,
+                    robots_join_dim,
+                )
+                self._resolve_bloom()
+                probed = None
+                if self._bloom is not None:
+                    from inform_spark.operators.bloom import bloom_partition
+
+                    # persist the probed candidates BEFORE branching: the
+                    # maybe/fresh filters and the final union would otherwise
+                    # re-execute the whole discover pipeline (explode + robots
+                    # UDF + dedup shuffle + bloom probe) once per branch.
+                    maybe_seen, fresh, probed = bloom_partition(
+                        dedup, self._bloom, persist=True
+                    )
+                    checked = maybe_seen.join(
+                        self._net_frontier(frontier_t.read(cached=True))
+                        .select("url"),
+                        "url", "left_anti",
+                    )
+                    new_links = fresh.unionByName(checked)
+                else:
+                    new_links = dedup.join(
+                        self._net_frontier(frontier_t.read(cached=True))
+                        .select("url"),
+                        "url", "left_anti",
+                    )
+
+                # structural trap cap: at most template_cap new urls per
+                # (host, path template) this batch, keeping the FIFO prefix.
+                # The per-(host,template) window sorts exactly the rows the
+                # cap exists to drop — bounded by this batch's candidates.
+                n_tpl_dropped = 0
+                if cfg.template_cap is not None:
+                    from inform_spark.operators.traps import url_template_from_path
+
+                    new_links = new_links.persist()
+                    n_pre_tpl = new_links.count()
+                    if probed is not None:
+                        probed.unpersist()
+                        probed = None
+                    tpl_w = Window.partitionBy(
+                        "host", url_template_from_path(F.col("path"))
+                    ).orderBy("frontier_offset")
+                    capped_links = (
+                        new_links.withColumn("__tr", F.row_number().over(tpl_w))
+                        .filter(F.col("__tr") <= cfg.template_cap)
+                        .drop("__tr")
+                        .persist()
+                    )
+                    n_tpl_dropped = n_pre_tpl - capped_links.count()
+                    new_links.unpersist()
+                    new_links = capped_links
+
+                # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
+                # NOTE deliberately NOT an Observation: AQE's empty-relation
+                # propagation can elide CollectMetrics nodes when the candidate
+                # set is empty, wedging Observation.get. Counts come from the
+                # written delta's parquet footers (driver-side metadata, no job).
+                frontier_cols = [
                     "url",
-                    F.xxhash64("url").alias("url_hash"),
+                    "host",
+                    "path",
                     "depth",
-                    "parent_rank",
+                    "priority",
                     "frontier_offset",
-                    "status",
-                    "error",
-                    "is_doc",
-                    F.col("r.doc_id").alias("doc_id"),
-                    F.col("r.spans").alias("spans"),
-                    F.col("r.links").alias("links"),
-                    F.lit(self.batch_id).cast("long").alias("attempted_in_batch"),
-                    (F.lit(self.attempted) + F.col("parent_rank"))
-                    .cast("long")
-                    .alias("crawl_rank"),
-                )
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-                    F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
-                        "failed"
-                    ),
-                    F.sum(
-                        F.when(
-                            (F.col("status") == "ok") & ~F.col("is_doc"), 1
-                        ).otherwise(0)
-                    ).alias("skipped"),
-                    F.min("frontier_offset").alias("lo"),
-                    F.max("frontier_offset").alias("hi"),
-                    F.coalesce(
-                        F.sum(F.when(F.col("is_doc"), F.size("links")).otherwise(0)),
-                        F.lit(0),
-                    ).alias("n_disc"),
-                )
-            )
+                    F.lit(self.batch_id).alias("discovered_in_batch"),
+                ]
+                capped = cfg.max_queue_size is not None
+                if capped:
+                    # cap path: materialize candidates once to count, then admit
+                    # the FIFO prefix that fits
+                    new_links = new_links.persist()
+                    n_cand = new_links.count()
+                    if probed is not None:
+                        probed.unpersist()
+                    t_ph = _mark("writes_discover", t_ph)
+                    capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
+                    if n_cand > capacity:
+                        admitted = new_links.orderBy("frontier_offset").limit(capacity)
+                        n_admit = capacity
+                        if not self.queue_warned:
+                            self.queue_warned = True
+                    else:
+                        admitted = new_links
+                        n_admit = n_cand
+                    # job 4: frontier append (candidates already materialized)
+                    frontier_t.append(
+                        admitted.select(*frontier_cols),
+                        f"b{self.batch_id}", n_files=1, shuffle=False,
+                    )
+                    new_links.unpersist()
+                else:
+                    # uncapped: the append IS the one materialization of the
+                    # discover pipeline (no separate count job); counts read
+                    # back from the delta's footers. coalesce (not repartition):
+                    # the in-batch dedup groupBy upstream is already a shuffle
+                    # boundary, so coalescing only narrows the trivial
+                    # post-shuffle tail (probe/anti-join/union over ~thousands
+                    # of candidate rows) instead of paying one more exchange.
+                    frontier_t.append(
+                        new_links.select(*frontier_cols),
+                        f"b{self.batch_id}", n_files=1, shuffle=False,
+                    )
+                    if probed is not None:
+                        probed.unpersist()
+                    if cfg.template_cap is not None:
+                        new_links.unpersist()
+                    n_cand = n_admit = frontier_t.last_dir_row_count()
+                    t_ph = _mark("writes_discover", t_ph)
 
-            t_ph = _mark("plan", t_ph)
-            # job 1: fetch+render straight into the attempts delta — the
-            # batch's single materialization of the fat payload; metrics
-            # fill in-flight, row count comes from the parquet footers
-            # (driver-side metadata, no extra job). Natural partitioning:
-            # a repartition would shuffle the payload, a coalesce would
-            # collapse the render parallelism.
-            attempts_t.append(
-                rendered.select([f.name for f in schemas.ATTEMPTS.fields]),
-                f"b{self.batch_id}",
-            )
-            n_batch = attempts_t.last_dir_row_count()
-            t_ph = _mark("fetch_render", t_ph)
-            if n_batch == 0:
+                n_disc = agg["n_disc"]
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                lineage_row = (
+                    self.batch_id,
+                    agg["lo"] or 0,
+                    agg["hi"] or 0,
+                    self._bloom.version if self._bloom is not None else 0,
+                    n_batch,
+                    agg["ok"] or 0,
+                    agg["failed"] or 0,
+                    agg["skipped"] or 0,
+                    int(n_disc),
+                    n_admit,
+                    n_cand - n_admit,
+                    wall_ms,
+                )
+                t_ph = _mark("frontier_append", t_ph)
+                # lineage is ONE row: driver-side pyarrow append (no Spark job).
+                # The bloom fold-in of newly admitted urls is PIPELINED into the
+                # next batch — it is only needed by the next discover, which
+                # awaits the future (_resolve_bloom). It reads the urls back
+                # from the just-written frontier delta (parquet scan of one
+                # small file) instead of recomputing the discover plan. The
+                # bloom is not checkpoint state (resume rebuilds it from the
+                # frontier table), so the commit below does not wait on it.
+                self.catalog.tables["lineage"].append_rows(
+                    [lineage_row], f"b{self.batch_id}"
+                )
+                self.catalog.tables["partition_lineage"].append_rows(
+                    self._partition_lineage_rows(attempts_t.last_dir),
+                    f"b{self.batch_id}",
+                )
+                if self._bloom is not None and n_admit > 0:
+                    delta_urls = (
+                        self.spark.read.schema(schemas.FRONTIER)
+                        .parquet(frontier_t.last_dir)
+                        .select("url")
+                    )
+                    # bind loop variables NOW — the future runs after they rebind
+                    self._bloom_future = pool.submit(_timed(
+                        "w_bloom",
+                        lambda b=self._bloom, d=delta_urls, n=n_admit: b.add(
+                            self.spark, d, approx_count=n
+                        ),
+                    ))
+
+                t_ph = _mark("bloom_lineage", t_ph)
+                # --- atomic commit: the batch happened ---
+                if fifo and self.offset_watermark is not None:
+                    self.offset_watermark = max(self.offset_watermark, agg["hi"] or 0)
+                else:
+                    # a politeness-budget batch may skip ahead of unfetched
+                    # offsets: the prefix property is gone for good
+                    self.offset_watermark = None
+                self.attempted += n_batch
+                self.enqueued_total += n_admit
+                self.batch_id += 1
+                batches_run += 1
+                self.catalog.commit(self._state())
+
+                summary.batches += 1
+                summary.attempted += n_batch
+                summary.ok += agg["ok"] or 0
+                summary.failed += agg["failed"] or 0
+                summary.skipped_non_html += agg["skipped"] or 0
+                summary.links_discovered += int(n_disc)
+                summary.links_admitted += n_admit
+                summary.links_dropped_cap += n_cand - n_admit
+                summary.links_dropped_template += n_tpl_dropped
+
                 for df in batch_caches:
                     df.unpersist()
-                break
-            agg = obs.get
-            delta = self.spark.read.schema(schemas.ATTEMPTS).parquet(
-                attempts_t.last_dir
-            )
+                t_ph = _mark("commit", t_ph)
 
-            # --- discover + admit: reads ONLY (depth, parent_rank, links)
-            # from the just-written delta (column pruning skips spans) ---
-            dedup = self._discover(
-                delta.filter("is_doc").select("depth", "parent_rank", "links"),
-                robots_filter,
-                robots_join_dim,
-            )
+                if (
+                    cfg.compact_every_batches
+                    and self.batch_id % cfg.compact_every_batches == 0
+                ):
+                    # table maintenance at a batch boundary: fold the
+                    # accumulated micro-deltas into right-sized files and
+                    # re-commit so the compacted snapshots are the pinned
+                    # ones. The pipelined bloom fold-in reads the frontier
+                    # delta lazily — resolve it BEFORE the delta dirs are
+                    # superseded (vacuum stays manual: time-travel preserved).
+                    self._resolve_bloom()
+                    self.catalog.tables["attempts"].compact(
+                        n_files=max(1, self.attempted // 500_000)
+                    )
+                    self.catalog.tables["frontier"].compact(
+                        n_files=max(1, self.enqueued_total // 2_000_000)
+                    )
+                    self.catalog.commit(self._state())
+                    _mark("compact", t_ph)
+
+            t_fin = time.monotonic()
             self._resolve_bloom()
-            probed = None
-            if self._bloom is not None:
-                from inform_spark.operators.bloom import bloom_partition
-
-                # persist the probed candidates BEFORE branching: the
-                # maybe/fresh filters and the final union would otherwise
-                # re-execute the whole discover pipeline (explode + robots
-                # UDF + dedup shuffle + bloom probe) once per branch.
-                maybe_seen, fresh, probed = bloom_partition(
-                    dedup, self._bloom, persist=True
-                )
-                checked = maybe_seen.join(
-                    self._net_frontier(frontier_t.read(cached=True))
-                    .select("url"),
-                    "url", "left_anti",
-                )
-                new_links = fresh.unionByName(checked)
-            else:
-                new_links = dedup.join(
-                    self._net_frontier(frontier_t.read(cached=True))
-                    .select("url"),
-                    "url", "left_anti",
-                )
-
-            # structural trap cap: at most template_cap new urls per
-            # (host, path template) this batch, keeping the FIFO prefix.
-            # The per-(host,template) window sorts exactly the rows the
-            # cap exists to drop — bounded by this batch's candidates.
-            n_tpl_dropped = 0
-            if cfg.template_cap is not None:
-                from inform_spark.operators.traps import url_template_from_path
-
-                new_links = new_links.persist()
-                n_pre_tpl = new_links.count()
-                if probed is not None:
-                    probed.unpersist()
-                    probed = None
-                tpl_w = Window.partitionBy(
-                    "host", url_template_from_path(F.col("path"))
-                ).orderBy("frontier_offset")
-                capped_links = (
-                    new_links.withColumn("__tr", F.row_number().over(tpl_w))
-                    .filter(F.col("__tr") <= cfg.template_cap)
-                    .drop("__tr")
-                    .persist()
-                )
-                n_tpl_dropped = n_pre_tpl - capped_links.count()
-                new_links.unpersist()
-                new_links = capped_links
-
-            # O3 queue cap (drop-new, reference src/WebCrawler.js:553-560).
-            # NOTE deliberately NOT an Observation: AQE's empty-relation
-            # propagation can elide CollectMetrics nodes when the candidate
-            # set is empty, wedging Observation.get. Counts come from the
-            # written delta's parquet footers (driver-side metadata, no job).
-            frontier_cols = [
-                "url",
-                "host",
-                "path",
-                "depth",
-                "priority",
-                "frontier_offset",
-                F.lit(self.batch_id).alias("discovered_in_batch"),
-            ]
-            capped = cfg.max_queue_size is not None
-            if capped:
-                # cap path: materialize candidates once to count, then admit
-                # the FIFO prefix that fits
-                new_links = new_links.persist()
-                n_cand = new_links.count()
-                if probed is not None:
-                    probed.unpersist()
-                t_ph = _mark("writes_discover", t_ph)
-                capacity = max(cfg.max_queue_size - (live_count - n_batch), 0)
-                if n_cand > capacity:
-                    admitted = new_links.orderBy("frontier_offset").limit(capacity)
-                    n_admit = capacity
-                    if not self.queue_warned:
-                        self.queue_warned = True
-                else:
-                    admitted = new_links
-                    n_admit = n_cand
-                # job 4: frontier append (candidates already materialized)
-                frontier_t.append(
-                    admitted.select(*frontier_cols),
-                    f"b{self.batch_id}", n_files=1, shuffle=False,
-                )
-                new_links.unpersist()
-            else:
-                # uncapped: the append IS the one materialization of the
-                # discover pipeline (no separate count job); counts read
-                # back from the delta's footers. coalesce (not repartition):
-                # the in-batch dedup groupBy upstream is already a shuffle
-                # boundary, so coalescing only narrows the trivial
-                # post-shuffle tail (probe/anti-join/union over ~thousands
-                # of candidate rows) instead of paying one more exchange.
-                frontier_t.append(
-                    new_links.select(*frontier_cols),
-                    f"b{self.batch_id}", n_files=1, shuffle=False,
-                )
-                if probed is not None:
-                    probed.unpersist()
-                if cfg.template_cap is not None:
-                    new_links.unpersist()
-                n_cand = n_admit = frontier_t.last_dir_row_count()
-                t_ph = _mark("writes_discover", t_ph)
-
-            n_disc = agg["n_disc"]
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            lineage_row = (
-                self.batch_id,
-                agg["lo"] or 0,
-                agg["hi"] or 0,
-                self._bloom.version if self._bloom is not None else 0,
-                n_batch,
-                agg["ok"] or 0,
-                agg["failed"] or 0,
-                agg["skipped"] or 0,
-                int(n_disc),
-                n_admit,
-                n_cand - n_admit,
-                wall_ms,
-            )
-            t_ph = _mark("frontier_append", t_ph)
-            # lineage is ONE row: driver-side pyarrow append (no Spark job).
-            # The bloom fold-in of newly admitted urls is PIPELINED into the
-            # next batch — it is only needed by the next discover, which
-            # awaits the future (_resolve_bloom). It reads the urls back
-            # from the just-written frontier delta (parquet scan of one
-            # small file) instead of recomputing the discover plan. The
-            # bloom is not checkpoint state (resume rebuilds it from the
-            # frontier table), so the commit below does not wait on it.
-            self.catalog.tables["lineage"].append_rows(
-                [lineage_row], f"b{self.batch_id}"
-            )
-            self.catalog.tables["partition_lineage"].append_rows(
-                self._partition_lineage_rows(attempts_t.last_dir),
-                f"b{self.batch_id}",
-            )
-            if self._bloom is not None and n_admit > 0:
-                delta_urls = (
-                    self.spark.read.schema(schemas.FRONTIER)
-                    .parquet(frontier_t.last_dir)
-                    .select("url")
-                )
-                # bind loop variables NOW — the future runs after they rebind
-                self._bloom_future = pool.submit(_timed(
-                    "w_bloom",
-                    lambda b=self._bloom, d=delta_urls, n=n_admit: b.add(
-                        self.spark, d, approx_count=n
-                    ),
-                ))
-
-            t_ph = _mark("bloom_lineage", t_ph)
-            # --- atomic commit: the batch happened ---
-            if fifo and self.offset_watermark is not None:
-                self.offset_watermark = max(self.offset_watermark, agg["hi"] or 0)
-            else:
-                # a politeness-budget batch may skip ahead of unfetched
-                # offsets: the prefix property is gone for good
-                self.offset_watermark = None
-            self.attempted += n_batch
-            self.enqueued_total += n_admit
-            self.batch_id += 1
-            batches_run += 1
-            self.catalog.commit(self._state())
-
-            summary.batches += 1
-            summary.attempted += n_batch
-            summary.ok += agg["ok"] or 0
-            summary.failed += agg["failed"] or 0
-            summary.skipped_non_html += agg["skipped"] or 0
-            summary.links_discovered += int(n_disc)
-            summary.links_admitted += n_admit
-            summary.links_dropped_cap += n_cand - n_admit
-            summary.links_dropped_template += n_tpl_dropped
-
-            for df in batch_caches:
-                df.unpersist()
-            t_ph = _mark("commit", t_ph)
-
-            if (
-                cfg.compact_every_batches
-                and self.batch_id % cfg.compact_every_batches == 0
-            ):
-                # table maintenance at a batch boundary: fold the
-                # accumulated micro-deltas into right-sized files and
-                # re-commit so the compacted snapshots are the pinned
-                # ones. The pipelined bloom fold-in reads the frontier
-                # delta lazily — resolve it BEFORE the delta dirs are
-                # superseded (vacuum stays manual: time-travel preserved).
-                self._resolve_bloom()
-                self.catalog.tables["attempts"].compact(
-                    n_files=max(1, self.attempted // 500_000)
-                )
-                self.catalog.tables["frontier"].compact(
-                    n_files=max(1, self.enqueued_total // 2_000_000)
-                )
-                self.catalog.commit(self._state())
-                _mark("compact", t_ph)
-
-        t_fin = time.monotonic()
-        self._resolve_bloom()
-        pool.shutdown()
-        if robots_join_dim is not None:
-            robots_join_dim.unpersist()
-        phase["final"] = round(time.monotonic() - t_fin, 3)
-        summary.wall_ms = (time.monotonic() - t0) * 1000
-        return summary
+            pool.shutdown()
+            if robots_join_dim is not None:
+                robots_join_dim.unpersist()
+            phase["final"] = round(time.monotonic() - t_fin, 3)
+            summary.wall_ms = (time.monotonic() - t0) * 1000
+            return summary
+        finally:
+            # a setup/batch exception must not leak the pool or an
+            # in-flight never-awaited future (idempotent after the
+            # success path's own shutdown above)
+            pool.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------------
     def _net_attempts(self) -> DataFrame:

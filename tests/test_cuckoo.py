@@ -135,3 +135,52 @@ def test_bloom_small_add_path_identical(spark):
     assert set(dist.shards) == set(small.shards)
     for sid in dist.shards:
         assert (dist.shards[sid] == small.shards[sid]).all()
+
+
+def test_small_add_merge_onto_nonempty_identical(spark):
+    """The crawl's per-batch pipelined add always folds into an ALREADY
+    POPULATED filter — assert the small path's merge branch (bitmap OR /
+    insert-into-existing-table) equals the distributed one, for both
+    filter kinds."""
+    import numpy as np
+
+    from inform_spark.operators.bloom import ShardedBloom
+
+    base_b = ShardedBloom.build(
+        spark, _urls_df(spark, URLS[:300]), n_shards=8, bits_per_shard=1 << 16
+    )
+    delta = _urls_df(spark, URLS[300:600])
+    b_dist = base_b.add(spark, delta)
+    b_small = base_b.add(spark, delta, approx_count=300)
+    assert set(b_dist.shards) == set(b_small.shards)
+    for sid in b_dist.shards:
+        assert (b_dist.shards[sid] == b_small.shards[sid]).all()
+
+    base_c = ShardedCuckoo.build(
+        spark, _urls_df(spark, URLS[:300]), n_shards=8, buckets_per_shard=1 << 11
+    )
+    c_dist = base_c.add(spark, delta)
+    c_small = base_c.add(spark, delta, approx_count=300)
+    got_d = _probe(spark, c_dist, URLS[:600] + OTHERS[:200])
+    got_s = _probe(spark, c_small, URLS[:600] + OTHERS[:200])
+    assert got_d == got_s
+    for sid in set(c_dist.shards) | set(c_small.shards):
+        assert sorted(
+            np.asarray(c_dist.shards[sid])[np.asarray(c_dist.shards[sid]) != 0]
+            .tolist()
+        ) == sorted(
+            np.asarray(c_small.shards[sid])[np.asarray(c_small.shards[sid]) != 0]
+            .tolist()
+        )
+    assert c_dist.stashes == c_small.stashes
+
+
+def test_small_delete_path_matches_distributed(spark):
+    built = ShardedCuckoo.build(
+        spark, _urls_df(spark, URLS[:400]), n_shards=8, buckets_per_shard=1 << 11
+    )
+    victims = URLS[:50]
+    d_dist = built.delete(spark, _urls_df(spark, victims))
+    d_small = built.delete(spark, _urls_df(spark, victims), approx_count=50)
+    probe_set = URLS[:450] + OTHERS[:100]
+    assert _probe(spark, d_dist, probe_set) == _probe(spark, d_small, probe_set)

@@ -38,3 +38,15 @@ def test_dsir_plan_no_window_no_cartesian(spark):
     )
     assert "Window" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+def test_dsir_zero_token_doc_emitted_with_null_importance(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "", False), (2, "   ", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, F.col("tgt")).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_tokens"] == 0 and out[1]["importance"] is None
+    assert out[2]["n_tokens"] == 0 and out[2]["importance"] is None
+    assert out[0]["n_tokens"] == 2 and out[0]["importance"] is not None
