@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_stratified_sample",
+    "dsir_importance",
+    "anchor_text_agg",
     "repetition_gates",
     "source_cap",
     "pack_sequences",
