@@ -71,6 +71,10 @@ class ShardedBloom:
 
     @staticmethod
     def empty(n_shards: int = 16, bits_per_shard: int = 1 << 20) -> "ShardedBloom":
+        # build computes the shard via signed pmod(h1, n) JVM-side while the
+        # probe uses uint64(h1) % n — these agree for negative h1 ONLY when
+        # n is a power of two (both reduce to the low bits)
+        assert n_shards > 0 and n_shards & (n_shards - 1) == 0
         return ShardedBloom(n_shards, bits_per_shard, 0, {})
 
     @staticmethod

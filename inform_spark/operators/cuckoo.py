@@ -18,10 +18,10 @@ keys (overflow during eviction lands in an exact per-shard stash, probed
 alongside the table).
 
 Distribution shape mirrors the bloom: hashes JVM-side (``xxhash64``),
-per-shard sub-tables built by ``applyInPandas``, only n_shards compact
-tables travel to the driver where they merge by (bucket, fingerprint) —
-a valid cuckoo merge because either candidate bucket may hold a
-fingerprint. Deletes take a (small) invalidation DataFrame; at 10^10
+per-shard (bucket, fingerprint) entries built by ``applyInPandas`` —
+one per distinct url, duplicates preserved so delete() of one key never
+erases a colliding key's copy. Deletes take a (small) invalidation
+DataFrame; at 10^10
 scale both the shards and the deletes stay executor-resident behind the
 same interface, only the merge point moves.
 """
@@ -67,16 +67,21 @@ def _alt_bucket(i: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
 
 
 def _insert_many(
-    table: np.ndarray, stash: set[int], i1s: np.ndarray, fps: np.ndarray
+    table: np.ndarray, stash: dict[int, int], i1s: np.ndarray, fps: np.ndarray
 ) -> None:
-    """Insert (bucket, fp) pairs with eviction; overflow -> exact stash.
-    Deterministic kick pattern (slot = kicks % SLOTS), no RNG."""
+    """Insert (bucket, fp) pairs with eviction; overflow -> exact stash
+    (a multiset: key -> copy count). Deterministic kick pattern
+    (slot = kicks % SLOTS), no RNG.
+
+    Standard cuckoo semantics: duplicate fingerprints ARE stored (one copy
+    per inserted key). Skipping an "already present" fp would merge two
+    DISTINCT keys that collide on (fp, bucket-pair) into one stored copy —
+    delete() of one key would then erase the other's membership, a false
+    negative the crawl engine's bloom-negative fresh path cannot tolerate.
+    Identical URLs are deduped upstream (by url, in ``_entries``)."""
     nb = table.shape[0]
     for i1, fp in zip(i1s.tolist(), fps.tolist()):
         i2 = int(_alt_bucket(np.array([i1]), np.array([fp], dtype=np.uint16), nb)[0])
-        # already present (idempotent insert keeps load down on re-adds)
-        if fp in table[i1] or fp in table[i2]:
-            continue
         placed = False
         for b in (i1, i2):
             empty = np.flatnonzero(table[b] == 0)
@@ -100,21 +105,26 @@ def _insert_many(
                 table[cur_b, empty[0]] = cur_fp
                 break
         else:
-            stash.add(int(cur_fp) << 32 | cur_b)  # exact overflow, probed too
+            key = int(cur_fp) << 32 | cur_b  # exact overflow, probed too
+            stash[key] = stash.get(key, 0) + 1
 
 
 @dataclass
 class ShardedCuckoo:
-    n_shards: int
+    n_shards: int  # power of two (build pmod == probe uint64-mod only then)
     buckets_per_shard: int  # power of two
     version: int
     shards: dict[int, np.ndarray]  # shard -> (nb, SLOTS) uint16 table
-    stashes: dict[int, set[int]]
+    stashes: dict[int, dict[int, int]]  # shard -> {key: copy count}
 
     @staticmethod
     def empty(
         n_shards: int = 16, buckets_per_shard: int = 1 << 15
     ) -> "ShardedCuckoo":
+        # build computes the shard via signed pmod(h1, n) JVM-side while the
+        # probe uses uint64(h1) % n — these agree for negative h1 ONLY when
+        # n is a power of two (both reduce to the low bits)
+        assert n_shards > 0 and n_shards & (n_shards - 1) == 0
         assert buckets_per_shard & (buckets_per_shard - 1) == 0
         return ShardedCuckoo(n_shards, buckets_per_shard, 0, {}, {})
 
@@ -139,9 +149,14 @@ class ShardedCuckoo:
     def _entries(
         self, spark: SparkSession, urls: DataFrame, approx_count: int | None = None
     ):
-        """Distributed: (shard, bucket1, fp) rows, deduped per shard.
-        ``approx_count``-provably-small sets skip the shuffle and python
-        workers (hashes still JVM xxhash64 — entries are identical)."""
+        """Distributed: (shard, bucket1, fp) rows — one per DISTINCT url.
+        Dedup is by the full (h1, h2) hash pair (identical urls hash
+        identically; a cross-url 128-bit collision is negligible), NEVER by
+        the 16-bit (bucket, fp): two distinct urls colliding there must
+        each store a copy, or delete() of one would erase the other (a
+        false negative). ``approx_count``-provably-small sets skip the
+        shuffle and python workers (hashes still JVM xxhash64 — entries
+        are identical)."""
         nb = self.buckets_per_shard
         hashed = _with_hashes(urls).select(
             F.pmod(F.col("__h1"), F.lit(self.n_shards)).cast("int").alias("shard"),
@@ -150,7 +165,14 @@ class ShardedCuckoo:
         )
 
         if approx_count is not None and approx_count <= self.SMALL_ADD_MAX:
-            small = hashed.collect()  # JVM-only narrow job
+            collected = hashed.collect()  # JVM-only narrow job
+            seen_h: set[tuple[int, int]] = set()
+            small = []
+            for r in collected:
+                hk = (r["__h1"], r["__h2"])
+                if hk not in seen_h:
+                    seen_h.add(hk)
+                    small.append(r)
             if not small:
                 return []
             buckets = _bucket1(
@@ -159,23 +181,21 @@ class ShardedCuckoo:
             fps = _fingerprints(
                 np.array([r["__h2"] for r in small], dtype=np.int64)
             )
-            seen: set[tuple[int, int, int]] = set()
-            out = []
-            for r, b, fp in zip(small, buckets, fps):
-                key = (r["shard"], int(b), int(fp))
-                if key not in seen:
-                    seen.add(key)
-                    out.append({"shard": key[0], "bucket": key[1], "fp": key[2]})
-            return out
+            return [
+                {"shard": r["shard"], "bucket": int(b), "fp": int(fp)}
+                for r, b, fp in zip(small, buckets, fps)
+            ]
 
         def prep(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return pd.DataFrame({"shard": [], "bucket": [], "fp": []})
             shard = int(pdf["shard"].iloc[0])
+            # dedup identical urls via their full hash pair; NEVER by the
+            # 16-bit (bucket, fp) — colliding distinct urls each keep a copy
+            pdf = pdf.drop_duplicates(subset=["__h1", "__h2"])
             fps = _fingerprints(pdf["__h2"].to_numpy())
             b1 = _bucket1(pdf["__h1"].to_numpy(), nb)
             ent = pd.DataFrame({"bucket": b1, "fp": fps.astype(np.int64)})
-            ent = ent.drop_duplicates()
             ent.insert(0, "shard", shard)
             return ent
 
@@ -195,7 +215,7 @@ class ShardedCuckoo:
         like ShardedBloom, so lineage can pin versions)."""
         rows = self._entries(spark, urls, approx_count=approx_count)
         shards = {k: v.copy() for k, v in self.shards.items()}
-        stashes = {k: set(v) for k, v in self.stashes.items()}
+        stashes = {k: dict(v) for k, v in self.stashes.items()}
         by_shard: dict[int, list[tuple[int, int]]] = {}
         for r in rows:
             by_shard.setdefault(r["shard"], []).append((r["bucket"], r["fp"]))
@@ -203,7 +223,7 @@ class ShardedCuckoo:
             table = shards.get(sid)
             if table is None:
                 table = np.zeros((self.buckets_per_shard, SLOTS), dtype=np.uint16)
-            stash = stashes.setdefault(sid, set())
+            stash = stashes.setdefault(sid, {})
             arr = np.array(ents, dtype=np.int64)
             _insert_many(table, stash, arr[:, 0], arr[:, 1].astype(np.uint16))
             shards[sid] = table
@@ -227,7 +247,7 @@ class ShardedCuckoo:
         of urls — no shuffle, no python workers)."""
         rows = self._entries(spark, urls, approx_count=approx_count)
         shards = {k: v.copy() for k, v in self.shards.items()}
-        stashes = {k: set(v) for k, v in self.stashes.items()}
+        stashes = {k: dict(v) for k, v in self.stashes.items()}
         nb = self.buckets_per_shard
         for r in rows:
             table = shards.get(r["shard"])
@@ -236,7 +256,7 @@ class ShardedCuckoo:
             fp = np.uint16(r["fp"])
             i1 = int(r["bucket"])
             i2 = int(_alt_bucket(np.array([i1]), np.array([fp]), nb)[0])
-            stash = stashes.get(r["shard"], set())
+            stash = stashes.get(r["shard"], {})
             removed = False
             for b in (i1, i2):
                 hit = np.flatnonzero(table[b] == fp)
@@ -246,11 +266,14 @@ class ShardedCuckoo:
                     break
             if not removed:
                 # a stashed entry recorded whichever bucket the eviction
-                # chain ended at — either candidate is possible
+                # chain ended at — either candidate is possible; decrement
+                # ONE copy (multiset), never erase other keys' copies
                 for b in (i1, i2):
                     key = int(fp) << 32 | b
-                    if key in stash:
-                        stash.discard(key)
+                    if stash.get(key, 0) > 0:
+                        stash[key] -= 1
+                        if stash[key] == 0:
+                            del stash[key]
                         break
         return ShardedCuckoo(
             self.n_shards, nb, self.version + 1, shards, stashes
@@ -268,7 +291,11 @@ class ShardedCuckoo:
         bc = spark.sparkContext.broadcast(
             {
                 "shards": self.shards,
-                "stashes": {k: frozenset(v) for k, v in self.stashes.items()},
+                # membership only — counts stay driver-side for delete
+                "stashes": {
+                    k: frozenset(kk for kk, c in v.items() if c > 0)
+                    for k, v in self.stashes.items()
+                },
                 "nb": self.buckets_per_shard,
                 "n": self.n_shards,
             }

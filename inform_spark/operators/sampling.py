@@ -126,9 +126,14 @@ def per_source_cap(
             .drop("__cut")
         )
         surv = pruned.groupBy(source_col).agg(F.count("*").alias("__m"))
+        # Drive from HOT with a left join: a hot source whose rows ALL
+        # exceed the cutoff has no surv row at all (P ≈ e^(-4k) per source)
+        # and an inner join would silently drop it to 0 rows; coalesce(0)
+        # re-ranks it without the cutoff instead.
         short = (
-            surv.join(F.broadcast(hot.withColumnRenamed("__n", "__nn")), source_col, "inner")
-            .filter(F.col("__m") < F.least(F.col("__nn"), F.lit(k)))
+            hot.withColumnRenamed("__n", "__nn")
+            .join(surv, source_col, "left")
+            .filter(F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.col("__nn"), F.lit(k)))
         )
         short_keys = [r[source_col] for r in short.collect()]
         if short_keys:

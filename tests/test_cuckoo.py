@@ -175,6 +175,64 @@ def test_small_add_merge_onto_nonempty_identical(spark):
     assert c_dist.stashes == c_small.stashes
 
 
+def _entry_of(row, nb):
+    """Driver-side (bucket-pair, fp) for a hashed url row, same helpers as
+    the filter itself."""
+    import numpy as np
+
+    from inform_spark.operators.cuckoo import _alt_bucket, _bucket1, _fingerprints
+
+    fp = int(_fingerprints(np.array([row["__h2"]], dtype=np.int64))[0])
+    i1 = int(_bucket1(np.array([row["__h1"]], dtype=np.int64), nb)[0])
+    i2 = int(_alt_bucket(np.array([i1]), np.array([fp], dtype=np.uint16), nb)[0])
+    return fp, frozenset((i1, i2))
+
+
+def test_colliding_keys_survive_partner_delete(spark):
+    """Two DISTINCT urls that collide on (fingerprint, bucket-pair) must
+    each store a copy: deleting one may NOT erase the other's membership
+    (the false-negative the crawl's bloom-negative fresh path can't
+    tolerate). Regression for the idempotent-insert/cross-key-dedup bug."""
+    nb = 1 << 4
+    cand = _urls_df(spark, [f"https://c.test/p-{i}" for i in range(40000)])
+    rows = _with_hashes(cand).select("url", "__h1", "__h2").collect()
+    by_entry = {}
+    pair = None
+    for r in rows:
+        key = _entry_of(r, nb)
+        if key in by_entry and by_entry[key]["url"] != r["url"]:
+            pair = (by_entry[key]["url"], r["url"])
+            break
+        by_entry[key] = r
+    assert pair is not None, "no (fp, bucket-pair) collision in 40k urls"
+    a, b = pair
+    filt = ShardedCuckoo.build(
+        spark, _urls_df(spark, [a, b]), n_shards=1, buckets_per_shard=nb,
+        approx_count=2,
+    )
+    after = filt.delete(spark, _urls_df(spark, [a]), approx_count=1)
+    assert _probe(spark, after, [b])[b], (
+        "deleting one colliding key erased the other's membership"
+    )
+
+
+def test_stash_overflow_multiset_no_false_negatives(spark):
+    """Tiny table forces eviction overflow into the stash; every inserted
+    key must still probe True, and deleting half must not break the rest
+    (stash is a multiset — counts, not a set)."""
+    urls = [f"https://o.test/q-{i}" for i in range(60)]
+    filt = ShardedCuckoo.build(
+        spark, _urls_df(spark, urls), n_shards=1, buckets_per_shard=4,
+        approx_count=60,
+    )
+    assert sum(len(s) for s in filt.stashes.values()) > 0, (
+        "test premise: overflow should reach the stash at this sizing"
+    )
+    assert all(_probe(spark, filt, urls).values())
+    after = filt.delete(spark, _urls_df(spark, urls[:30]), approx_count=30)
+    assert all(_probe(spark, after, urls[30:]).values())
+
+
 def test_small_delete_path_matches_distributed(spark):
     built = ShardedCuckoo.build(
         spark, _urls_df(spark, URLS[:400]), n_shards=8, buckets_per_shard=1 << 11

@@ -133,6 +133,40 @@ def test_per_source_cap_prefilter_identical(spark):
     assert exact == fast
 
 
+def test_per_source_cap_prefilter_zero_survivor_source(spark):
+    """A hot source whose rows ALL exceed the hash cutoff leaves no row in
+    the survivor count — the shortness check must still catch it (LEFT
+    join + coalesce(0)) and re-rank it without the cutoff, instead of
+    silently dropping the source to 0 rows."""
+    import hashlib
+
+    k = 1
+    # cutoff for a hot source of n rows is 4k/n of hash space; pick 20 ids
+    # whose H60(str(id)) all land ABOVE it (each has p=0.8, so candidates
+    # are plentiful)
+    cut_frac = 4.0 * k / 20
+    space = float(1 << 60)
+    ids, i = [], 0
+    while len(ids) < 20:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        if h / space > cut_frac:
+            ids.append(i)
+        i += 1
+    rows = [(d, "allhigh") for d in ids] + [(10_000 + j, "cold") for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    exact = sorted(
+        (r["source"], r["doc_id"])
+        for r in per_source_cap(df, "source", k, "doc_id").collect()
+    )
+    fast = sorted(
+        (r["source"], r["doc_id"])
+        for r in per_source_cap(df, "source", k, "doc_id", prefilter=True).collect()
+    )
+    assert exact == fast
+    assert ("allhigh", min(ids, key=lambda d: int(
+        hashlib.md5(str(d).encode()).hexdigest()[:15], 16))) in fast
+
+
 def test_boilerplate_filter_semantics(spark):
     text = "\n".join(
         [

@@ -55,6 +55,44 @@ def test_stream_single_batch_equals_batch_operator(spark, tmp_path):
     assert got[12] == ("dup_of_new", 11)
 
 
+def test_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay after a crash BETWEEN the index append and the
+    streaming checkpoint commit: re-running the identical batch against
+    an index that already contains its own band keys must reproduce the
+    identical verdicts (no self-dup_of_index) and append nothing twice."""
+    from inform_spark.streaming.dedup import process_batch
+
+    index_dir = os.path.join(str(tmp_path), "index")
+    verdicts_dir = os.path.join(str(tmp_path), "verdicts")
+    init_index(spark, index_dir, spark.createDataFrame([(0, A)], SCHEMA))
+    batch = spark.createDataFrame([(10, A), (11, B), (12, B), (13, C)], SCHEMA)
+
+    process_batch(batch, 0, index_dir, verdicts_dir)
+    first = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in read_verdicts(spark, verdicts_dir).collect()
+    }
+    index_rows_1 = sorted(
+        (r["doc_id"], r["band_key"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    assert first[11] == ("kept", None) and first[13] == ("kept", None)
+
+    # the crash window: verdicts + index append committed, checkpoint not —
+    # Spark re-invokes with the SAME batch content and batch_id
+    process_batch(batch, 0, index_dir, verdicts_dir)
+    second = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in read_verdicts(spark, verdicts_dir).collect()
+    }
+    index_rows_2 = sorted(
+        (r["doc_id"], r["band_key"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    assert second == first, "replay changed verdicts"
+    assert index_rows_2 == index_rows_1, "replay duplicated index rows"
+
+
 def test_stream_cross_batch_first_arrival_wins(spark, tmp_path):
     # batch 0 introduces B (kept); batch 1 re-sends B -> must be flagged
     # against the ACCRETED index, proving the index append took effect
