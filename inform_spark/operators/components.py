@@ -15,11 +15,12 @@ every node starts labeled with itself; each round a node takes the min
 label among itself and its neighbors, then every label is replaced by
 its label's label (path halving). Rounds needed: O(log diameter), not
 O(diameter) — a 1M-link chain resolves in ~20 rounds, not 1M. The loop
-is driver-controlled with a cheap has-anything-changed probe
-(``limit(1).count()`` after an inequality join), exactly like the
-engine's crawl loop; labels are ``localCheckpoint``-ed per round so the
-plan does not grow with iterations (same hygiene as
-plans/gitcrawl.py:206).
+is driver-controlled with a cheap has-anything-changed probe (a
+``__chg`` flag computed inside the round and materialized WITH the
+per-round ``localCheckpoint``, so the probe is a scan of checkpointed
+rows — no extra join job), exactly like the engine's crawl loop; the
+checkpoint also keeps the plan from growing with iterations (same
+hygiene as plans/gitcrawl.py:206).
 
 Scale design:
 - Each round is two hash-shuffles (neighbor join + min groupBy) plus the
@@ -72,28 +73,28 @@ def connected_components(
     )
     for _ in range(max_iter):
         msgs = sym.join(
-            labels.withColumnRenamed("v", "u"), "u"
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
         ).select(F.col("w").alias("v"), "lbl")
         new = (
-            msgs.unionByName(labels)
+            msgs.unionByName(labels.select("v", "lbl"))
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
         )
         # pointer jump: lbl <- lbl's own label (labels are node ids, so
         # every label has a row); halves remaining chain depth per round
         hop = new.select(F.col("v").alias("jv"), F.col("lbl").alias("jl"))
+        # __chg rides along INTO the checkpoint materialization, so the
+        # convergence probe is a trivial scan of the checkpointed rows —
+        # no separate join job per round
+        old = labels.select("v", F.col("lbl").alias("__old"))
         new = (
             new.join(hop, new["lbl"] == hop["jv"], "left")
             .select("v", F.coalesce("jl", "lbl").alias("lbl"))
+            .join(old, "v")
+            .select("v", "lbl", (F.col("lbl") != F.col("__old")).alias("__chg"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new.filter("__chg").limit(1).count()
         labels = new
         if changed == 0:
             break
@@ -104,10 +105,18 @@ def connected_components(
 def minhash_clusters(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
     """(doc_id, cluster_id) over the WHOLE corpus: transitive closure of
     the MinHash-LSH candidate pairs; singletons (no near-dup) cluster as
-    themselves. cluster_id is the min doc_id in the family."""
+    themselves. cluster_id is the min doc_id in the family.
+
+    Uses STAR pairs (bucket_min -> member), not the O(|bucket|^2)
+    all-pairs expansion: per bucket both connect the identical vertex
+    set, so the transitive closure — and therefore every cluster_id —
+    is unchanged, while a degenerate boilerplate bucket costs O(|bucket|)
+    edges instead of an executor-OOM array and ~10^12 pairs
+    (tests/test_skew.py asserts equality and the 10k-identical-docs
+    completion)."""
     from inform_spark.operators import textops
 
-    pairs = textops.minhash_lsh_pairs(docs, k, band)
+    pairs = textops.star_pairs_from_bands(textops.minhash_band_keys(docs, k, band))
     comp = connected_components(pairs, "a", "b").withColumnRenamed("v", "doc_id")
     return docs.join(comp, "doc_id", "left").select(
         "doc_id",
@@ -166,7 +175,7 @@ def minhash_incremental(
     )
     survivors = nb.join(hits, "doc_id", "left_anti")
     comp = connected_components(
-        textops.pairs_from_bands(survivors), "a", "b"
+        textops.star_pairs_from_bands(survivors), "a", "b"
     ).withColumnRenamed("v", "doc_id")
     out = (
         new_docs.select("doc_id")

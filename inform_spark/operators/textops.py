@@ -151,12 +151,25 @@ def minhash_band_keys(
     )
 
 
-def pairs_from_bands(bands: DataFrame) -> DataFrame:
+def pairs_from_bands(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs (a, b), a < b, distinct, from a (doc_id, band_key)
     banding. Bucket-grouped: pairs expand natively inside each band
     bucket, so the pair count is bounded by sum(|bucket|^2) — never a
     corpus-wide cross join, and never a self-join that would recompute
-    the signature pipeline per side."""
+    the signature pipeline per side.
+
+    100 TB caveat: O(|bucket|^2) is EXACT semantics, and a degenerate
+    band bucket (millions of boilerplate near-dups sharing a key) makes
+    it both an executor-OOM (the per-bucket array) and a ~10^12-pair
+    explosion. Consumers that only need connectivity (clustering) must
+    use :func:`star_pairs_from_bands` — O(|bucket|), same transitive
+    closure. For the exact pair output, ``max_bucket`` bounds the
+    expansion per bucket (members ranked by doc_id; see
+    :func:`pairs_from_bands_capped` for the never-silent audit of what
+    a cap drops)."""
+    if max_bucket is not None:
+        pairs, _ = pairs_from_bands_capped(bands, max_bucket)
+        return pairs
     buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -178,6 +191,65 @@ def pairs_from_bands(bands: DataFrame) -> DataFrame:
         ).alias("p")
     )
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def star_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Star edges (bucket_min, member) per band bucket — the scale-safe
+    pair form for CLUSTERING consumers: within a bucket the star and the
+    full clique connect exactly the same vertex set, so connected
+    components (and therefore clusters / survivors / incremental
+    verdicts) are identical, at O(|bucket|) edges instead of
+    O(|bucket|^2). No per-bucket array is ever materialized (the
+    all-pairs form's ``collect_set`` is the executor-OOM at web scale):
+    a map-side-combined min per band_key, broadcast-or-hash joined back.
+    A degenerate bucket of 10M boilerplate docs costs 10M-1 edges and
+    zero driver/executor blowup (AQE skew-split applies to the join)."""
+    mins = bands.groupBy("band_key").agg(F.min("doc_id").alias("a"))
+    return (
+        bands.join(mins, "band_key")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def pairs_from_bands_capped(
+    bands: DataFrame, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Exact all-pairs expansion with a per-bucket size cap and a
+    NEVER-SILENT audit: returns ``(pairs, audit)`` where ``pairs`` are
+    the (a, b) pairs among each bucket's first ``max_bucket`` members
+    (ranked by doc_id — deterministic, engine-independent), and
+    ``audit`` has one row per truncated bucket: (band_key, bucket_n,
+    n_dropped_members, n_dropped_pairs). Callers must surface the audit
+    (count/log/persist) — truncation is visible, not silent.
+
+    The rank is a per-bucket window: a degenerate bucket sorts on disk
+    (spillable) instead of materializing an O(|bucket|) array in one
+    executor's heap, and only ``max_bucket`` rows per bucket reach the
+    pair expansion."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key").orderBy(F.col("doc_id").asc())
+    sized = bands.select("band_key", "doc_id").withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    kept = sized.filter(F.col("__rk") <= max_bucket).drop("__rk")
+    audit = (
+        sized.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select(
+            "band_key",
+            "bucket_n",
+            (F.col("bucket_n") - max_bucket).alias("n_dropped_members"),
+            (
+                F.col("bucket_n") * (F.col("bucket_n") - 1) / 2
+                - F.lit(max_bucket * (max_bucket - 1) / 2)
+            ).cast("long").alias("n_dropped_pairs"),
+        )
+    )
+    return pairs_from_bands(kept), audit
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = N_MINHASH, band: int = BAND_SIZE) -> DataFrame:

@@ -101,7 +101,7 @@ def process_batch(
     )
     survivors_b = nb.join(hits, "doc_id", "left_anti")
     comp = connected_components(
-        textops.pairs_from_bands(survivors_b), "a", "b"
+        textops.star_pairs_from_bands(survivors_b), "a", "b"
     ).withColumnRenamed("v", "doc_id")
     verdicts = (
         batch_df.select("doc_id")

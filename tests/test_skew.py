@@ -49,6 +49,80 @@ def test_salted_politeness_equals_unsalted(spark, hot_site, tmp_path):
     assert seen_a == seen_b
 
 
+def test_star_pairs_same_clusters_as_all_pairs(spark):
+    """Clustering via star pairs must produce the identical transitive
+    closure as the O(|bucket|^2) all-pairs expansion — on a corpus with
+    real near-dup families AND singletons."""
+    from inform_spark.operators import textops
+    from inform_spark.operators.components import connected_components
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today again",
+        "pack my box with five dozen liquor jugs for the party",
+        "sphinx of black quartz judge my vow said the old man",
+    ]
+    rows = []
+    for i in range(120):
+        fam = i % 3
+        # near-dups: same family text with a small suffix tweak every 4th
+        suffix = "" if i % 4 else f" v{i % 2}"
+        rows.append((i, base[fam] + suffix))
+    rows += [(1000 + j, f"totally unique document number {j} content") for j in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = textops.minhash_band_keys(docs).persist()
+    full = {
+        (r["v"], r["component"])
+        for r in connected_components(
+            textops.pairs_from_bands(bands), "a", "b"
+        ).collect()
+    }
+    star = {
+        (r["v"], r["component"])
+        for r in connected_components(
+            textops.star_pairs_from_bands(bands), "a", "b"
+        ).collect()
+    }
+    bands.unpersist()
+    assert star == full
+
+
+def test_degenerate_bucket_10k_identical_docs(spark):
+    """~10k identical docs = ONE giant band bucket per band. The star
+    path must complete with O(n) edges (no per-bucket array, no n^2
+    expansion) and resolve to a single cluster; the capped all-pairs
+    path must bound its output and account for every dropped pair."""
+    from inform_spark.operators import textops
+    from inform_spark.operators.components import minhash_clusters, minhash_survivors
+
+    n = 10_000
+    text = "boilerplate cookie banner accept all cookies to continue reading"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    bands = textops.minhash_band_keys(docs)
+    star = textops.star_pairs_from_bands(bands)
+    # no per-bucket array materialization anywhere in the star plan
+    plan = star._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert star.count() == n - 1  # O(|bucket|) edges, not ~5*10^7 pairs
+    clusters = minhash_clusters(docs)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    surv = minhash_survivors(docs).collect()
+    assert len(surv) == 1 and surv[0]["n_members"] == n
+
+    # capped exact path: bounded output + never-silent audit
+    cap = 50
+    pairs, audit = textops.pairs_from_bands_capped(bands, cap)
+    assert pairs.count() == cap * (cap - 1) // 2
+    arow = audit.collect()
+    # every band of the signature maps the identical docs to one bucket
+    assert all(r["bucket_n"] == n for r in arow)
+    assert all(
+        r["n_dropped_pairs"] == n * (n - 1) // 2 - cap * (cap - 1) // 2
+        for r in arow
+    )
+
+
 def test_budget_binds_per_host(spark, hot_site, tmp_path):
     eng = crawl(spark, hot_site, tmp_path / "budget", salts=8)
     lineage = eng.lineage().orderBy("batch_id").collect()
