@@ -700,11 +700,20 @@ class CrawlEngine:
         Robots (F6) has two formulations chosen in :meth:`run` by dim size:
         ``robots_filter`` (closure UDF, rules shipped once in the pickle —
         small crawls) or ``robots_join_dim`` (broadcast join + column UDF —
-        web scale, rules never pass through the driver closure)."""
+        web scale, rules never pass through the driver closure).
+
+        Batch-invariant codegen: the input rows CARRY ``attempted_in_batch``
+        (the discovering batch's id), so the frontier_offset base and
+        ``discovered_in_batch`` are pure column arithmetic — no per-batch
+        ``F.lit`` whose value would embed in whole-stage-codegen source and
+        recompile this whole pipeline every batch, and no 1-row consts join
+        (A/B'd: a broadcast exchange re-executes per consuming action,
+        costing more than the recompile it saves)."""
         cfg = self.cfg
         links = rendered.select(
             "depth",
             "parent_rank",
+            "attempted_in_batch",
             F.posexplode("links").alias("pos", "link"),
         )
         # native URL parts (JVM-side — no UDF). Host is the full netloc
@@ -718,10 +727,11 @@ class CrawlEngine:
             F.parse_url("link", F.lit("QUERY")).alias("query"),
             (F.col("depth") + 1).alias("depth"),
             (
-                F.lit((self.batch_id + 1) << BATCH_SHIFT)
+                F.shiftleft(F.col("attempted_in_batch") + 1, BATCH_SHIFT)
                 + F.col("parent_rank").cast("long") * F.lit(1 << PARENT_SHIFT)
                 + F.least(F.col("pos"), F.lit(MAX_LINKS_PER_PAGE)).cast("long")
             ).alias("frontier_offset"),
+            F.col("attempted_in_batch").alias("discovered_in_batch"),
         ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
 
         # F2 same-host + F3 base-path. Root-scoped seeds (the common case)
@@ -785,12 +795,15 @@ class CrawlEngine:
 
         # T7 in-batch dedup, order-stable: keep the FIRST discovery
         # (min frontier_offset) — struct-min keeps all columns consistent.
+        # discovered_in_batch is constant within the batch, so the min is
+        # a no-op carry (keeps it off a second consts join at append time).
         dedup = (
             cand.groupBy("url")
             .agg(
                 F.min(
                     F.struct(
-                        "frontier_offset", "host", "path", "depth", "priority"
+                        "frontier_offset", "host", "path", "depth", "priority",
+                        "discovered_in_batch",
                     )
                 ).alias("s")
             )
@@ -801,6 +814,7 @@ class CrawlEngine:
                 F.col("s.depth").alias("depth"),
                 F.col("s.priority").alias("priority"),
                 F.col("s.frontier_offset").alias("frontier_offset"),
+                F.col("s.discovered_in_batch").alias("discovered_in_batch"),
             )
         )
         return dedup
@@ -1000,6 +1014,9 @@ class CrawlEngine:
                         F.col("r.doc_id").alias("doc_id"),
                         F.col("r.spans").alias("spans"),
                         F.col("r.links").alias("links"),
+                        # the two batch-varying literals live ONLY in this
+                        # small post-UDF projection stage; _discover derives
+                        # its batch scalars from attempted_in_batch instead
                         F.lit(self.batch_id).cast("long").alias("attempted_in_batch"),
                         (F.lit(self.attempted) + F.col("parent_rank"))
                         .cast("long")
@@ -1051,7 +1068,9 @@ class CrawlEngine:
                 # --- discover + admit: reads ONLY (depth, parent_rank, links)
                 # from the just-written delta (column pruning skips spans) ---
                 dedup = self._discover(
-                    delta.filter("is_doc").select("depth", "parent_rank", "links"),
+                    delta.filter("is_doc").select(
+                        "depth", "parent_rank", "links", "attempted_in_batch"
+                    ),
                     robots_filter,
                     robots_join_dim,
                 )
@@ -1111,6 +1130,8 @@ class CrawlEngine:
                 # propagation can elide CollectMetrics nodes when the candidate
                 # set is empty, wedging Observation.get. Counts come from the
                 # written delta's parquet footers (driver-side metadata, no job).
+                # discovered_in_batch already rides the candidate rows (from
+                # the consts join in _discover) — no batch-varying literal here
                 frontier_cols = [
                     "url",
                     "host",
@@ -1118,7 +1139,7 @@ class CrawlEngine:
                     "depth",
                     "priority",
                     "frontier_offset",
-                    F.lit(self.batch_id).alias("discovered_in_batch"),
+                    "discovered_in_batch",
                 ]
                 capped = cfg.max_queue_size is not None
                 if capped:
