@@ -21,22 +21,71 @@ import argparse
 import os
 import sys
 
+# reference src/cli.js:17 — version from env with the same fallback
+VERSION = os.environ.get("INFORM_VERSION", "0.1.0")
+
+# how many failed URLs to LIST on stderr; the total is always printed.
+# The reference dumps its whole in-memory failures map — at crawl scale a
+# dead host would make that the one O(crawl) driver-side collect, so the
+# listing is capped (never the count).
+FAILED_LIST_CAP = 100
+
+
+class _Parser(argparse.ArgumentParser):
+    """argparse with the reference CLI's error contract (src/cli.js
+    parseArgs): invalid flags/values print ``Error: ...`` on stderr and
+    exit with code 1 (argparse's default is exit code 2)."""
+
+    def error(self, message):
+        print(f"Error: {message}", file=sys.stderr)
+        raise SystemExit(1)
+
+
+def _int_arg(flag: str, minimum: int):
+    """Reference-style integer validation (src/cli.js:316-382): NaN or
+    out-of-range -> 'Error: --flag must be a ...' + exit 1."""
+    kind = "a positive number" if minimum > 0 else "a non-negative number"
+
+    def parse(v: str):
+        try:
+            n = int(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(f"{flag} must be {kind}")
+        if n < minimum:
+            raise argparse.ArgumentTypeError(f"{flag} must be {kind}")
+        return n
+
+    parse.__name__ = "int"
+    return parse
+
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = _Parser(
         prog="inform-spark",
         description="PySpark-native web crawler / HTML->Markdown converter",
     )
     # NB: value-options default to None so that an unset flag never
     # overrides config-file layers (reference src/config.js:140-166 only
     # lets EXPLICITLY-set flags win); hard defaults live in config.DEFAULTS.
-    p.add_argument("url", help="seed URL (web), github URL (git), or feed URL")
-    p.add_argument("--limit", type=int, default=None,
+    # url is optional: a YAML path works as shortcut config syntax and a
+    # config file can supply the first target (src/cli.js:140-173).
+    p.add_argument("url", nargs="?", default=None,
+                   help="seed URL (web), github URL (git), feed URL, or a "
+                        "YAML config path (shortcut syntax)")
+    p.add_argument("-v", "--version", action="version", version=VERSION)
+    p.add_argument("--limit", type=_int_arg("--limit", 1), default=None,
                    help="max pages / feed items to attempt (default 100/50)")
-    p.add_argument("--delay", type=int, default=None,
+    p.add_argument("--delay", type=_int_arg("--delay", 0), default=None,
                    help="per-host politeness delay ms (default 2000, "
                         "reference config.js DEFAULTS)")
-    p.add_argument("--max-queue-size", type=int, default=None,
+    p.add_argument("--concurrency", type=_int_arg("--concurrency", 1),
+                   default=None,
+                   help="parallel fetches (maps to fetch/render partitions)")
+    p.add_argument("--max-retries", type=_int_arg("--max-retries", 0),
+                   default=None,
+                   help="retry attempts for retryable statuses (default 3)")
+    p.add_argument("--max-queue-size",
+                   type=_int_arg("--max-queue-size", 1), default=None,
                    help="frontier cap, drop-new (default 10000)")
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--template-cap", type=int, default=None,
@@ -47,23 +96,49 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exclude", action="append", default=None,
                    help="minimatch-style exclude glob (repeatable)")
     p.add_argument("--ignore-robots", action="store_true")
+    p.add_argument("--ignore-errors", action="store_true",
+                   help="exit 0 even when some fetches failed "
+                        "(reference src/cli.js:214,229,241)")
+    p.add_argument("--verbose", action="store_true",
+                   help="verbose logging (Spark INFO level)")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress non-error output")
     p.add_argument("--raw", action="store_true",
                    help="write extracted HTML instead of markdown "
                         "(reference --raw, src/WebCrawler.js:336-341)")
     p.add_argument("--digest", action="store_true",
                    help="feed mode: write ONE digest file with a TOC instead "
                         "of per-item files (src/sources/render.js:192-266)")
-    p.add_argument("--output-dir", default=None,
+    p.add_argument("-o", "--output-dir", default=None,
                    help="where output files land (default crawled-pages)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="Iceberg-style snapshot dir (resumable); temp if unset")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint-dir")
     p.add_argument("--feed", action="store_true", help="force feed mode")
-    p.add_argument("--config", default=None, help="YAML config file")
+    # feed source options (reference src/cli.js:396-438)
+    p.add_argument("--yt-lang", default=None,
+                   help="YouTube transcript language code (default en)")
+    p.add_argument("--no-yt-transcript", action="store_const", const=False,
+                   default=None, dest="yt_include_transcript",
+                   help="skip YouTube transcript fetching")
+    p.add_argument("--x-bearer-token", default=None,
+                   help="X API v2 bearer token")
+    p.add_argument("--x-rss-template", default=None,
+                   help="X RSS fallback URL template ({user} placeholder)")
+    p.add_argument("--bsky-api-base", default=None,
+                   help="Bluesky XRPC API base URL")
+    p.add_argument("--x-api-base", default=None, help="X API base URL")
+    p.add_argument("-c", "--config", default=None, help="YAML config file")
     p.add_argument("--master", default=None,
                    help="Spark master (default local[*])")
     return p
+
+
+def _is_yaml_path(path: str | None) -> bool:
+    """Shortcut config syntax (reference src/cli.js:121-124): a .yaml/.yml
+    positional is a config file, not a URL."""
+    return bool(path) and path.lower().endswith((".yaml", ".yml"))
 
 
 def _load_config_layers(args) -> dict:
@@ -76,13 +151,22 @@ def _load_config_layers(args) -> dict:
         k: v
         for k, v in {
             "limit": args.limit, "delay": args.delay,
+            "concurrency": args.concurrency,
+            "max_retries": args.max_retries,
             "max_queue_size": args.max_queue_size,
             "include": args.include, "exclude": args.exclude,
             "ignore_robots": args.ignore_robots or None,
+            "ignore_errors": args.ignore_errors or None,
             "raw": args.raw or None,
             "max_depth": args.max_depth,
             "template_cap": args.template_cap,
             "output_dir": args.output_dir,
+            "yt_lang": args.yt_lang,
+            "yt_include_transcript": args.yt_include_transcript,
+            "x_bearer_token": args.x_bearer_token,
+            "x_rss_template": args.x_rss_template,
+            "bsky_api_base": args.bsky_api_base,
+            "x_api_base": args.x_api_base,
         }.items()
         if v is not None
     }
@@ -143,21 +227,35 @@ def run_web(args, opts, spark) -> int:
         http_min_interval_ms=delay,
         use_bloom=True,
         raw=bool(opts.get("raw")),
+        # --concurrency N = N parallel fetch/render slots per batch
+        # (the reference's N concurrent workers, src/WebCrawler.js)
+        render_partitions=opts.get("concurrency"),
     )
     eng = CrawlEngine(spark, None, robots, cfg,
                       checkpoint_dir=args.checkpoint_dir)
     summary = eng.run(resume=args.resume)
     n = _write_documents(eng.documents(), output_dir)
-    print(f"Crawl complete: {summary.ok} ok, {summary.failed} failed, "
-          f"{summary.skipped_non_html} non-html, {n} documents -> "
-          f"{output_dir}")
-    for r in (
-        eng.seen().filter("status = 'failed'").select("url", "error").collect()
-    ):
+    if not args.quiet:
+        print(f"Crawl complete: {summary.ok} ok, {summary.failed} failed, "
+              f"{summary.skipped_non_html} non-html, {n} documents -> "
+              f"{output_dir}")
+    # failed listing is CAPPED (never an O(crawl) driver collect — a dead
+    # host at scale could fail millions of URLs); total always reported
+    failed = (
+        eng.seen().filter("status = 'failed'").select("url", "error")
+        .limit(FAILED_LIST_CAP + 1).collect()
+    )
+    for r in failed[:FAILED_LIST_CAP]:
         print(f"  failed: {r['url']} ({r['error']})", file=sys.stderr)
-    # reference exit-code policy (src/cli.js:240-243): nonzero only when
-    # nothing succeeded
-    return 0 if summary.ok > 0 else 1
+    if summary.failed > FAILED_LIST_CAP:
+        print(
+            f"  ... and {summary.failed - FAILED_LIST_CAP} more "
+            f"({summary.failed} failed total)",
+            file=sys.stderr,
+        )
+    # reference exit-code policy (src/cli.js:241-243): nonzero iff anything
+    # failed and --ignore-errors is not set
+    return 1 if summary.failed > 0 and not opts.get("ignore_errors") else 0
 
 
 def run_git(args, opts, spark) -> int:
@@ -204,9 +302,13 @@ def run_git(args, opts, spark) -> int:
 
     files.foreachPartition(write_partition)
     s = eng.summary
-    print(f"Download complete: {s.files_downloaded} files, "
-          f"{s.dirs_listed} dirs listed ({s.rounds} rounds), "
-          f"{s.dirs_failed} dir errors -> {output_dir}")
+    if not args.quiet:
+        print(f"Download complete: {s.files_downloaded} files, "
+              f"{s.dirs_listed} dirs listed ({s.rounds} rounds), "
+              f"{s.dirs_failed} dir errors -> {output_dir}")
+    # reference exit-code policy (src/cli.js:229-231)
+    if s.dirs_failed > 0 and not opts.get("ignore_errors"):
+        return 1
     return 0 if s.files_downloaded > 0 else 1
 
 
@@ -270,14 +372,42 @@ def run_feed(args, opts, spark) -> int:
 
         rendered.foreachPartition(write_partition)
         n = rendered.count()
-    print(f"Feed ingestion complete ({kind}): {n} items -> {output_dir}")
-    for e in errors:
+    if not args.quiet:
+        print(f"Feed ingestion complete ({kind}): {n} items -> {output_dir}")
+    for e in errors[:FAILED_LIST_CAP]:
         print(f"  failed: {e}", file=sys.stderr)
-    return 0 if n > 0 else 1
+    if len(errors) > FAILED_LIST_CAP:
+        print(f"  ... and {len(errors) - FAILED_LIST_CAP} more "
+              f"({len(errors)} failed total)", file=sys.stderr)
+    # reference exit-code policy (src/cli.js:214-216): rc 1 iff any source
+    # failed and --ignore-errors is not set (an empty-but-error-free feed
+    # exits 0, matching the reference)
+    return 1 if errors and not opts.get("ignore_errors") else 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # mutually exclusive logging flags (reference src/cli.js:200-203)
+    if args.verbose and args.quiet:
+        print("Error: Cannot use both --verbose and --quiet options together",
+              file=sys.stderr)
+        return 1
+    # YAML shortcut syntax: `inform-spark targets.yaml` (src/cli.js:140-145)
+    if args.config is None and _is_yaml_path(args.url):
+        args.config = args.url
+        args.url = None
+    # URL may come from the config file's first target (src/cli.js:159-173)
+    if args.url is None and args.config:
+        from inform_spark.functions.config import load_config
+
+        targets = (load_config(args.config) or {}).get("targets") or []
+        if targets:
+            args.url = targets[0].get("url")
+    if not args.url:
+        print("Error: No URL provided", file=sys.stderr)
+        print("Please provide a URL or use a config file with targets",
+              file=sys.stderr)
+        return 1
     opts = _load_config_layers(args)
 
     from inform_spark.functions.giturl import is_git_url
@@ -285,6 +415,10 @@ def main(argv: list[str] | None = None) -> int:
     from inform_spark.sources.feeds import should_use_feed_mode
 
     spark = get_spark(master=args.master)
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+    elif args.quiet:
+        spark.sparkContext.setLogLevel("ERROR")
     # mode dispatch (reference src/cli.js:206-248): git > feed > web
     if is_git_url(args.url):
         return run_git(args, opts, spark)

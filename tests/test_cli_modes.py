@@ -287,3 +287,129 @@ def test_cli_feed_error_exit_code(spark, server, tmp_path):
          str(tmp_path / "dead")]
     )
     assert rc == 1
+
+
+def test_cli_ignore_errors_exit_code(spark, server, tmp_path):
+    """--ignore-errors: failures no longer force rc=1 (src/cli.js:214)."""
+    from inform_spark import cli
+
+    rc = cli.main(
+        [_origin(server) + "/nope/feed.xml", "--ignore-errors",
+         "--output-dir", str(tmp_path / "dead-ok")]
+    )
+    assert rc == 0
+
+
+# ---------------------------------------------------------------------------
+# flag surface parity (reference src/cli.js:256-449 parseArgs + tests/cli.test.js)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_version_flag(capsys, monkeypatch):
+    from importlib import reload
+
+    from inform_spark import cli
+
+    monkeypatch.setenv("INFORM_VERSION", "9.9.9-test")
+    reload(cli)
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--version"])
+    assert e.value.code == 0
+    assert "9.9.9-test" in capsys.readouterr().out
+    monkeypatch.delenv("INFORM_VERSION")
+    reload(cli)
+    with pytest.raises(SystemExit) as e:
+        cli.main(["-v"])
+    assert e.value.code == 0
+    assert "0.1.0" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["https://x.test/", "--limit", "0"],
+        ["https://x.test/", "--limit", "abc"],
+        ["https://x.test/", "--delay", "-1"],
+        ["https://x.test/", "--concurrency", "0"],
+        ["https://x.test/", "--max-retries", "-2"],
+        ["https://x.test/", "--max-queue-size", "0"],
+        ["https://x.test/", "--unknown-option"],
+    ],
+)
+def test_cli_invalid_values_exit_1(argv, capsys):
+    """Invalid/unknown flags exit with code 1 and an Error: line on stderr
+    (reference parseArgs behavior — NOT argparse's default exit 2)."""
+    from inform_spark import cli
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(argv)
+    assert e.value.code == 1
+    assert capsys.readouterr().err.startswith("Error:")
+
+
+def test_cli_verbose_quiet_conflict(capsys):
+    from inform_spark import cli
+
+    rc = cli.main(["https://x.test/", "--verbose", "--quiet"])
+    assert rc == 1
+    assert "Cannot use both --verbose and --quiet" in capsys.readouterr().err
+
+
+def test_cli_no_url(capsys):
+    from inform_spark import cli
+
+    rc = cli.main([])
+    assert rc == 1
+    assert "No URL provided" in capsys.readouterr().err
+
+
+def test_cli_yaml_shortcut_and_short_flags(spark, server, tmp_path):
+    """`inform-spark targets.yaml` shortcut (url from first target) plus the
+    -o/-c short flags (src/cli.js:140-145,274-291)."""
+    import yaml
+
+    from inform_spark import cli
+
+    url = _origin(server) + "/feed.xml"
+    out = tmp_path / "yaml-out"
+    conf = tmp_path / "targets.yaml"
+    conf.write_text(yaml.safe_dump({"targets": [{"url": url}]}))
+    rc = cli.main([str(conf), "-o", str(out)])
+    assert rc == 0
+    assert list((out / "feeds" / "rss").glob("*.md"))
+
+    out2 = tmp_path / "cflag-out"
+    rc = cli.main([url, "-c", str(conf), "-o", str(out2)])
+    assert rc == 0
+    assert list((out2 / "feeds" / "rss").glob("*.md"))
+
+
+def test_cli_feed_source_flags_reach_fetcher(spark, server, tmp_path, monkeypatch):
+    """--x-rss-template / --no-yt-transcript flow through the config layers
+    to the source fetchers (previously env/config-file only)."""
+    from inform_spark import cli
+
+    monkeypatch.delenv("X_RSS_TEMPLATE", raising=False)
+    monkeypatch.delenv("X_BEARER_TOKEN", raising=False)
+    out = tmp_path / "xflag-out"
+    rc = cli.main([
+        "@flagged", "--feed", "--output-dir", str(out),
+        "--x-rss-template", _origin(server) + "/nitter/{user}/rss",
+    ])
+    # the template routed the fetch to /nitter/flagged/rss (404 on this
+    # fixture -> rc 1), proving the flag reached the fetcher
+    assert any(p == "/nitter/flagged/rss" for p in server.request_log)
+    assert rc == 1
+
+    # --no-yt-transcript: no timedtext request is made
+    origin = _origin(server)
+    monkeypatch.setenv("YT_PAGE_BASE", origin)
+    monkeypatch.setenv("YT_FEED_BASE", origin)
+    monkeypatch.setenv("YT_TIMEDTEXT_BASE", origin)
+    server.request_log.clear()
+    rc = cli.main([
+        "https://www.youtube.com/@somehandle", "--no-yt-transcript",
+        "--output-dir", str(tmp_path / "noyt-out"),
+    ])
+    assert rc == 0
+    assert not any("timedtext" in p for p in server.request_log)

@@ -163,7 +163,10 @@ def test_truncated_body_flagged(spark, server, tmp_path):
 
 def test_cli_web_mode(spark, server, tmp_path):
     """CLI end-to-end: crawl the fixture server, write markdown files at
-    the X5-derived paths, exit 0 (reference exit-code policy)."""
+    the X5-derived paths. The fixture site links a 404 (/missing), so the
+    reference exit-code policy (src/cli.js:241-243: failures>0 and no
+    --ignore-errors -> exit 1) yields rc 1 with files still written;
+    --ignore-errors flips it to 0."""
     from inform_spark import cli
 
     out = tmp_path / "out"
@@ -176,10 +179,24 @@ def test_cli_web_mode(spark, server, tmp_path):
             "--checkpoint-dir", str(tmp_path / "cli-ck"),
         ]
     )
-    assert rc == 0
+    assert rc == 1  # /missing 404'd; reference exits 1 without --ignore-errors
     assert (out / "index.md").exists()
     assert (out / "docs.md").exists() or (out / "docs" / "index.md").exists()
     assert "# Home" in (out / "index.md").read_text()
+
+    out2 = tmp_path / "out-ie"
+    rc = cli.main(
+        [
+            _origin(server) + "/",
+            "--limit", "10",
+            "--delay", "0",
+            "--ignore-errors",
+            "--output-dir", str(out2),
+            "--checkpoint-dir", str(tmp_path / "cli-ck-ie"),
+        ]
+    )
+    assert rc == 0
+    assert (out2 / "index.md").exists()
 
 
 def test_cli_web_mode_raw(spark, server, tmp_path):
@@ -195,6 +212,7 @@ def test_cli_web_mode_raw(spark, server, tmp_path):
             "--limit", "10",
             "--delay", "0",
             "--raw",
+            "--ignore-errors",  # fixture site links a 404
             "--output-dir", str(out),
             "--checkpoint-dir", str(tmp_path / "raw-ck"),
         ]
