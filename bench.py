@@ -141,6 +141,81 @@ def run_crawl(spark, checkpoint_dir: str) -> dict:
     }
 
 
+def _dedup_scale_corpus(spark, n: int):
+    """Deterministic synthetic corpus for the dedup growth curve: near-dup
+    families of 5 (each doc = the family's 24-word base + a 1-2 token
+    variant tail) plus a 2% exact-duplicate boilerplate class — the
+    degenerate band bucket a real crawl produces. localCheckpoint'd so
+    the driver-side conversion is paid once, not per action."""
+    import hashlib
+
+    def fam_words(fam: int) -> list[str]:
+        h = hashlib.md5(f"fam{fam}".encode()).digest()
+        return [f"w{(h[i % 16] * 251 + fam * 31 + i * 17) % 4096}" for i in range(24)]
+
+    boiler = "cookie banner accept all cookies to continue " * 4
+    rows = []
+    for i in range(n):
+        if i % 50 == 0:  # 2% exact-duplicate boilerplate class
+            rows.append((i, boiler))
+            continue
+        fam, member = divmod(i, 5)
+        text = " ".join(fam_words(fam))
+        if member:
+            text += f" tail{member} t{fam % 7}"
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+
+
+def run_dedup_scale(spark) -> dict:
+    """VERDICT-r2 item 7: measure the bucketed-dedup growth curve at 10x
+    data (6k -> 60k docs) so 'O(sum bucket^2), never corpus^2' is a
+    measured curve. Reports per-stage wall + edge/pair counts; 'growth'
+    holds the 10x ratios — sub-quadratic means time ratios near the data
+    ratio (10), nowhere near data_ratio^2 (100)."""
+    from inform_spark.operators import textops
+    from inform_spark.operators.components import minhash_clusters
+
+    sizes = (6_000, 60_000)
+    legs = {}
+    for n in sizes:
+        docs = _dedup_scale_corpus(spark, n)
+        leg: dict = {"n_docs": n}
+        t0 = time.monotonic()
+        bands = textops.minhash_band_keys(docs).persist()
+        leg["n_band_rows"] = bands.count()
+        leg["t_bands"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        leg["n_star_edges"] = textops.star_pairs_from_bands(bands).count()
+        leg["t_star"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        leg["n_exact_pairs"] = textops.pairs_from_bands(bands).count()
+        leg["t_exact_pairs"] = round(time.monotonic() - t0, 3)
+        bands.unpersist()
+        t0 = time.monotonic()
+        leg["n_clusters"] = (
+            minhash_clusters(docs).select("cluster_id").distinct().count()
+        )
+        leg["t_clusters"] = round(time.monotonic() - t0, 3)
+        legs[str(n)] = leg
+    s, l = legs[str(sizes[0])], legs[str(sizes[1])]
+
+    def ratio(k):
+        return round(l[k] / max(s[k], 1e-9), 2)
+
+    legs["growth"] = {
+        "data_ratio": round(sizes[1] / sizes[0], 1),
+        "star_edge_ratio": ratio("n_star_edges"),
+        # exact pairs grow quadratically IN THE DUP CLASSES by design —
+        # that is the curve the star form flattens
+        "exact_pair_ratio": ratio("n_exact_pairs"),
+        "t_star_ratio": ratio("t_star"),
+        "t_exact_pairs_ratio": ratio("t_exact_pairs"),
+        "t_clusters_ratio": ratio("t_clusters"),
+    }
+    return legs
+
+
 def main() -> None:
     import tempfile
 
@@ -180,6 +255,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
 
+    # dedup growth curve (10x data) — evidence, not part of the headline sum
+    dedup_scale = None
+    if os.environ.get("BENCH_SKIP_DEDUP_SCALE") != "1":
+        try:
+            dedup_scale = run_dedup_scale(spark)
+        except Exception as e:
+            dedup_scale = {"error": f"{type(e).__name__}: {e}"}
+
     # north_rule scaling evidence rides along in the same JSON line (the
     # driver records only this output): headline levels under machine
     # capacity (amended protocol, rationale in BASELINE.md), big fixture
@@ -215,6 +298,7 @@ def main() -> None:
                 "crawl_pages": crawl["pages_attempted"],
                 "crawl_batches": crawl["batches"],
                 "cpus": CPUS,
+                "dedup_scale": dedup_scale,
                 "scaling": scaling,
             }
         )
