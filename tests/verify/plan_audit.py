@@ -146,15 +146,27 @@ def main() -> int:
         if only and name not in only:
             continue
         df = qs[name](spark, SF_DIR)
+        # execute THIS df's own QueryExecution first (collect, not count —
+        # count() builds a separate QE): with AQE the pre-execution plan is
+        # `isFinalPlan=false` and carries no WholeStageCodegen ids, so a
+        # codegen requirement would flakily fail on an unexecuted plan
+        df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        # final adaptive plans render codegen as `*(n)` in the tree string
+        # (Spark 4's formatted mode omits the ids there) — audit both forms
+        tree = df._jdf.queryExecution().executedPlan().toString()
         problems = []
         for needle in spec.get("require", []):
-            if needle not in plan:
+            if needle == "WholeStageCodegen":
+                if "WholeStageCodegen" not in plan and "*(" not in tree:
+                    problems.append(f"missing {needle!r}")
+                continue
+            if needle not in plan and needle not in tree:
                 problems.append(f"missing {needle!r}")
         for needle in spec.get("forbid", []):
-            if needle in plan:
+            if needle in plan or needle in tree:
                 problems.append(f"contains {needle!r}")
         for col in spec.get("absent_in_readschema", []):
             for m in re.finditer(r"ReadSchema: (.+)", plan):
