@@ -362,6 +362,22 @@ def q_gopher_gates(spark, sf_dir):
     )
 
 
+def q_model_quality_score(spark, sf_dir):
+    """Model-based quality filter (operators/quality.model_quality_score,
+    fastText/DCLM-style): hashed bag of word unigrams+bigrams -> linear
+    integer milli-score + keep gate. Zero-shuffle, whole-stage codegen;
+    deterministic synthetic weights keep it engine-exact (a production
+    run swaps in trained weights via the broadcast-join path)."""
+    from inform_spark.operators.quality import model_quality_score
+
+    return model_quality_score(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    ).select("doc_id", "n_feats", "score_milli",
+             F.col("keep").cast("int").alias("keep"))
+
+
 def q_repetition_gates(spark, sf_dir):
     """Gopher A1.1 repetition gates (operators/repetition.repetition_gates):
     top-n-gram / duplicate-n-gram / duplicate-line character fractions +
@@ -1009,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_lines": q_dedup_lines,
         "source_cap": q_source_cap,
+        # -- new this round --------------------------------------------------
+        "model_quality_score": q_model_quality_score,
         # -- (3) remainder --------------------------------------------------
         "a1_status_rollup": q_a1_status_rollup,
         "j1_anti_join_seen": q_j1_anti_join_seen,
@@ -1037,8 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_render": q_span_render,
         "media_manifest": q_media_manifest,
         "t3_paced_admissions": q_t3_paced_admissions,
+        # -- tail: green in r02 (w2) / BOTH r01+r02, code untouched ---------
         "w2_sliding_window": q_w2_sliding_window,
-        # -- tail: green in BOTH r01+r02, code untouched this round ---------
         "w1_tumbling_window": q_w1_tumbling_window,
         "w3_sessionization": q_w3_sessionization,
         "a1b_pricing_rollup": q_a1b_pricing_rollup,
@@ -1714,6 +1732,22 @@ def oracle_sql() -> dict[str, str]:
             "bh as (select distinct h from hs where is_bench) "
             "select distinct doc_id from hs "
             "where not is_bench and h in (select h from bh)"
+        ),
+        "model_quality_score": (
+            "with s as (select cast(doc_id as bigint) as doc_id, "
+            "string_split(lower(text), ' ') as w from documents), "
+            "f as (select doc_id, list_concat(w, "
+            "list_transform(range(0, greatest(len(w)-1, 0)), "
+            "i -> w[i+1] || '_' || w[i+2])) as feats from s), "
+            "b as (select doc_id, cast(len(feats) as bigint) as n_feats, "
+            "list_transform(feats, x -> "
+            "cast('0x'||substr(md5(x),1,15) as bigint) % 262144) as bks "
+            "from f), "
+            "t as (select doc_id, n_feats, cast(list_sum(list_transform(bks, "
+            "bk -> cast('0x'||substr(md5('qw' || cast(bk as varchar)),1,15) "
+            "as bigint) % 2001 - 1000)) as bigint) as score_milli from b) "
+            "select doc_id, n_feats, score_milli, "
+            "cast(score_milli > 0 as int) as keep from t"
         ),
         "gopher_gates": (
             "with w as (select cast(doc_id as bigint) as doc_id, text, "

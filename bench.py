@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "anchor_text_agg",
     "repetition_gates",
+    "model_quality_score",
     "source_cap",
     "pack_sequences",
     "span_rechunk",

@@ -174,3 +174,101 @@ def boilerplate_line_filter(
             char_sum(kept) / F.greatest(char_sum(lines), F.lit(1)), 6
         ).alias("kept_char_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (fastText/DCLM-style linear scorer)
+# ---------------------------------------------------------------------------
+
+
+def model_quality_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    dim: int = 1 << 18,
+    threshold_milli: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter — the "classifier" stage every modern
+    curation pipeline runs after the rule gates (CCNet/DCLM use a fastText
+    linear model over hashed bag-of-ngrams; the reference has no analog).
+    Features are word unigrams + bigrams hashed to ``dim`` buckets; the
+    document score is the sum of the buckets' integer milli-weights:
+
+        score_milli = sum over features f of w_milli[H60(f) % dim]
+        keep        = score_milli > threshold_milli * n_feats
+                      (i.e. mean feature weight above the threshold)
+
+    Integer milli-weights deliberately: float summation order and libm
+    ``exp`` differ across engines, integers hash-match the DuckDB oracle
+    exactly. The sigmoid is monotone, so thresholding the linear score is
+    equivalent to thresholding the probability.
+
+    Weight sources:
+
+    - ``weights=None`` (default; the oracle-checked shape): deterministic
+      synthetic weights DERIVED IN-ROW from the bucket id,
+      ``w_milli(b) = H60('qw' || b) % 2001 - 1000`` (uniform in
+      [-1000, 1000]). This stand-in has the exact computational shape of
+      a trained model while keeping the operator zero-shuffle and fully
+      whole-stage-codegen'd — a production run swaps in trained weights
+      via the second path.
+    - ``weights`` = DataFrame(bucket long, w_milli long): the trained-
+      model path — explode features, join the weights (Spark broadcasts
+      the ~4 MB table at dim 2^18; at 2^25+ leave it partitioned by
+      bucket), sum per doc. Missing buckets weigh 0. One shuffle
+      (the groupBy back to documents).
+    """
+    from inform_spark.operators.textops import _h60
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         words.alias("__w"))
+    w = F.col("__w")
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit("_"), F.element_at(w, i + 2)),
+    )
+    feats = F.concat(w, bigrams)
+    buckets = F.transform(feats, lambda s: F.pmod(_h60(s), F.lit(dim)))
+    # staged select: alias the bucket array once so CollapseProject cannot
+    # inline the split+md5 pipeline per consumer (same reason as
+    # textops.minhash_signatures)
+    staged = staged.select("doc_id", buckets.alias("__b")).select(
+        "doc_id", "__b", F.size("__b").cast("long").alias("n_feats")
+    )
+
+    if weights is None:
+        def w_milli(b):
+            return (
+                F.pmod(
+                    _h60(F.concat(F.lit("qw"), b.cast("string"))), F.lit(2001)
+                ) - 1000
+            )
+
+        scored = staged.select(
+            "doc_id",
+            "n_feats",
+            F.aggregate(
+                "__b", F.lit(0).cast("long"), lambda acc, b: acc + w_milli(b)
+            ).alias("score_milli"),
+        )
+    else:
+        wt = weights.select(
+            F.col("bucket").cast("long").alias("__bk"),
+            F.col("w_milli").cast("long").alias("__wm"),
+        )
+        exploded = staged.select(
+            "doc_id", "n_feats", F.explode("__b").alias("__bk")
+        )
+        scored = (
+            exploded.join(wt, "__bk", "left")
+            .groupBy("doc_id", "n_feats")
+            .agg(F.sum(F.coalesce("__wm", F.lit(0))).alias("score_milli"))
+        )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score_milli",
+        (F.col("score_milli") > F.col("n_feats") * F.lit(threshold_milli))
+        .alias("keep"),
+    )

@@ -51,3 +51,86 @@ def test_rejection_rollup(spark):
     r = gate_rejection_rollup(gopher_gates(df)).collect()[0]
     assert r["n_docs"] == 2 and r["passed"] == 1
     assert r["rejected_word_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scorer (fastText/DCLM-style hashed linear model)
+# ---------------------------------------------------------------------------
+
+
+def _py_model_score(text: str, dim: int = 1 << 18):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ws = text.lower().split(" ")
+    feats = ws + [f"{ws[i]}_{ws[i + 1]}" for i in range(len(ws) - 1)]
+    return len(feats), sum(
+        h60(f"qw{h60(f) % dim}") % 2001 - 1000 for f in feats
+    )
+
+
+def test_model_quality_score_matches_sequential(spark):
+    from inform_spark.operators.quality import model_quality_score
+
+    rows = [
+        (1, "Hello World this is a Reasonable document"),
+        (2, ""),
+        (3, "one-token"),
+        (4, "repeat repeat repeat repeat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in model_quality_score(docs).collect()}
+    for doc_id, text in rows:
+        n, s = _py_model_score(text)
+        assert (got[doc_id]["n_feats"], got[doc_id]["score_milli"]) == (n, s)
+        assert got[doc_id]["keep"] == (s > 0)
+
+
+def test_model_quality_score_weights_join_path(spark):
+    """The trained-weights (broadcast-join) path must equal the in-row
+    synthetic-weights path when the weights table carries the same
+    values — proving the production shape is a drop-in."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.quality import model_quality_score
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = 1 << 10  # small dim so the full weights table is enumerable
+    rows = [(i, f"doc number {i} words vary w{i % 17} w{i % 5}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [(b, h60(f"qw{b}") % 2001 - 1000) for b in range(dim)],
+        "bucket long, w_milli long",
+    )
+    derived = sorted(
+        tuple(r) for r in model_quality_score(docs, dim=dim).collect()
+    )
+    joined_df = model_quality_score(docs, weights=weights, dim=dim)
+    joined = sorted(tuple(r) for r in joined_df.collect())
+    assert derived == joined
+    # and the join is a broadcast, never a shuffle of the doc side's rows
+    # (plan read AFTER collect — AQE finalizes the executed QE)
+    plan = joined_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_model_quality_score_threshold(spark):
+    from inform_spark.operators.quality import model_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    strict = {
+        r["doc_id"]: r["keep"]
+        for r in model_quality_score(docs, threshold_milli=10_000).collect()
+    }
+    # mean milli-weight can never exceed 1000, so threshold 10000 keeps none
+    assert not any(strict.values())
