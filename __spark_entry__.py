@@ -378,6 +378,14 @@ def q_model_quality_score(spark, sf_dir):
              F.col("keep").cast("int").alias("keep"))
 
 
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (operators/textops.exact_substring_dedup,
+    Lee et al. 2022): remove every 8-token span occurring >= 2 times in
+    the corpus, keep the rest of each document. Linear + join-based —
+    no suffix array, no per-doc quadratic scan."""
+    return textops.exact_substring_dedup(_docs(spark, sf_dir), w=8)
+
+
 def q_repetition_gates(spark, sf_dir):
     """Gopher A1.1 repetition gates (operators/repetition.repetition_gates):
     top-n-gram / duplicate-n-gram / duplicate-line character fractions +
@@ -1027,13 +1035,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         # -- new this round --------------------------------------------------
         "model_quality_score": q_model_quality_score,
+        "exact_substring_dedup": q_exact_substring_dedup,
         # -- (3) remainder --------------------------------------------------
         "a1_status_rollup": q_a1_status_rollup,
         "j1_anti_join_seen": q_j1_anti_join_seen,
         "j2_broadcast_lookup": q_j2_broadcast_lookup,
         "o3_rank_cap": q_o3_rank_cap,
         "t2_window_budget": q_t2_window_budget,
-        "f6_robots_match": q_f6_robots_match,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_image_meta": q_multimodal_image_meta,
         "corpus_hash_sample": q_corpus_hash_sample,
@@ -1056,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_manifest": q_media_manifest,
         "t3_paced_admissions": q_t3_paced_admissions,
         # -- tail: green in r02 (w2) / BOTH r01+r02, code untouched ---------
+        "f6_robots_match": q_f6_robots_match,
         "w2_sliding_window": q_w2_sliding_window,
         "w1_tumbling_window": q_w1_tumbling_window,
         "w3_sessionization": q_w3_sessionization,
@@ -1732,6 +1741,31 @@ def oracle_sql() -> dict[str, str]:
             "bh as (select distinct h from hs where is_bench) "
             "select distinct doc_id from hs "
             "where not is_bench and h in (select h from bh)"
+        ),
+        "exact_substring_dedup": (
+            "with s as (select cast(doc_id as bigint) as doc_id, "
+            "string_split(lower(text), ' ') as w from documents), "
+            "t0 as (select doc_id, unnest(list_transform(range(len(w)), "
+            "i -> {'idx': i, 'tok': w[i+1]})) as u from s), "
+            "t as (select doc_id, u.idx as idx, u.tok as tok from t0), "
+            "wn0 as (select doc_id, unnest(list_transform("
+            "range(greatest(len(w)-7, 0)), i -> {'pos': i, "
+            "'h': cast('0x'||substr(md5(array_to_string("
+            "w[i+1:i+8], ' ')),1,15) as bigint)})) as u "
+            "from s where len(w) >= 8), "
+            "wn as (select doc_id, u.pos as pos, u.h as h from wn0), "
+            "d as (select h from wn group by h having count(*) >= 2), "
+            "rem as (select distinct doc_id, pos + j as idx "
+            "from wn join d using (h), unnest(range(8)) as r(j)), "
+            "k as (select t.* from t anti join rem "
+            "using (doc_id, idx)), "
+            "rb as (select doc_id, string_agg(tok, ' ' order by idx) "
+            "as clean_text, cast(count(*) as bigint) as n_kept "
+            "from k group by doc_id) "
+            "select s.doc_id, coalesce(rb.clean_text, '') as clean_text, "
+            "cast(len(s.w) as bigint) as n_tokens, "
+            "cast(len(s.w) - coalesce(rb.n_kept, 0) as bigint) as n_removed "
+            "from s left join rb using (doc_id)"
         ),
         "model_quality_score": (
             "with s as (select cast(doc_id as bigint) as doc_id, "

@@ -602,3 +602,83 @@ def duplicate_passage_stats(docs: DataFrame, w: int = 8) -> DataFrame:
             ),
         )
     )
+
+
+def exact_substring_dedup(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2022): REMOVE every w-token span that
+    occurs at least twice anywhere in the corpus (including within one
+    document), keeping the rest of each document. This is the span-level
+    cut GPT-3/PaLM-style pipelines run after doc-level near-dup removal;
+    :func:`duplicate_passage_stats` is its doc-level decision signal,
+    this operator is the actual surgery. Default w=50 tokens per the
+    paper; small corpora / tests use smaller windows.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed). Tokens are the
+    lowercased whitespace tokens used corpus-wide; a fully-duplicated
+    document comes back with clean_text = ''.
+
+    Scale design — everything is linear and join-based, no suffix array
+    and no per-doc quadratic in-row scan:
+    - window hashes: narrow posexplode, O(corpus tokens) rows of
+      (doc_id, pos, h60) — text never shuffles, only 60-bit hashes;
+    - duplicated hashes: count groupBy with map-side combine (boilerplate
+      windows are heavy hitters; partial aggregation absorbs them);
+    - removed token indices: duplicated window starts exploded xW and
+      deduped — bounded by W x dup occurrences;
+    - rebuild: token posexplode anti-join removed on (doc_id, idx), then
+      one groupBy per doc re-assembling in index order (the same rebuild
+      shape as :func:`dedup_lines`). AQE skew handling applies to the
+      hash join; nothing is O(doc^2) or O(corpus^2)."""
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words_col().alias("__w")
+    )
+    toks = staged.select("doc_id", F.posexplode("__w").alias("idx", "tok"))
+    wins = staged.filter(F.size("__w") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - w),
+                lambda i: _h60(F.concat_ws(" ", F.slice(F.col("__w"), i + 1, w))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("h")
+    )
+    removed = (
+        wins.join(dup_h, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(removed, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    return (
+        staged.select("doc_id", F.size("__w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

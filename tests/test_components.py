@@ -162,3 +162,52 @@ def test_duplicate_passage_stats(spark):
     assert got[0]["n_shared"] == 1 and got[1]["n_shared"] == 1
     assert got[2]["n_shared"] == 0 and got[2]["dup_frac"] == 0.0
     assert 0 < got[0]["dup_frac"] < 1
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Lee et al. exact-substring cut: any w-token span occurring >=2
+    times anywhere in the corpus (cross- OR intra-doc) is removed from
+    every occurrence; the rest of each document survives in order."""
+    from inform_spark.operators.textops import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one two three"),
+            (2, "prefix words alpha beta gamma delta suffix stuff"),
+            (3, "totally different content with no duplication at all"),
+            (4, "alpha beta gamma delta alpha beta gamma delta"),
+            (5, "tiny"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substring_dedup(docs, w=4).collect()
+    }
+    assert got[1] == ("unique one two three", 8, 4)
+    assert got[2] == ("prefix words suffix stuff", 8, 4)
+    assert got[3] == (
+        "totally different content with no duplication at all", 8, 0
+    )
+    # intra-doc repetition: both occurrences cut -> fully removed
+    assert got[4] == ("", 8, 8)
+    # shorter than the window: untouched
+    assert got[5] == ("tiny", 1, 0)
+    assert got[6] == ("", 1, 0)
+
+
+def test_exact_substring_dedup_scale_shape(spark):
+    """No pair/bucket materialization: the plan is joins + aggregates,
+    never a cartesian product or a per-bucket array collect."""
+    from inform_spark.operators.textops import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common span here plus doc {i} tail") for i in range(200)],
+        "doc_id long, text string",
+    )
+    df = exact_substring_dedup(docs, w=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "collect_set" not in plan
