@@ -116,12 +116,20 @@ def minhash_clusters(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
     completion)."""
     from inform_spark.operators import textops
 
-    pairs = textops.star_pairs_from_bands(textops.minhash_band_keys(docs, k, band))
+    # persist the banding: star_pairs_from_bands references it on BOTH
+    # sides of its min-join, and unpersisted that re-runs the md5
+    # signature pipeline (the expensive narrow stage) twice
+    bands = textops.minhash_band_keys(docs, k, band).persist()
+    pairs = textops.star_pairs_from_bands(bands)
     comp = connected_components(pairs, "a", "b").withColumnRenamed("v", "doc_id")
-    return docs.join(comp, "doc_id", "left").select(
+    out = docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
     )
+    # labels inside connected_components are localCheckpoint-ed (eager),
+    # so the banding is fully consumed by the time it returns
+    bands.unpersist()
+    return out
 
 
 def minhash_survivors(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
@@ -166,12 +174,18 @@ def minhash_incremental(
 
     nb = textops.minhash_band_keys(new_docs, k, band).persist()
     ib = textops.minhash_band_keys(index_docs, k, band)
+    # hits is referenced three times (twice via survivors inside
+    # star_pairs' min-join, once in the lazily-returned verdict join);
+    # localCheckpoint materializes it ONCE so the index-side signature
+    # pipeline never re-runs per reference (eager + lineage-cut, cleaned
+    # up with the DataFrame — no unpersist-before-lazy-return hazard)
     hits = (
         nb.join(
             ib.select(F.col("doc_id").alias("__idx"), "band_key"), "band_key"
         )
         .groupBy("doc_id")
         .agg(F.min("__idx").alias("__hit"))
+        .localCheckpoint()
     )
     survivors = nb.join(hits, "doc_id", "left_anti")
     comp = connected_components(
