@@ -386,6 +386,71 @@ def q_exact_substring_dedup(spark, sf_dir):
     return textops.exact_substring_dedup(_docs(spark, sf_dir), w=8)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (operators/pii.pii_redact, FineWeb/Dolma-style): count +
+    redact emails, IPv4s, E.164 phones with typed tokens. Pure narrow
+    regexp chain in whole-stage codegen (zero shuffle). PII is injected
+    deterministically per doc_id (the synthetic corpus has none), so the
+    oracle checks real match+replace behavior, not all-zeros."""
+    from inform_spark.operators.pii import pii_redact
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "text || ' contact u' || cast(doc_id as string) || "
+            "'@example.org or 10.2.' || cast(doc_id % 250 as string) || "
+            "'.9 tel +1 415 550 ' || "
+            "lpad(cast(doc_id % 10000 as string), 4, '0') || ' end'"
+        ).alias("text"),
+    )
+    return pii_redact(d)
+
+
+def q_badword_filter(spark, sf_dir):
+    """C4-style blocklist gate (operators/quality.badword_filter):
+    whole-token bad-word hits (in-row array filter, zero shuffle) plus a
+    UT1-style blocked-domain broadcast lookup. Hits are injected
+    deterministically (every 5th doc gets one bad token, every 11th two
+    more) so both branches of the gate are exercised."""
+    from inform_spark.operators.quality import badword_filter
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "text || case when doc_id % 5 = 0 then ' badword' else '' end"
+            " || case when doc_id % 11 = 0 then ' nsfw nsfw' else '' end"
+        ).alias("text"),
+        "source",
+    )
+    blocked = spark.createDataFrame(
+        [("src3",), ("src7",), ("src11",)], "source: string"
+    )
+    out = badword_filter(d, blocked_sources=blocked)
+    return out.select(
+        "doc_id",
+        "n_bad_words",
+        F.col("source_blocked").cast("int").alias("source_blocked"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """CCNet-style LM quality band (operators/importance.unigram_surprisal):
+    per-doc surprisal under the corpus's own unigram model, floor-log2 in
+    exact integer arithmetic (length of the binary string — associative,
+    partitioning/engine independent). Middle-band keep gate."""
+    from inform_spark.operators.importance import unigram_surprisal
+
+    return unigram_surprisal(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    ).select(
+        "doc_id", "n_tokens", "surprisal_bits", "mean_bits_milli",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def q_repetition_gates(spark, sf_dir):
     """Gopher A1.1 repetition gates (operators/repetition.repetition_gates):
     top-n-gram / duplicate-n-gram / duplicate-line character fractions +
@@ -1036,6 +1101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --------------------------------------------------
         "model_quality_score": q_model_quality_score,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "pii_redact": q_pii_redact,
+        "badword_filter": q_badword_filter,
+        "unigram_surprisal": q_unigram_surprisal,
         # -- (3) remainder --------------------------------------------------
         "a1_status_rollup": q_a1_status_rollup,
         "j1_anti_join_seen": q_j1_anti_join_seen,
@@ -1782,6 +1850,68 @@ def oracle_sql() -> dict[str, str]:
             "as bigint) % 2001 - 1000)) as bigint) as score_milli from b) "
             "select doc_id, n_feats, score_milli, "
             "cast(score_milli > 0 as int) as keep from t"
+        ),
+        "pii_redact": (
+            "with d as (select cast(doc_id as bigint) as doc_id, "
+            "text || ' contact u' || cast(doc_id as varchar) || "
+            "'@example.org or 10.2.' || cast(doc_id % 250 as varchar) || "
+            "'.9 tel +1 415 550 ' || "
+            "lpad(cast(doc_id % 10000 as varchar), 4, '0') || ' end' "
+            "as text from documents), "
+            "s1 as (select doc_id, cast(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) "
+            "as n_emails, regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+            "'g') as t1 from d), "
+            "s2 as (select doc_id, n_emails, "
+            "cast(len(regexp_extract_all(t1, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as bigint) "
+            "as n_ipv4, regexp_replace(t1, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "as t2 from s1), "
+            "s3 as (select doc_id, n_emails, n_ipv4, "
+            "cast(len(regexp_extract_all(t2, '\\+\\d[\\d \\-]{5,13}\\d')) "
+            "as bigint) as n_phones, regexp_replace(t2, "
+            "'\\+\\d[\\d \\-]{5,13}\\d', '<PHONE>', 'g') as clean_text "
+            "from s2) "
+            "select doc_id, clean_text, n_emails, n_ipv4, n_phones, "
+            "n_emails + n_ipv4 + n_phones as n_pii from s3"
+        ),
+        "badword_filter": (
+            "with d as (select cast(doc_id as bigint) as doc_id, "
+            "text || case when doc_id % 5 = 0 then ' badword' else '' end "
+            "|| case when doc_id % 11 = 0 then ' nsfw nsfw' else '' end "
+            "as text, source from documents), "
+            "m as (select doc_id, cast(len(list_filter("
+            "string_split(lower(text), ' '), t -> "
+            "list_contains(['badword','slur0','slur1','nsfw'], t))) "
+            "as bigint) as n_bad_words, "
+            "source in ('src3','src7','src11') as blocked from d) "
+            "select doc_id, n_bad_words, cast(blocked as int) "
+            "as source_blocked, cast(n_bad_words = 0 and not blocked as int) "
+            "as keep from m"
+        ),
+        "unigram_surprisal": (
+            "with s as (select cast(doc_id as bigint) as doc_id, "
+            "list_filter(string_split(lower(text), ' '), t -> len(t) > 0) "
+            "as w from documents), "
+            "pt as (select doc_id, tok, cast(count(*) as bigint) as cnt "
+            "from (select doc_id, unnest(w) as tok from s) "
+            "group by doc_id, tok), "
+            "v as (select tok, cast(sum(cnt) as bigint) as c "
+            "from pt group by tok), "
+            "n as (select cast(sum(c) as bigint) as nt from v), "
+            "sc as (select doc_id, cast(sum(cnt) as bigint) as n_tokens, "
+            "cast(sum(cnt * (length(printf('%b', nt // c)) - 1)) as bigint) "
+            "as surprisal_bits from pt join v using (tok), n "
+            "group by doc_id) "
+            "select s.doc_id, "
+            "cast(coalesce(sc.n_tokens, 0) as bigint) as n_tokens, "
+            "sc.surprisal_bits, "
+            "1000 * sc.surprisal_bits // sc.n_tokens as mean_bits_milli, "
+            "cast(coalesce(1000 * sc.surprisal_bits // sc.n_tokens "
+            "between 1000 and 14000, false) as int) as keep "
+            "from s left join sc using (doc_id)"
         ),
         "gopher_gates": (
             "with w as (select cast(doc_id as bigint) as doc_id, text, "

@@ -108,3 +108,78 @@ def dsir_weights(
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         "importance",
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    min_bits_milli: int = 1_000,
+    max_bits_milli: int = 14_000,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring, integer-exact:
+    (doc_id, n_tokens, surprisal_bits, mean_bits_milli, keep).
+
+    CCNet (Wenzek et al. 2020 §3.3) ranks documents by LM perplexity and
+    keeps the middle of the distribution (both tails are junk: the low
+    tail is boilerplate/degenerate repetition, the high tail is noise /
+    wrong-language). This is the same filter driven by the corpus's OWN
+    unigram statistics — each token t costs
+    ``floor(log2(N div c(t)))`` whole bits (N = corpus token count,
+    c(t) = token count), a per-token surprisal under the empirical
+    unigram model. The floor-log2 is computed EXACTLY as
+    ``length(binary(N div c)) - 1`` — pure integer arithmetic, so sums
+    are associative and the score is independent of partitioning,
+    execution order, and engine (the same fixed-point rationale as
+    ``dsir_weights``; float log-sums could never hash-match an oracle).
+
+    ``mean_bits_milli`` = 1000 * surprisal_bits div n_tokens; ``keep``
+    brackets it in [min_bits_milli, max_bits_milli] — the middle-band
+    selection (defaults: drop docs averaging under 1.0 or over 14.0
+    bits/token).
+
+    Scale (100 TB): (doc, token) counts are ONE shuffle with map-side
+    combine (Zipf heads reduce in the map task); the vocabulary table is
+    tiny next to the corpus and joins token→count with AQE handling the
+    stop-word skew; the per-doc rollup is the only other shuffle.
+    Nothing O(corpus²), no window, no Python."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words_col()).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_doc_tok = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = per_doc_tok.groupBy("token").agg(F.sum("cnt").alias("c"))
+    # total corpus tokens as a 1-row dim, crossed in by broadcast (a
+    # scalar, never a shuffle)
+    total = vocab.agg(F.sum("c").alias("N"))
+    scored = (
+        per_doc_tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cnt",
+            (F.length(F.conv(F.expr("N div c"), 10, 2)) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("bits")).cast("long").alias("surprisal_bits"),
+        )
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    mean_milli = F.expr("1000 * surprisal_bits div n_tokens")
+    # every input doc appears: a zero-token doc carries n_tokens = 0,
+    # NULL scores and keep = false (no evidence ≠ keepable) — same
+    # explicit-unknown contract as dsir_weights
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "surprisal_bits",
+        mean_milli.alias("mean_bits_milli"),
+        F.coalesce(
+            (mean_milli >= min_bits_milli) & (mean_milli <= max_bits_milli),
+            F.lit(False),
+        ).alias("keep"),
+    )

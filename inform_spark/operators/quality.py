@@ -272,3 +272,60 @@ def model_quality_score(
         (F.col("score_milli") > F.col("n_feats") * F.lit(threshold_milli))
         .alias("keep"),
     )
+
+
+BAD_WORD_PLACEHOLDER = [
+    # stand-in list: production swaps in the LDNOOBW blocklist C4 used
+    # (Raffel et al. 2020 §2.2 — drop any page containing a listed word).
+    # Matching is whole-token on the lowercased whitespace split, the
+    # C4 semantics; substrings never match.
+    "badword", "slur0", "slur1", "nsfw",
+]
+
+
+def badword_filter(
+    docs: DataFrame,
+    words: list[str] | None = None,
+    text_col: str = "text",
+    blocked_sources: DataFrame | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style blocklist gate: (doc_id, n_bad_words, source_blocked,
+    keep). A document is dropped when any lowercased token is on the
+    word blocklist (Raffel et al. 2020 §2.2) or — when a
+    ``blocked_sources`` dimension (one ``source`` column) is given —
+    when its source/domain is on the UT1-style domain blocklist
+    (Penedo et al. 2024 §3.1 use the same two-level scheme).
+
+    Scale: the word check is in-row ``array_intersect`` against a
+    literal array (zero shuffle, codegen); the domain check is a
+    broadcast LEFT join against the tiny blocklist dim — no shuffle of
+    the corpus side. Counts (not just booleans) come out so the
+    curation audit can rank offending sources."""
+    words = BAD_WORD_PLACEHOLDER if words is None else words
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_bad = F.size(
+        F.filter(toks, lambda t: t.isin([w.lower() for w in words]))
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        F.col(source_col).alias("__src"),
+        n_bad.alias("n_bad_words"),
+    )
+    if blocked_sources is not None:
+        dim = F.broadcast(
+            blocked_sources.select(
+                F.col("source").alias("__src"), F.lit(True).alias("__blk")
+            ).distinct()
+        )
+        out = out.join(dim, "__src", "left").withColumn(
+            "source_blocked", F.coalesce("__blk", F.lit(False))
+        ).drop("__blk")
+    else:
+        out = out.withColumn("source_blocked", F.lit(False))
+    return out.select(
+        "doc_id",
+        "n_bad_words",
+        "source_blocked",
+        ((F.col("n_bad_words") == 0) & ~F.col("source_blocked")).alias("keep"),
+    )
