@@ -1071,8 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators whose implementation changed this round (LSH/clustering
     # family), (3) the remainder; the tail holds queries green in BOTH r01
     # and r02 whose code is untouched (x*/f*/o4/s*/t5/w1/w3/a1b string+filter
-    # functions). Union across rounds keeps all 65 driver-verified; every
-    # entry also passes tests/verify/check_oracle.py locally (full 65).
+    # functions). Union across rounds keeps every query driver-verified;
+    # all 70 entries also pass tests/verify/check_oracle.py locally.
     return {
         # -- (1) no CORRECTNESS_r02 row — verify first ---------------------
         "dedup_incremental": q_dedup_incremental,

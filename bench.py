@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "repetition_gates",
     "model_quality_score",
+    "pii_redact",
+    "unigram_surprisal",
     "source_cap",
     "pack_sequences",
     "span_rechunk",
