@@ -131,6 +131,26 @@ AUDITS = {
     "dedup_incremental": {
         "forbid": ["CartesianProduct", "rangepartitioning"],
     },
+    # PII scrub: pure narrow regexp chain — ANY exchange is a regression;
+    # only doc_id+text may be read
+    "pii_redact": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # blocklist gate: word check in-row; the domain dim must broadcast
+    "badword_filter": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct", "Window"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # unigram surprisal: aggregation pipeline; the corpus-total scalar
+    # must come in via broadcast, never a sort/window
+    "unigram_surprisal": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
