@@ -406,6 +406,52 @@ def q_pii_redact(spark, sf_dir):
     return pii_redact(d)
 
 
+def q_span_pii_redact(spark, sf_dir):
+    """Interleave-preserving PII scrub (operators/spans.span_pii_redact):
+    the same regexp chain as pii_redact applied INSIDE each text span via
+    in-row higher-order functions — media spans, span structure, and
+    offsets untouched, so text↔media alignment survives redaction. PII is
+    injected into each document's first (always-text) span; the result is
+    exploded so DuckDB can hash-match spans and per-doc counts together.
+    Narrow, zero shuffle."""
+    from inform_spark.operators.spans import span_pii_redact
+
+    df = _spans_df(spark, sf_dir)
+    did_num = F.col("doc_id").cast("long")
+    suffix = F.concat(
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@example.org or 10.2."),
+        (did_num % 250).cast("string"),
+        F.lit(".9 tel +1 415 550 "),
+        F.lpad((did_num % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    injected = df.select(
+        "doc_id",
+        F.transform(
+            F.col("spans"),
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                F.when(x["offset"] == 0, F.concat(x["text"], suffix))
+                .otherwise(x["text"])
+                .alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = span_pii_redact(injected)
+    s = out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii",
+        F.explode("spans").alias("s"),
+    )
+    return s.select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset",
+        "n_emails", "n_ipv4", "n_phones", "n_pii",
+    )
+
+
 def q_badword_filter(spark, sf_dir):
     """C4-style blocklist gate (operators/quality.badword_filter):
     whole-token bad-word hits (in-row array filter, zero shuffle) plus a
@@ -1072,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family), (3) the remainder; the tail holds queries green in BOTH r01
     # and r02 whose code is untouched (x*/f*/o4/s*/t5/w1/w3/a1b string+filter
     # functions). Union across rounds keeps every query driver-verified;
-    # all 70 entries also pass tests/verify/check_oracle.py locally.
+    # all 71 entries also pass tests/verify/check_oracle.py locally.
     return {
         # -- (1) no CORRECTNESS_r02 row — verify first ---------------------
         "dedup_incremental": q_dedup_incremental,
@@ -1102,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_quality_score": q_model_quality_score,
         "exact_substring_dedup": q_exact_substring_dedup,
         "pii_redact": q_pii_redact,
+        "span_pii_redact": q_span_pii_redact,
         "badword_filter": q_badword_filter,
         "unigram_surprisal": q_unigram_surprisal,
         # -- (3) remainder --------------------------------------------------
@@ -1876,6 +1923,45 @@ def oracle_sql() -> dict[str, str]:
             "from s2) "
             "select doc_id, clean_text, n_emails, n_ipv4, n_phones, "
             "n_emails + n_ipv4 + n_phones as n_pii from s3"
+        ),
+        "span_pii_redact": (
+            f"{_SPANS_CTE}, "
+            "inj as (select doc_id, kind, "
+            'case when "offset" = 0 then text || '
+            "' contact u' || doc_id || '@example.org or 10.2.' || "
+            "cast(cast(doc_id as bigint) % 250 as varchar) || "
+            "'.9 tel +1 415 550 ' || "
+            "lpad(cast(cast(doc_id as bigint) % 10000 as varchar), 4, '0') "
+            "|| ' end' else text end as text, media_ref, \"offset\" "
+            "from spans), "
+            "r as (select doc_id, kind, media_ref, \"offset\", "
+            "case when kind = 'text' then regexp_replace(regexp_replace("
+            "regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+            "'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g'), '\\+\\d[\\d \\-]{5,13}\\d', '<PHONE>', 'g') "
+            "else text end as clean, "
+            "case when kind = 'text' then len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "else 0 end as e, "
+            "case when kind = 'text' then len(regexp_extract_all("
+            "regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+            "'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "else 0 end as i, "
+            "case when kind = 'text' then len(regexp_extract_all("
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+            "'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g'), '\\+\\d[\\d \\-]{5,13}\\d')) "
+            "else 0 end as p from inj), "
+            "g as (select doc_id, cast(sum(e) as bigint) as n_emails, "
+            "cast(sum(i) as bigint) as n_ipv4, "
+            "cast(sum(p) as bigint) as n_phones from r group by doc_id) "
+            'select r.doc_id, r.kind, r.clean as text, r.media_ref, '
+            'r."offset", g.n_emails, g.n_ipv4, g.n_phones, '
+            "g.n_emails + g.n_ipv4 + g.n_phones as n_pii "
+            "from r join g using (doc_id)"
         ),
         "badword_filter": (
             "with d as (select cast(doc_id as bigint) as doc_id, "

@@ -243,3 +243,72 @@ def media_manifest(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             F.col("m.prev.kind") == "text", F.col("m.prev.text")
         ).alias("caption"),
     )
+
+
+def span_pii_redact(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Interleave-preserving PII scrub: redact emails / IPv4s / phones
+    INSIDE each text span (operators/pii patterns and pass order),
+    leaving media spans, span structure and offsets untouched — the form
+    a multimodal training pipeline needs, where redaction must never
+    disturb text↔media alignment. Returns
+    (doc_id, spans, n_emails, n_ipv4, n_phones, n_pii) with the counts
+    summed over text spans (each category counted on the text the
+    replacement chain sees at that stage, like ``pii.pii_redact``).
+
+    Scale: narrow like every span op — per-span regexp chains inside
+    in-row higher-order functions, zero shuffle, zero Python. Redaction
+    is span-local by design (a PII string split across a span boundary
+    is not a reconstructible PII string in the training sample either)."""
+    from inform_spark.operators.pii import (
+        EMAIL_RE, EMAIL_TOKEN, IPV4_RE, IPV4_TOKEN, PHONE_RE, PHONE_TOKEN,
+    )
+
+    s = F.col(spans_col)
+
+    def after_email(t: Column) -> Column:
+        return F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+
+    def after_ip(t: Column) -> Column:
+        return F.regexp_replace(after_email(t), IPV4_RE, IPV4_TOKEN)
+
+    def clean(t: Column) -> Column:
+        return F.regexp_replace(after_ip(t), PHONE_RE, PHONE_TOKEN)
+
+    def count_over_text(fn) -> Column:
+        return F.aggregate(
+            s,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(x["kind"] == F.lit("text"), fn(x["text"]))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    n_emails = count_over_text(
+        lambda t: F.regexp_count(t, F.lit(EMAIL_RE))
+    )
+    n_ipv4 = count_over_text(
+        lambda t: F.regexp_count(after_email(t), F.lit(IPV4_RE))
+    )
+    n_phones = count_over_text(
+        lambda t: F.regexp_count(after_ip(t), F.lit(PHONE_RE))
+    )
+    new_spans = F.transform(
+        s,
+        lambda x: F.struct(
+            x["kind"].alias("kind"),
+            F.when(x["kind"] == F.lit("text"), clean(x["text"]))
+            .otherwise(x["text"])
+            .alias("text"),
+            x["media_ref"].alias("media_ref"),
+            x["offset"].alias("offset"),
+        ),
+    )
+    return df.select(
+        "doc_id",
+        new_spans.alias(spans_col),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ipv4 + n_phones).alias("n_pii"),
+    )

@@ -130,3 +130,65 @@ def test_rechunk_is_narrow(spans_df):
     in-row higher-order functions (the 100 TB design point)."""
     plan = span_rechunk(spans_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_span_pii_redact_preserves_interleave(spark):
+    """PII is scrubbed inside text spans only; media spans, span count,
+    kinds, media_refs and offsets are byte-identical; counts are summed
+    over text spans with the pii_redact chain semantics."""
+    from inform_spark.operators.spans import span_pii_redact
+
+    rows = [
+        (
+            1,
+            "write to bob@example.com or alice@test.org "
+            "box at 10.0.0.1 ping " * 1,
+        ),
+        (2, "call +1 415 555 0100 now " * 6),  # phone split across spans? no: 5 words/rep
+        (3, "clean text with no pii at all " * 3),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    df = synthesize_interleaved(corpus)
+    before = {r["doc_id"]: r["spans"] for r in df.collect()}
+    out = {r["doc_id"]: r for r in span_pii_redact(df).collect()}
+
+    for doc_id, b in before.items():
+        a = out[doc_id]["spans"]
+        assert len(a) == len(b)
+        for sb, sa in zip(b, a):
+            assert sa["kind"] == sb["kind"]
+            assert sa["media_ref"] == sb["media_ref"]
+            assert sa["offset"] == sb["offset"]
+            if sb["kind"] == "media":
+                assert sa["text"] == sb["text"]
+
+    joined = {
+        doc_id: " ".join(
+            s["text"] for s in out[doc_id]["spans"] if s["kind"] == "text"
+        )
+        for doc_id in before
+    }
+    assert "<EMAIL>" in joined["1"] and "bob@example.com" not in joined["1"]
+    assert "<IP>" in joined["1"] and "10.0.0.1" not in joined["1"]
+    assert out["1"]["n_emails"] == 2 and out["1"]["n_ipv4"] == 1
+    assert out["1"]["n_pii"] == (
+        out["1"]["n_emails"] + out["1"]["n_ipv4"] + out["1"]["n_phones"]
+    )
+    assert "<PHONE>" in joined["2"]
+    assert out["2"]["n_phones"] >= 1
+    assert out["3"]["n_pii"] == 0 and "<" not in joined["3"]
+
+
+def test_span_pii_redact_is_narrow(spark):
+    from inform_spark.operators.spans import span_pii_redact
+
+    corpus = spark.createDataFrame(
+        [(1, "mail me a@b.co now " * 8)], "doc_id long, text string"
+    )
+    plan = (
+        span_pii_redact(synthesize_interleaved(corpus))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
