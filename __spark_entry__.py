@@ -452,6 +452,20 @@ def q_span_pii_redact(spark, sf_dir):
     )
 
 
+def q_bm25_relevance(spark, sf_dir):
+    """Integer-exact BM25 query-relevance scoring
+    (operators/relevance.bm25_relevance): domain-targeted corpus
+    selection by ranked relevance to a fixed term set. All milli-unit
+    integer arithmetic (associative, partitioning/engine independent —
+    the fixed-point rationale of dsir/surprisal), so DuckDB hash-matches
+    the scores exactly. Only query-term tokens shuffle."""
+    from inform_spark.operators.relevance import bm25_relevance
+
+    return bm25_relevance(
+        _docs(spark, sf_dir), ["hash", "scan", "spark", "window"]
+    )
+
+
 def q_badword_filter(spark, sf_dir):
     """C4-style blocklist gate (operators/quality.badword_filter):
     whole-token bad-word hits (in-row array filter, zero shuffle) plus a
@@ -1149,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "pii_redact": q_pii_redact,
         "span_pii_redact": q_span_pii_redact,
+        "bm25_relevance": q_bm25_relevance,
         "badword_filter": q_badword_filter,
         "unigram_surprisal": q_unigram_surprisal,
         # -- (3) remainder --------------------------------------------------
@@ -1976,6 +1991,36 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, n_bad_words, cast(blocked as int) "
             "as source_blocked, cast(n_bad_words = 0 and not blocked as int) "
             "as keep from m"
+        ),
+        "bm25_relevance": (
+            "with s as (select cast(doc_id as bigint) as doc_id, "
+            "list_filter(string_split(lower(text), ' '), t -> len(t) > 0) "
+            "as w from documents), "
+            "base as (select doc_id, cast(len(w) as bigint) as dl from s), "
+            "q as (select unnest(['hash','scan','spark','window']) as term), "
+            "tok as (select doc_id, unnest(w) as term from s), "
+            "tf as (select doc_id, term, cast(count(*) as bigint) as tf "
+            "from tok join q using (term) group by doc_id, term), "
+            "dfq as (select term, cast(count(*) as bigint) as df "
+            "from tf group by term), "
+            "sc as (select cast(count(*) as bigint) as n_docs, "
+            "cast(1000 * sum(dl) // count(*) as bigint) as avgdl_milli "
+            "from base), "
+            "pt as (select tf.doc_id as doc_id, "
+            "cast(length(printf('%b', 2 + (2 * (n_docs - df) + 1) "
+            "// (2 * df + 1))) - 1 as bigint) as idf_bits, "
+            "tf.tf as tf, base.dl as dl, sc.avgdl_milli as avgdl_milli "
+            "from tf join dfq using (term), sc "
+            "join base on tf.doc_id = base.doc_id), "
+            "ts as (select doc_id, cast(idf_bits * tf * 2200 * 1000 "
+            "// (300 + (900 * (1000000 * dl // avgdl_milli)) // 1000 "
+            "+ 1000 * tf) as bigint) as tsm from pt), "
+            "agg as (select doc_id, cast(count(*) as bigint) as n_matched, "
+            "cast(sum(tsm) as bigint) as score_milli from ts group by doc_id) "
+            "select base.doc_id, base.dl, "
+            "cast(coalesce(agg.n_matched, 0) as bigint) as n_matched, "
+            "cast(coalesce(agg.score_milli, 0) as bigint) as score_milli "
+            "from base left join agg using (doc_id)"
         ),
         "unigram_surprisal": (
             "with s as (select cast(doc_id as bigint) as doc_id, "

@@ -144,6 +144,20 @@ AUDITS = {
         "forbid": ["SortMergeJoin", "CartesianProduct", "Window"],
         "absent_in_readschema": ["lang", "n_chars"],
     },
+    # span-local PII scrub: in-row higher-order functions over the spans
+    # array — ANY exchange is a regression; only doc_id+text may be read
+    "span_pii_redact": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # BM25 relevance: the query dim and all stats dims must broadcast;
+    # pure aggregation pipeline — no window, no sort anywhere
+    "bm25_relevance": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
     # unigram surprisal: aggregation pipeline; the corpus-total scalar
     # must come in via broadcast, never a sort/window
     "unigram_surprisal": {
