@@ -466,6 +466,26 @@ def q_bm25_relevance(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/similarity.semdedup, Abbas et
+    al. 2023): cell assignment via broadcast centroids, within-cell
+    tau-pair graph, connected components, survivor = farthest from
+    centroid. Exact-duplicate vectors are injected deterministically
+    (every 10th vec twice, every 20th three times — the synthetic
+    embeddings have no natural near-dups), so real multi-member families
+    form and the keep/drop logic is exercised end to end."""
+    from inform_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d1 = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    d2 = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+    )
+    return semdedup(e.unionByName(d1).unionByName(d2), n_cells=8, tau=0.95)
+
+
 def q_badword_filter(spark, sf_dir):
     """C4-style blocklist gate (operators/quality.badword_filter):
     whole-token bad-word hits (in-row array filter, zero shuffle) plus a
@@ -1164,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "span_pii_redact": q_span_pii_redact,
         "bm25_relevance": q_bm25_relevance,
+        "semdedup": q_semdedup,
         "badword_filter": q_badword_filter,
         "unigram_surprisal": q_unigram_surprisal,
         # -- (3) remainder --------------------------------------------------
@@ -1559,6 +1580,66 @@ def _embedding_neardup_sql(per_group: int = 3) -> str:
     )
 
 
+def _semdedup_sql(n_cells: int = 8, tau: float = 0.95) -> str:
+    """DuckDB mirror of operators/similarity.semdedup over the same
+    injected-duplicate corpus as q_semdedup: assignment window, tau-pair
+    graph, recursive-CTE components, farthest-from-centroid survivor."""
+
+    def dot(x, y):
+        return (
+            f"list_sum(list_transform(range(1, len({x})+1), "
+            f"i -> cast({x}[i] as double) * cast({y}[i] as double)))"
+        )
+
+    def norm(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            f"x -> cast(x as double) * cast(x as double))))"
+        )
+
+    return (
+        "with recursive e0 as (select vec_id, embedding from embeddings), "
+        "e as (select vec_id, embedding from e0 "
+        "union all select vec_id + 10000, embedding from e0 "
+        "where vec_id % 10 = 0 "
+        "union all select vec_id + 20000, embedding from e0 "
+        "where vec_id % 20 = 0), "
+        f"cents as (select vec_id as cid, embedding as cv from e "
+        f"where vec_id < {n_cells}), "
+        "ac0 as (select e.vec_id as v, cid, e.embedding as vv, "
+        f"round({dot('e.embedding', 'cv')} / "
+        f"({norm('e.embedding')} * {norm('cv')}), 6) as ccos "
+        "from e, cents), "
+        "ac as (select *, row_number() over (partition by v "
+        "order by ccos desc, cid) as rk from ac0), "
+        "asg as (select v, cell, ccos, vv from (select v, cid as cell, "
+        "ccos, vv from ac where rk = 1)), "
+        "p as (select a.v as a, b.v as b from asg a "
+        "join asg b on a.cell = b.cell and a.v < b.v "
+        f"where round({dot('a.vv', 'b.vv')} / "
+        f"({norm('a.vv')} * {norm('b.vv')}), 6) >= {tau}), "
+        "edges as (select a as u, b as v from p union select b, a from p), "
+        "nodes as (select distinct u as v from edges), "
+        "walk(v, lbl) as (select v, v from nodes "
+        "union select ed.v, wk.lbl from walk wk "
+        "join edges ed on ed.u = wk.v), "
+        "comp as (select v, min(lbl) as lbl from walk group by v), "
+        "lab as (select asg.v, asg.cell, asg.ccos, "
+        "coalesce(comp.lbl, asg.v) as component from asg "
+        "left join comp on comp.v = asg.v), "
+        "pick as (select component, v as pv from (select component, v, "
+        "row_number() over (partition by component "
+        "order by ccos asc, v asc) as rn from lab) where rn = 1), "
+        "sizes as (select component, cast(count(*) as bigint) as n_members "
+        "from lab group by component) "
+        "select cast(lab.v as bigint) as vec_id, "
+        "cast(lab.cell as bigint) as cell, lab.ccos, "
+        "cast(lab.component as bigint) as component, sizes.n_members, "
+        "cast(lab.v = pick.pv as int) as keep "
+        "from lab join pick using (component) join sizes using (component)"
+    )
+
+
 def _repetition_oracle() -> str:
     """Relational mirror of operators/repetition.repetition_gates: per
     width, unnest grams -> group counts -> top-1 window / duplicate sums;
@@ -1769,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
             "as backoff_ms from events"
         ),
         "dedup_embedding_cosine": _embedding_neardup_sql(),
+        "semdedup": _semdedup_sql(),
         "multimodal_image_meta": (
             "with m as (select cast(doc_id as bigint) as doc_id, "
             "concat('https://img.test/', doc_id, '.png') as media_ref, "

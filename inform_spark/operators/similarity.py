@@ -240,3 +240,89 @@ def lsh_bucketed_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus — cluster into cells, call
+    within-cell pairs with cosine >= ``tau`` semantic duplicates, keep
+    ONE survivor per duplicate family: the member FARTHEST from its
+    centroid (the paper's criterion — edge examples carry more signal
+    than cluster-typical ones), ties broken on vec_id.
+
+    Returns (vec_id, cell, ccos, component, n_members, keep) for every
+    input vector: ``ccos`` the cosine to the assigned centroid,
+    ``component`` the duplicate-family id (min reachable vec_id;
+    singletons are their own family), ``keep`` the survivor flag.
+
+    Centroids are the first ``n_cells`` vectors — the deterministic
+    stand-in for an offline k-means (same convention and rationale as
+    :func:`ivf_topk`: at 100 TB you train centroids on a sample once and
+    broadcast them; the dataflow is identical and determinism is what
+    lets DuckDB oracle-check the whole path).
+
+    Scale (100 TB): centroids broadcast (assignment is map-side; the
+    per-vector ranking window is bounded at n_cells rows per vector);
+    the pair join is scoped to cells, O(sum cell^2) never corpus^2 —
+    with SemDeDup-realistic cell counts (~sqrt(corpus)) cells stay small.
+    A degenerate cell of exact copies has the same quadratic exposure as
+    any similarity join: pre-collapse byte-identical vectors first
+    (textops.dedup_exact on a vector hash) and scale n_cells with the
+    corpus. Components run on the (sparse) tau-graph only; the survivor
+    pick is an associative min(struct) — no global sort, no window over
+    the corpus."""
+    from inform_spark.operators.components import connected_components
+
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    corpus = emb.select(F.col(id_col).alias("v"), F.col(vec_col).alias("vv"))
+    ac = corpus.join(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 6)
+    )
+    wa = Window.partitionBy("v").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        ac.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("v", "vv", F.col("cid").alias("cell"), "ccos")
+        .persist()  # referenced by both pair sides and the final labeling
+    )
+    l = assigned.select("cell", F.col("v").alias("a"), F.col("vv").alias("va"))
+    r = assigned.select("cell", F.col("v").alias("b"), F.col("vv").alias("vb"))
+    pairs = (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+        )
+        .filter(F.col("cos") >= tau)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, "a", "b").select(
+        F.col("v").alias("cv_id"), "component"
+    )
+    labeled = (
+        assigned.join(comp, assigned["v"] == comp["cv_id"], "left")
+        .select(
+            "v", "cell", "ccos",
+            F.coalesce("component", F.col("v")).alias("component"),
+        )
+    )
+    stats = labeled.groupBy("component").agg(
+        F.min(F.struct(F.col("ccos"), F.col("v"))).alias("pick"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return labeled.join(stats, "component").select(
+        F.col("v").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        "ccos",
+        F.col("component").cast("long").alias("component"),
+        "n_members",
+        (F.col("v") == F.col("pick.v")).cast("int").alias("keep"),
+    )

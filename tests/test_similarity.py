@@ -108,3 +108,48 @@ def test_ivf_topk_deterministic(spark):
     a = ivf_topk(emb).orderBy("q", "rank").collect()
     b = ivf_topk(emb.repartition(5)).orderBy("q", "rank").collect()
     assert a == b
+
+
+def test_semdedup_families_and_survivor(spark):
+    """Exact copies form a family; survivor is the member FARTHEST from
+    its centroid (min ccos, tie on vec_id); non-dups keep themselves."""
+    from inform_spark.operators.similarity import semdedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    tilted = [0.9, 0.1, 0.0, 0.0]  # same family as base (cos ~ 0.9939)
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base),          # centroid 0
+        (1, other),         # centroid 1
+        (10, base),         # dup of 0's direction, exact
+        (11, tilted),       # near-dup, farther from centroid 0
+        (20, other),        # dup family with 1
+        (30, [0.0, 0.0, 1.0, 0.0]),  # singleton (own cell winner varies)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, n_cells=2, tau=0.95).collect()}
+
+    assert set(out) == {0, 1, 10, 11, 20, 30}
+    # family {0, 10, 11} in cell 0: component = 0, survivor = 11 (lowest
+    # ccos to centroid — the tilted member), exact copies dropped
+    fam = {v for v in out if out[v]["component"] == 0}
+    assert fam == {0, 10, 11}
+    assert out[11]["keep"] == 1 and out[0]["keep"] == 0 and out[10]["keep"] == 0
+    assert out[0]["n_members"] == 3
+    # family {1, 20}: survivor is min vec_id on an exact ccos tie
+    assert out[1]["component"] == 1 and out[20]["component"] == 1
+    assert out[1]["keep"] == 1 and out[20]["keep"] == 0
+    # singleton keeps itself
+    assert out[30]["keep"] == 1 and out[30]["n_members"] == 1
+
+
+def test_semdedup_all_docs_present_no_dups(spark):
+    from inform_spark.operators.similarity import semdedup
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_cells=2, tau=0.95).collect()
+    assert len(out) == 4
+    assert all(r["keep"] == 1 and r["n_members"] == 1 for r in out)

@@ -151,6 +151,15 @@ AUDITS = {
         "forbid": ["Exchange", "CartesianProduct"],
         "absent_in_readschema": ["lang", "n_chars"],
     },
+    # SemDeDup: centroids broadcast (assignment map-side), pair join is
+    # a cell equi-join — never a corpus-wide cartesian; survivor pick is
+    # an aggregation, no range partitioning anywhere
+    # (min(struct) compiles to SortAggregate — per-partition sort, not a
+    # range repartition — so only the join/partitioning shape is pinned)
+    "semdedup": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
     # BM25 relevance: the query dim and all stats dims must broadcast;
     # pure aggregation pipeline — no window, no sort anywhere
     "bm25_relevance": {
