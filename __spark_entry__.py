@@ -486,6 +486,55 @@ def q_semdedup(spark, sf_dir):
     return semdedup(e.unionByName(d1).unionByName(d2), n_cells=8, tau=0.95)
 
 
+def q_curation_verdicts(spark, sf_dir):
+    """End-to-end corpus-curation verdict table — the operators composed
+    as a real pipeline would chain them (FineWeb/Dolma shape): Gopher
+    rule gates (reported), model quality AND C4 blocklist AND CCNet LM
+    band AND exact-dedup canonical pick, one row per document with
+    per-stage verdicts and the final keep. Spark side literally composes the stage queries (joins
+    on doc_id); the oracle composes the stage ORACLES as subqueries —
+    so the composition itself is what gets cross-checked. Each stage is
+    narrow or broadcast; the only added shuffle is the canonical-text
+    groupBy."""
+    g = q_gopher_gates(spark, sf_dir).select(
+        "doc_id", F.col("pass_all").alias("pass_gopher")
+    )
+    q = q_model_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("pass_model")
+    )
+    b = q_badword_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_badword")
+    )
+    u = q_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_lm")
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    m = d.groupBy("text").agg(F.min("doc_id").alias("__mn"))
+    c = d.join(m, "text").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("__mn")).cast("int").alias("is_canonical"),
+    )
+    out = (
+        g.join(q, "doc_id").join(b, "doc_id").join(u, "doc_id")
+        .join(c, "doc_id")
+    )
+    # pass_gopher is reported but not gated: the synthetic word-salad
+    # corpus fails the stop-word gate globally (a corpus property), and
+    # an all-zero keep_final would let a broken AND hash-match
+    keep_final = (
+        F.col("pass_model").cast("boolean")
+        & F.col("pass_badword").cast("boolean")
+        & F.col("pass_lm").cast("boolean")
+        & F.col("is_canonical").cast("boolean")
+    )
+    return out.select(
+        "doc_id", "pass_gopher", "pass_model", "pass_badword", "pass_lm",
+        "is_canonical", keep_final.cast("int").alias("keep_final"),
+    )
+
+
 def q_badword_filter(spark, sf_dir):
     """C4-style blocklist gate (operators/quality.badword_filter):
     whole-token bad-word hits (in-row array filter, zero shuffle) plus a
@@ -1185,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pii_redact": q_span_pii_redact,
         "bm25_relevance": q_bm25_relevance,
         "semdedup": q_semdedup,
+        "curation_verdicts": q_curation_verdicts,
         "badword_filter": q_badword_filter,
         "unigram_surprisal": q_unigram_surprisal,
         # -- (3) remainder --------------------------------------------------
@@ -1727,6 +1777,28 @@ def _repetition_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_base()
+    # curation_verdicts composes the STAGE ORACLES as subqueries — the
+    # composition itself is cross-checked, not a re-derivation
+    d["curation_verdicts"] = (
+        "select g.doc_id, g.pass_all as pass_gopher, "
+        "q.keep as pass_model, "
+        "b.keep as pass_badword, u.keep as pass_lm, c.is_canonical, "
+        "cast(q.keep = 1 and b.keep = 1 and u.keep = 1 "
+        "and c.is_canonical = 1 as int) as keep_final "
+        f"from ({d['gopher_gates']}) g "
+        f"join ({d['model_quality_score']}) q using (doc_id) "
+        f"join ({d['badword_filter']}) b using (doc_id) "
+        f"join ({d['unigram_surprisal']}) u using (doc_id) "
+        "join (with m as (select text, min(doc_id) as mn from documents "
+        "group by text) select cast(d2.doc_id as bigint) as doc_id, "
+        "cast(d2.doc_id = m.mn as int) as is_canonical "
+        "from documents d2 join m using (text)) c using (doc_id)"
+    )
+    return d
+
+
+def _oracle_base() -> dict[str, str]:
     en = _STOP_SQL["en"]
     return {
         "a1_status_rollup": (
