@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "repetition_gates",
     "model_quality_score",
     "pii_redact",
+    "span_pii_redact",
+    "bm25_relevance",
+    "semdedup",
+    "curation_verdicts",
     "unigram_surprisal",
     "source_cap",
     "pack_sequences",
