@@ -55,3 +55,45 @@ def test_empty_query_rejected(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_relevance(docs, [])
+
+
+def test_bm25_matches_python_reference(spark):
+    """Cross-check the distributed milli-arithmetic against a sequential
+    Python re-derivation on a randomized-but-seeded corpus."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "spark", "rare"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    q = ["spark", "rare"]
+    out = {
+        r["doc_id"]: r
+        for r in bm25_relevance(
+            spark.createDataFrame(rows, "doc_id long, text string"), q
+        ).collect()
+    }
+
+    docs = {i: t.lower().split(" ") for i, t in rows}
+    docs = {i: [w for w in ws if w] for i, ws in docs.items()}
+    n = len(docs)
+    avgdl_milli = 1000 * sum(len(ws) for ws in docs.values()) // n
+    df = {t: sum(1 for ws in docs.values() if t in ws) for t in q}
+    for i, ws in docs.items():
+        dl = len(ws)
+        exp = 0
+        matched = 0
+        for t in q:
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            matched += 1
+            idf_bits = (2 + (2 * (n - df[t]) + 1) // (2 * df[t] + 1)).bit_length() - 1
+            rel = 1000000 * dl // avgdl_milli
+            denom = 1200 * 250 // 1000 + (1200 * 750 // 1000) * rel // 1000 + 1000 * tf
+            exp += idf_bits * tf * 2200 * 1000 // denom
+        assert out[i]["score_milli"] == exp, f"doc {i}"
+        assert out[i]["n_matched"] == matched
+        assert out[i]["dl"] == dl

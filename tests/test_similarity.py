@@ -153,3 +153,39 @@ def test_semdedup_all_docs_present_no_dups(spark):
     out = semdedup(emb, n_cells=2, tau=0.95).collect()
     assert len(out) == 4
     assert all(r["keep"] == 1 and r["n_members"] == 1 for r in out)
+
+
+def test_semdedup_invariants_randomized(spark):
+    """Seeded random corpus with planted duplicate groups: every family
+    has exactly ONE survivor, survivors minimize (ccos, vec_id) within
+    the family, and all family members share a cell."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i % 7 == 0:
+            rows.append((100 + i, list(v)))  # planted exact dup
+    from inform_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        n_cells=4,
+        tau=0.99,
+    ).collect()
+    assert len(out) == len(rows)
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m["keep"] for m in members) == 1
+        assert all(m["n_members"] == len(members) for m in members)
+        assert len({m["cell"] for m in members}) == 1
+        winner = min(members, key=lambda m: (m["ccos"], m["vec_id"]))
+        assert next(m for m in members if m["keep"] == 1)["vec_id"] == winner["vec_id"]
+    # the planted dups all landed in multi-member families
+    for i in range(0, 40, 7):
+        ra = next(r for r in out if r["vec_id"] == i)
+        assert ra["n_members"] >= 2
