@@ -223,6 +223,111 @@ def run_dedup_scale(spark) -> dict:
     return legs
 
 
+def run_frontier_scale(spark) -> dict:
+    """Frontier growth curve: measure the engine's batch-selection
+    primitives on synthetic frontiers of 10^6 and 10^7 rows — the
+    crawl-side analog of the dedup growth curve, so '10^10-safe' is a
+    measured slope, not a docstring. Three primitives, exactly the plan
+    shapes plans/crawl.py uses:
+
+    - watermark select: filter(frontier_offset > W) + TakeOrdered(B) —
+      the FIFO fast path; parquet row-group stats prune the crawled
+      prefix, so wall should grow FAR slower than the frontier.
+    - seen anti-join select: the alternative the watermark replaces —
+      shuffles O(frontier), the linear curve the fast path avoids.
+    - sharded-bloom build over the seen prefix + probe of the B
+      candidates (operators/bloom, the engine's real filter): probe wall
+      is O(B), independent of frontier size.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.bloom import ShardedBloom, _with_hashes
+
+    # the 10^5 level is a warmup leg (JVM/codegen/python-worker spin-up
+    # lands there); growth ratios use the 10^6 -> 10^7 pair
+    levels = (100_000, 1_000_000, 10_000_000)
+    B = 10_000
+    root = tempfile.mkdtemp(prefix="bench-frontier-")
+    legs: dict = {}
+    try:
+        for n in levels:
+            path = f"{root}/frontier_{n}"
+            gen = spark.range(n).select(
+                F.concat(
+                    F.lit("https://site"),
+                    (F.col("id") % 100_000).cast("string"),
+                    F.lit(".test/p"),
+                    F.col("id").cast("string"),
+                ).alias("url"),
+                F.col("id").cast("long").alias("frontier_offset"),
+                F.lit(0).alias("priority"),
+                (F.col("id") % 8).cast("int").alias("depth"),
+            ).withColumn("url_hash", F.xxhash64("url"))
+            t0 = time.monotonic()
+            gen.write.mode("overwrite").parquet(path)
+            leg: dict = {"n_rows": n, "t_gen": round(time.monotonic() - t0, 3)}
+            frontier = spark.read.parquet(path)
+            wm = int(n * 0.8)
+
+            t0 = time.monotonic()
+            sel = (
+                frontier.filter(F.col("frontier_offset") > wm)
+                .orderBy("priority", "frontier_offset")
+                .limit(B)
+            )
+            assert sel.count() == B
+            leg["t_watermark_select"] = round(time.monotonic() - t0, 3)
+
+            seen = frontier.filter(F.col("frontier_offset") <= wm)
+            t0 = time.monotonic()
+            anti = (
+                frontier.join(
+                    seen.select("url_hash"), "url_hash", "left_anti"
+                )
+                .orderBy("priority", "frontier_offset")
+                .limit(B)
+            )
+            assert anti.count() == B
+            leg["t_anti_join_select"] = round(time.monotonic() - t0, 3)
+
+            t0 = time.monotonic()
+            bloom = ShardedBloom.build(
+                spark, seen.select("url"), n_shards=16,
+                bits_per_shard=1 << 23,
+            )
+            leg["t_bloom_build"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            probe = bloom.probe_udf(spark)
+            hits = (
+                _with_hashes(sel)
+                .withColumn("m", probe(F.col("__h1"), F.col("__h2")))
+                .filter("m")
+                .count()
+            )
+            leg["t_bloom_probe"] = round(time.monotonic() - t0, 3)
+            # live candidates are NOT in the seen prefix: only bloom FPs hit
+            leg["bloom_fp_hits"] = hits
+            legs[str(n)] = leg
+        s, l = legs[str(levels[-2])], legs[str(levels[-1])]
+
+        def ratio(k):
+            return round(l[k] / max(s[k], 1e-9), 2)
+
+        legs["growth"] = {
+            "data_ratio": round(levels[-1] / levels[-2], 1),
+            "t_watermark_ratio": ratio("t_watermark_select"),
+            "t_anti_join_ratio": ratio("t_anti_join_select"),
+            "t_bloom_build_ratio": ratio("t_bloom_build"),
+            "t_bloom_probe_ratio": ratio("t_bloom_probe"),
+        }
+        return legs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     import tempfile
 
@@ -270,6 +375,14 @@ def main() -> None:
         except Exception as e:
             dedup_scale = {"error": f"{type(e).__name__}: {e}"}
 
+    # frontier growth curve (10^6 -> 10^7 rows) — crawl-side scale evidence
+    frontier_scale = None
+    if os.environ.get("BENCH_SKIP_FRONTIER_SCALE") != "1":
+        try:
+            frontier_scale = run_frontier_scale(spark)
+        except Exception as e:
+            frontier_scale = {"error": f"{type(e).__name__}: {e}"}
+
     # north_rule scaling evidence rides along in the same JSON line (the
     # driver records only this output): headline levels under machine
     # capacity (amended protocol, rationale in BASELINE.md), big fixture
@@ -306,6 +419,7 @@ def main() -> None:
                 "crawl_batches": crawl["batches"],
                 "cpus": CPUS,
                 "dedup_scale": dedup_scale,
+                "frontier_scale": frontier_scale,
                 "scaling": scaling,
             }
         )
