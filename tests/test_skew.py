@@ -136,3 +136,30 @@ def test_budget_binds_per_host(spark, hot_site, tmp_path):
     )
     assert all(r["count"] <= 8 * 4 for r in per_batch)
     assert len(lineage) >= 2
+
+
+def test_semdedup_degenerate_cell(spark):
+    """A boilerplate class of 2,000 byte-identical vectors lands in ONE
+    cell: the cell-scoped pair join is quadratic in the cell by design
+    (documented exposure, mitigated by pre-collapsing exact dups), but
+    the family must still resolve to one component with one survivor —
+    and complete without OOM at bench-like memory."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.similarity import semdedup
+
+    base = spark.range(2_000).select(
+        (F.col("id") + 100).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias(
+            "embedding"
+        ),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(cents.unionByName(base), n_cells=2, tau=0.99)
+    fam = out.filter(F.col("component") == 0)
+    assert fam.count() == 2_001  # centroid 0 + the 2,000 copies
+    assert fam.filter("keep = 1").count() == 1
+    assert out.filter("keep = 1").count() == 2  # + centroid 1's singleton
