@@ -223,6 +223,62 @@ def run_dedup_scale(spark) -> dict:
     return legs
 
 
+def run_dedup_quality(spark) -> dict:
+    """Dedup QUALITY against planted ground truth (measure, don't
+    guess): on the growth-curve corpus the true near-dup structure is
+    known by construction (5-doc families + one exact boilerplate
+    class), so pair-level precision/recall of each dedup method is an
+    exact computation, not an estimate. Pair counts come from the
+    contingency table (sum over cells of C(n,2)) — pure aggregation,
+    no pair materialization, scales to any corpus."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators import textops
+    from inform_spark.operators.components import minhash_clusters
+
+    n = 6_000
+    docs = _dedup_scale_corpus(spark, n)
+    truth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(-1))
+        .otherwise(F.expr("doc_id div 5"))
+        .alias("truth_id"),
+    )
+
+    def pair_stats(pred) -> dict:
+        """pred: (doc_id, cluster_id). Pair precision/recall via the
+        contingency table."""
+        j = pred.join(truth, "doc_id")
+        c2 = "sum(cnt * (cnt - 1) div 2)"
+        tp = (
+            j.groupBy("cluster_id", "truth_id").agg(F.count("*").alias("cnt"))
+            .agg(F.expr(c2).alias("v")).collect()[0]["v"]
+        )
+        pred_pairs = (
+            j.groupBy("cluster_id").agg(F.count("*").alias("cnt"))
+            .agg(F.expr(c2).alias("v")).collect()[0]["v"]
+        )
+        truth_pairs = (
+            j.groupBy("truth_id").agg(F.count("*").alias("cnt"))
+            .agg(F.expr(c2).alias("v")).collect()[0]["v"]
+        )
+        return {
+            "precision": round(tp / max(pred_pairs, 1), 4),
+            "recall": round(tp / max(truth_pairs, 1), 4),
+            "pred_pairs": int(pred_pairs),
+            "truth_pairs": int(truth_pairs),
+        }
+
+    out = {}
+    mh = minhash_clusters(docs).select("doc_id", "cluster_id")
+    out["minhash_lsh"] = pair_stats(mh)
+    exact = docs.join(
+        docs.groupBy("text").agg(F.min("doc_id").alias("cluster_id")), "text"
+    ).select("doc_id", "cluster_id")
+    out["exact_hash"] = pair_stats(exact)
+    return out
+
+
 def run_frontier_scale(spark) -> dict:
     """Frontier growth curve: measure the engine's batch-selection
     primitives on synthetic frontiers of 10^6 and 10^7 rows — the
@@ -375,6 +431,14 @@ def main() -> None:
         except Exception as e:
             dedup_scale = {"error": f"{type(e).__name__}: {e}"}
 
+    # dedup pair-level precision/recall vs planted ground truth
+    dedup_quality = None
+    if os.environ.get("BENCH_SKIP_DEDUP_QUALITY") != "1":
+        try:
+            dedup_quality = run_dedup_quality(spark)
+        except Exception as e:
+            dedup_quality = {"error": f"{type(e).__name__}: {e}"}
+
     # frontier growth curve (10^6 -> 10^7 rows) — crawl-side scale evidence
     frontier_scale = None
     if os.environ.get("BENCH_SKIP_FRONTIER_SCALE") != "1":
@@ -419,6 +483,7 @@ def main() -> None:
                 "crawl_batches": crawl["batches"],
                 "cpus": CPUS,
                 "dedup_scale": dedup_scale,
+                "dedup_quality": dedup_quality,
                 "frontier_scale": frontier_scale,
                 "scaling": scaling,
             }
