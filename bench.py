@@ -276,6 +276,15 @@ def run_dedup_quality(spark) -> dict:
         docs.groupBy("text").agg(F.min("doc_id").alias("cluster_id")), "text"
     ).select("doc_id", "cluster_id")
     out["exact_hash"] = pair_stats(exact)
+    sh = textops.simhash(docs)
+    sim = sh.join(
+        sh.groupBy("simhash").agg(F.min("doc_id").alias("cluster_id")),
+        "simhash",
+    ).select("doc_id", "cluster_id")
+    # identical-16-bit-simhash grouping: high recall on near-identical
+    # docs, but the coarse fingerprint space collides at corpus scale —
+    # the precision cost this table makes visible
+    out["simhash_identical"] = pair_stats(sim)
     return out
 
 
