@@ -466,6 +466,24 @@ def q_bm25_relevance(spark, sf_dir):
     )
 
 
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """Simhash hamming near-dup pairs (textops.simhash_neardup_pairs):
+    band-bucketed 32-bit fingerprint pairing with pigeonhole-exact
+    recall for hamming <= 3 over 4 bands — the text analog of the pHash
+    image path, upgrading simhash from a per-doc signal to a pairing
+    operator. Near-dups are injected deterministically (every 10th doc
+    re-appears with one extra token, flipping only a few majority-vote
+    bits)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    nd = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+    )
+    return textops.simhash_neardup_pairs(d.unionByName(nd), bits=32)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (operators/similarity.semdedup, Abbas et
     al. 2023): cell assignment via broadcast centroids, within-cell
@@ -1237,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pii_redact": q_span_pii_redact,
         "bm25_relevance": q_bm25_relevance,
         "semdedup": q_semdedup,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "curation_verdicts": q_curation_verdicts,
         "badword_filter": q_badword_filter,
         "unigram_surprisal": q_unigram_surprisal,
@@ -1464,7 +1483,7 @@ def _dedup_lines_sql(min_chars: int = 10) -> str:
     )
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 16, docs_src: str = "documents") -> str:
     bit_sums = ", ".join(
         f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as s{j}"
         for j in range(bits)
@@ -1475,10 +1494,37 @@ def _simhash_sql(bits: int = 16) -> str:
     h = _H60_SQL.format(s="w")
     return (
         f"with words as (select cast(doc_id as bigint) as doc_id, "
-        f"unnest(string_split(lower(text),' ')) as w from documents), "
+        f"unnest(string_split(lower(text),' ')) as w from {docs_src} d0), "
         f"hashed as (select doc_id, {h} as h from words), "
         f"agg as (select doc_id, {bit_sums} from hashed group by doc_id) "
         f"select doc_id, cast({sim} as bigint) as simhash from agg"
+    )
+
+
+def _simhash_pairs_sql(bits: int = 16, n_bands: int = 4, max_h: int = 3) -> str:
+    """DuckDB mirror of textops.simhash_neardup_pairs over the same
+    injected near-dup corpus as q_simhash_neardup_pairs."""
+    bw = bits // n_bands
+    docs_src = (
+        "(select cast(doc_id as bigint) as doc_id, text from documents "
+        "union all select cast(doc_id as bigint) + 10000, "
+        "text || ' extratoken' from documents where doc_id % 10 = 0)"
+    )
+    sig = _simhash_sql(bits, docs_src)
+    keys = ", ".join(
+        f"concat('{j}_', cast((simhash >> {j * bw}) & {(1 << bw) - 1} "
+        "as varchar))"
+        for j in range(n_bands)
+    )
+    return (
+        f"with sig as ({sig}), "
+        f"bands as (select doc_id, simhash, unnest([{keys}]) as band_key "
+        "from sig) "
+        "select distinct l.doc_id as a, r.doc_id as b, "
+        "cast(bit_count(xor(l.simhash, r.simhash)) as int) as hamming "
+        "from bands l join bands r using (band_key) "
+        "where l.doc_id < r.doc_id "
+        f"and bit_count(xor(l.simhash, r.simhash)) <= {max_h}"
     )
 
 
@@ -2435,6 +2481,7 @@ def _oracle_base() -> dict[str, str]:
         "trap_templates": _trap_templates_sql(),
         "duplicate_passages": _duplicate_passages_sql(),
         "simhash": _simhash_sql(),
+        "simhash_neardup_pairs": _simhash_pairs_sql(bits=32),
         "ngram_jaccard_topk": (
             f"with sh as (select cast(doc_id as bigint) as doc_id, source, "
             f"list_transform({_SHINGLES_SQL}, s -> {_H60_SQL.format(s='s')}) "

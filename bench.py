@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "span_pii_redact",
     "bm25_relevance",
     "semdedup",
+    "simhash_neardup_pairs",
     "curation_verdicts",
     "unigram_surprisal",
     "source_cap",
@@ -285,6 +286,18 @@ def run_dedup_quality(spark) -> dict:
     # docs, but the coarse fingerprint space collides at corpus scale —
     # the precision cost this table makes visible
     out["simhash_identical"] = pair_stats(sim)
+    # hamming<=3 pairing over 32-bit fingerprints + components: the
+    # banded-pair upgrade of the simhash signal
+    from inform_spark.operators.components import connected_components
+
+    hp = textops.simhash_neardup_pairs(docs, bits=32)
+    comp = connected_components(hp, "a", "b").select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    hpc = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    out["simhash_hamming3"] = pair_stats(hpc)
     return out
 
 

@@ -151,6 +151,12 @@ AUDITS = {
         "forbid": ["Exchange", "CartesianProduct"],
         "absent_in_readschema": ["lang", "n_chars"],
     },
+    # simhash hamming pairs: band equi-join only — never an all-pairs
+    # product; hamming verify is in-row codegen
+    "simhash_neardup_pairs": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
     # SemDeDup: centroids broadcast (assignment map-side), pair join is
     # a cell equi-join — never a corpus-wide cartesian; survivor pick is
     # an aggregation, no range partitioning anywhere
