@@ -1221,7 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # badwords, surprisal), (3) the remainder; the tail holds queries green
     # in BOTH r01 and r02 whose code is untouched (x*/f*/o4/s*/t5/w1/w3/a1b
     # string+filter functions). Union across rounds keeps every query
-    # driver-verified; all 74 entries also pass tests/verify/check_oracle.py
+    # driver-verified; all 75 entries also pass tests/verify/check_oracle.py
     # locally (66 s total at sf0.01 this round).
     return {
         # -- (1) no CORRECTNESS_r02 row — verify first ---------------------
