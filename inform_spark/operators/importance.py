@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import _h60, words_col
+from inform_spark.operators.textops import _h60, floor_log2, words_col
 
 SCALE = 1_000_000
 
@@ -158,9 +158,7 @@ def unigram_surprisal(
         .select(
             "doc_id",
             "cnt",
-            (F.length(F.conv(F.expr("N div c"), 10, 2)) - 1)
-            .cast("long")
-            .alias("bits"),
+            floor_log2(F.expr("N div c")).alias("bits"),
         )
         .groupBy("doc_id")
         .agg(

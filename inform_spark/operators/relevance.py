@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import words_col
+from inform_spark.operators.textops import floor_log2, words_col
 
 
 def bm25_relevance(
@@ -71,8 +71,11 @@ def bm25_relevance(
     K, B = int(k1_milli), int(b_milli)
     spark = SparkSession.getActiveSession() or docs.sparkSession
 
+    # tokenization lowercases (words_col), so query terms must too —
+    # an uppercase term would silently match nothing
     qdim = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "term: string"
+        [(t,) for t in sorted({t.lower() for t in query_terms})],
+        "term: string",
     )
 
     base = docs.select(
@@ -106,19 +109,9 @@ def bm25_relevance(
     )
 
     # idf_bits = floor(log2(2 + (2(N-df)+1) div (2df+1))), >= 1, exact
-    idf_bits = (
-        F.length(
-            F.conv(
-                (
-                    F.lit(2)
-                    + F.expr("(2 * (n_docs - df) + 1) div (2 * df + 1)")
-                ).cast("string"),
-                10,
-                2,
-            )
-        )
-        - 1
-    ).cast("long")
+    idf_bits = floor_log2(
+        F.lit(2) + F.expr("(2 * (n_docs - df) + 1) div (2 * df + 1)")
+    )
 
     per_term = (
         tf.join(F.broadcast(dfreq), "term")

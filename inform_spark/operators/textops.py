@@ -46,6 +46,15 @@ def _h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def floor_log2(col):
+    """Exact integer floor(log2(x)) for a positive integer column, as
+    binary-string length (``length(conv(x, 10, 2)) - 1``) — the shared
+    fixed-point idiom of ``importance.unigram_surprisal``,
+    ``relevance.bm25_relevance`` and ``streaming.curation``; DuckDB
+    mirror: ``length(printf('%b', x)) - 1``."""
+    return (F.length(F.conv(col, 10, 2)) - 1).cast("long")
+
+
 def words_col(text_col="text"):
     return F.split(F.lower(F.col(text_col)), " ")
 

@@ -41,11 +41,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import words_col
+from inform_spark.operators.textops import _h60, floor_log2, words_col
 
 VOCAB_SCHEMA = "token string, bits long"
 META_SCHEMA = "oov_bits long, n_tokens long"
 INDEX_SCHEMA = "text_hash long, doc_id long"
+VERDICTS_SCHEMA = (
+    "doc_id long, pass_model int, pass_badword int, pass_lm int, "
+    "dup_verdict string, match_id long, keep_final int, batch_id long"
+)
 
 
 def build_reference_stats(
@@ -61,18 +65,18 @@ def build_reference_stats(
     )
     vocab_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = vocab_counts.agg(F.sum("c").alias("N"))
+    n_total = total.collect()[0]["N"]
+    if not n_total:
+        # fail fast at build time — a null meta row would surface as a
+        # TypeError deep inside the first micro-batch instead
+        raise ValueError("reference corpus has no non-empty tokens")
     vocab = (
         vocab_counts.join(F.broadcast(total))
-        .select(
-            "token",
-            (F.length(F.conv(F.expr("N div c"), 10, 2)) - 1)
-            .cast("long")
-            .alias("bits"),
-        )
+        .select("token", floor_log2(F.expr("N div c")).alias("bits"))
     )
     vocab.write.mode("overwrite").parquet(os.path.join(stats_dir, "vocab"))
     meta = total.select(
-        (F.length(F.conv(F.col("N"), 10, 2)) - 1).cast("long").alias("oov_bits"),
+        floor_log2(F.col("N")).alias("oov_bits"),
         F.col("N").cast("long").alias("n_tokens"),
     )
     meta.write.mode("overwrite").parquet(os.path.join(stats_dir, "meta"))
@@ -99,6 +103,8 @@ def process_batch(
     replay idempotence is directly testable."""
     from inform_spark.operators.quality import badword_filter, model_quality_score
 
+    if batch_df.isEmpty():
+        return  # nothing to verdict; also keeps verdicts_dir schema-full
     spark = batch_df.sparkSession
     vocab = spark.read.schema(VOCAB_SCHEMA).parquet(
         os.path.join(stats_dir, "vocab")
@@ -109,11 +115,18 @@ def process_batch(
         .collect()[0]["oov_bits"]
     )
 
-    d = batch_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "text",
-        *(["source"] if "source" in batch_df.columns else []),
-    ).persist()
+    # at-least-once sources can repeat a doc inside one micro-batch;
+    # without this the four gate frames inner-join into a row cross
+    # product per duplicated id
+    d = (
+        batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            *(["source"] if "source" in batch_df.columns else []),
+        )
+        .dropDuplicates(["doc_id"])
+        .persist()
+    )
 
     mq = model_quality_score(d).select(
         "doc_id", F.col("keep").cast("int").alias("pass_model")
@@ -148,7 +161,7 @@ def process_batch(
 
     # first-arrival canonical: probe the PRIOR index (replay safety:
     # exclude this batch's own doc_ids), then in-batch min per hash
-    hashed = d.select("doc_id", F.xxhash64("text").alias("text_hash"))
+    hashed = d.select("doc_id", _h60(F.col("text")).alias("text_hash"))
     index = spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
     index_prior = index.join(
         d.select("doc_id").distinct(), "doc_id", "left_anti"
@@ -210,15 +223,18 @@ def process_batch(
     # append the newly-canonical hashes (kept rows only — duplicates must
     # not become canonical); idempotent on replay via anti-join
     kept = (
-        spark.read.parquet(verdicts_dir)
+        spark.read.schema(VERDICTS_SCHEMA).parquet(verdicts_dir)
         .filter(
             (F.col("batch_id") == batch_id)
             & (F.col("dup_verdict") == "kept")
         )
         .select("doc_id")
     )
+    # join kept ids against `hashed` (derived from the persisted batch),
+    # NOT `canon` — canon's lineage re-probes the accreting index, which
+    # on a large corpus is the dominant per-batch cost, paid twice
     new_rows = (
-        canon.join(kept, "doc_id", "left_semi")
+        hashed.join(kept, "doc_id", "left_semi")
         .select("text_hash", "doc_id")
         .join(index, ["text_hash", "doc_id"], "left_anti")
     )
@@ -254,9 +270,7 @@ def curation_stream(
 
 def read_verdicts(spark: SparkSession, verdicts_dir: str) -> DataFrame:
     if not os.path.isdir(verdicts_dir):
-        return spark.createDataFrame(
-            [],
-            "doc_id long, pass_model int, pass_badword int, pass_lm int, "
-            "dup_verdict string, match_id long, keep_final int, batch_id long",
-        )
-    return spark.read.parquet(verdicts_dir)
+        return spark.createDataFrame([], VERDICTS_SCHEMA)
+    # explicit schema so the empty-store and real-read branches agree
+    # (partition-column inference would type batch_id int, not long)
+    return spark.read.schema(VERDICTS_SCHEMA).parquet(verdicts_dir)

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BANDS_SCHEMA = "doc_id long, band_key string"
+VERDICTS_SCHEMA = "doc_id long, verdict string, match_id long, batch_id long"
 
 
 def init_index(spark: SparkSession, index_dir: str, docs: DataFrame | None = None,
@@ -77,6 +78,8 @@ def process_batch(
     from inform_spark.operators import textops
     from inform_spark.operators.components import connected_components
 
+    if batch_df.isEmpty():
+        return  # a zero-row first batch must not leave a schema-less dir
     spark = batch_df.sparkSession
     index = spark.read.schema(BANDS_SCHEMA).parquet(index_dir)
     # Replay safety: a crash AFTER the kept_bands append but BEFORE the
@@ -135,7 +138,7 @@ def process_batch(
     # read the just-committed verdicts back rather than recomputing the
     # whole probe lineage a second time
     kept_ids = (
-        spark.read.parquet(verdicts_dir)
+        spark.read.schema(VERDICTS_SCHEMA).parquet(verdicts_dir)
         .filter(
             (F.col("batch_id") == batch_id) & (F.col("verdict") == "kept")
         )
@@ -181,7 +184,7 @@ def dedup_stream(
 
 def read_verdicts(spark: SparkSession, verdicts_dir: str) -> DataFrame:
     if not os.path.isdir(verdicts_dir):
-        return spark.createDataFrame(
-            [], "doc_id long, verdict string, match_id long, batch_id long"
-        )
-    return spark.read.parquet(verdicts_dir)
+        return spark.createDataFrame([], VERDICTS_SCHEMA)
+    # explicit schema so the empty-store and real-read branches agree
+    # (partition-column inference would type batch_id int, not long)
+    return spark.read.schema(VERDICTS_SCHEMA).parquet(verdicts_dir)

@@ -97,3 +97,15 @@ def test_bm25_matches_python_reference(spark):
         assert out[i]["score_milli"] == exp, f"doc {i}"
         assert out[i]["n_matched"] == matched
         assert out[i]["dl"] == dl
+
+
+def test_query_terms_case_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark engine core"), (2, "no match")],
+        "doc_id long, text string",
+    )
+    lo = {r["doc_id"]: r["score_milli"]
+          for r in bm25_relevance(docs, ["spark"]).collect()}
+    up = {r["doc_id"]: r["score_milli"]
+          for r in bm25_relevance(docs, ["SPARK"]).collect()}
+    assert lo == up and lo[1] > 0

@@ -150,3 +150,21 @@ def test_blocked_source_gated(spark, tmp_path, ref_corpus):
     }
     assert got[1]["pass_badword"] == 0 and got[1]["keep_final"] == 0
     assert got[2]["pass_badword"] == 1
+
+
+def test_empty_and_duplicate_batches(spark, tmp_path, ref_corpus):
+    """A zero-row batch is a no-op (no schema-less verdicts dir crash);
+    intra-batch duplicate doc_ids yield ONE verdict row, not a join
+    cross product."""
+    tmp = str(tmp_path)
+    stats_dir, index_dir, verdicts_dir = _setup(spark, tmp, ref_corpus)
+    empty = spark.createDataFrame([], SCHEMA)
+    process_batch(empty, 0, stats_dir, index_dir, verdicts_dir)
+    assert read_verdicts(spark, verdicts_dir).count() == 0
+    dup_batch = spark.createDataFrame(
+        [(1, GOOD, "s1"), (1, GOOD, "s1"), (1, GOOD, "s1")], SCHEMA
+    )
+    process_batch(dup_batch, 1, stats_dir, index_dir, verdicts_dir)
+    v = read_verdicts(spark, verdicts_dir)
+    assert v.count() == 1
+    assert v.collect()[0]["dup_verdict"] == "kept"
