@@ -41,30 +41,18 @@ def _norm(a):
     )
 
 
-def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
-    return df.withColumn(
-        out,
-        F.round(
-            _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), 6
-        ),
-    )
+def _cos(a, b, na, nb):
+    """round-6 cosine from precomputed per-vector norms: norms are
+    O(dim) aggregates, so computing them once per vector in the join
+    projections — instead of once per PAIR inside the join — turns the
+    hot pair paths from O(pairs * dim) extra work into O(vectors * dim),
+    with bit-identical results (same expression, same rounding)."""
+    return F.round(_dot(a, b) / (F.col(na) * F.col(nb)), 6)
 
 
-def cosine_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact top-k neighbors for the first ``n_queries`` vectors.
-    Returns (q, neighbor, cosine, rank), deterministic tie-break on id."""
-    queries = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q"), F.col(vec_col).alias("qv")
-    )
-    corpus = emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("cv"))
-    scored = (
-        corpus.join(F.broadcast(queries))
-        .filter(F.col("neighbor") != F.col("q"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
-    )
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared (q, neighbor, cosine, rank) epilogue: per-query ranking
+    window, deterministic (cosine DESC, neighbor ASC) tie-break."""
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -76,6 +64,28 @@ def cosine_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for the first ``n_queries`` vectors.
+    Returns (q, neighbor, cosine, rank), deterministic tie-break on id."""
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor") != F.col("q"))
+        .withColumn("cosine", _cos("qv", "cv", "qn", "cn"))
+    )
+    return _topk(scored, k)
 
 
 def embedding_neardup_topk(
@@ -92,23 +102,25 @@ def embedding_neardup_topk(
     window per group, deterministic tie-break on (a, b)."""
     l = emb.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("a"),
-        F.col(vec_col).alias("va"),
+        F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("na"),
     )
     r = emb.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("b"),
-        F.col(vec_col).alias("vb"),
+        F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("nb"),
     )
     pairs = (
         l.join(r, "g")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6))
+        .withColumn("cosine", _cos("va", "vb", "na", "nb"))
     )
     w = Window.partitionBy("g").orderBy(F.desc("cosine"), "a", "b")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= per_group)
         .select(
-            F.col("g").cast("int").alias("g"),
+            # g keeps the caller's group type — an int cast would null
+            # out string bucket keys (LSH band keys) the docstring invites
+            "g",
             F.col("a").cast("long").alias("a"),
             F.col("b").cast("long").alias("b"),
             "cosine",
@@ -158,50 +170,45 @@ def ivf_topk(
     probing — both map-side), candidates form via an equi-join on cell id,
     per-query ranking window. No all-pairs shuffle anywhere."""
     cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("ctn"),
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
     # cell assignment: nearest centroid by cosine, tie-break on cid
     ac = (
         corpus.join(F.broadcast(cents))
-        .withColumn("ccos", F.round(_dot("nv", "cv") / (_norm("nv") * _norm("cv")), 6))
+        .withColumn("ccos", _cos("nv", "cv", "nn", "ctn"))
     )
     wa = Window.partitionBy("neighbor").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
         ac.withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") == 1)
-        .select("neighbor", "nv", F.col("cid").alias("cell"))
+        .select("neighbor", "nv", "nn", F.col("cid").alias("cell"))
     )
     # query probes: the n_probe closest cells per query vector
     queries = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     qc = (
         queries.join(F.broadcast(cents))
-        .withColumn("ccos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .withColumn("ccos", _cos("qv", "cv", "qn", "ctn"))
     )
     wq = Window.partitionBy("q").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
         qc.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
-        .select("q", "qv", F.col("cid").alias("cell"))
+        .select("q", "qv", "qn", F.col("cid").alias("cell"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor") != F.col("q"))
-        .withColumn("cosine", F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 6))
+        .withColumn("cosine", _cos("qv", "nv", "qn", "nn"))
     )
-    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q").cast("long").alias("q"),
-            F.col("neighbor").cast("long").alias("neighbor"),
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _topk(scored, k)
 
 
 def lsh_bucketed_topk(
@@ -219,27 +226,19 @@ def lsh_bucketed_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = emb.withColumn("bucket", _bucket_col(vec_col, planes))
     queries = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv"), "bucket",
+        _norm(F.col(vec_col)).alias("qn"),
     )
     corpus = bucketed.select(
-        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("cv"), "bucket"
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("cv"), "bucket",
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         corpus.join(F.broadcast(queries), "bucket")
         .filter(F.col("neighbor") != F.col("q"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .withColumn("cosine", _cos("qv", "cv", "qn", "cn"))
     )
-    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q").cast("long").alias("q"),
-            F.col("neighbor").cast("long").alias("neighbor"),
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _topk(scored, k)
 
 
 def semdedup(
@@ -280,40 +279,54 @@ def semdedup(
     from inform_spark.operators.components import connected_components
 
     cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("ctn"),
     )
-    corpus = emb.select(F.col(id_col).alias("v"), F.col(vec_col).alias("vv"))
+    corpus = emb.select(
+        F.col(id_col).alias("v"), F.col(vec_col).alias("vv"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
     ac = corpus.join(F.broadcast(cents)).withColumn(
-        "ccos", F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 6)
+        "ccos", _cos("vv", "cv", "vn", "ctn")
     )
     wa = Window.partitionBy("v").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
         ac.withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") == 1)
-        .select("v", "vv", F.col("cid").alias("cell"), "ccos")
+        .select("v", "vv", "vn", F.col("cid").alias("cell"), "ccos")
         .persist()  # referenced by both pair sides and the final labeling
     )
-    l = assigned.select("cell", F.col("v").alias("a"), F.col("vv").alias("va"))
-    r = assigned.select("cell", F.col("v").alias("b"), F.col("vv").alias("vb"))
+    l = assigned.select(
+        "cell", F.col("v").alias("a"), F.col("vv").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    r = assigned.select(
+        "cell", F.col("v").alias("b"), F.col("vv").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
     pairs = (
         l.join(r, "cell")
         .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cos", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
-        )
+        .withColumn("cos", _cos("va", "vb", "na", "nb"))
         .filter(F.col("cos") >= tau)
         .select("a", "b")
     )
     comp = connected_components(pairs, "a", "b").select(
         F.col("v").alias("cv_id"), "component"
     )
+    # localCheckpoint (eager) pins the small (v, cell, ccos, component)
+    # relation so the cached assignment — which still carries the full
+    # embedding vectors — can be dropped instead of leaking for the
+    # session lifetime
     labeled = (
         assigned.join(comp, assigned["v"] == comp["cv_id"], "left")
         .select(
             "v", "cell", "ccos",
             F.coalesce("component", F.col("v")).alias("component"),
         )
+        .localCheckpoint()
     )
+    assigned.unpersist()
     stats = labeled.groupBy("component").agg(
         F.min(F.struct(F.col("ccos"), F.col("v"))).alias("pick"),
         F.count(F.lit(1)).cast("long").alias("n_members"),

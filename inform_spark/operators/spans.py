@@ -220,14 +220,17 @@ def media_manifest(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     text of the span immediately before it in the interleave (the
     caption candidate a multimodal pipeline trains on). Narrow."""
     s = F.col(spans_col)
+    # document-initial media (i == 0) still emits a row — with a NULL
+    # caption, matching the oracle's lag() semantics; dropping it would
+    # silently lose the training pair
     cand = F.transform(
         s,
         lambda x, i: F.when(
-            (x["kind"] == F.lit("media")) & (i > 0),
+            x["kind"] == F.lit("media"),
             F.struct(
                 x["media_ref"].alias("media_ref"),
                 x["offset"].alias("offset"),
-                F.element_at(s, i).alias("prev"),
+                F.when(i > 0, F.element_at(s, i)).alias("prev"),
             ),
         ),
     )
@@ -274,24 +277,32 @@ def span_pii_redact(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     def clean(t: Column) -> Column:
         return F.regexp_replace(after_ip(t), PHONE_RE, PHONE_TOKEN)
 
-    def count_over_text(fn) -> Column:
-        return F.aggregate(
-            s,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(x["kind"] == F.lit("text"), fn(x["text"]))
+    # ONE fold over the array computes all three counts (a per-category
+    # aggregate would walk the spans — and re-run the cumulative regexp
+    # chain — once per category, and n_pii would re-embed all three)
+    def one_count(x, stage_text, pattern) -> Column:
+        return (
+            F.when(
+                x["kind"] == F.lit("text"),
+                F.regexp_count(stage_text, F.lit(pattern)),
+            )
             .otherwise(F.lit(0))
-            .cast("long"),
+            .cast("long")
         )
 
-    n_emails = count_over_text(
-        lambda t: F.regexp_count(t, F.lit(EMAIL_RE))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("e"),
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("p"),
     )
-    n_ipv4 = count_over_text(
-        lambda t: F.regexp_count(after_email(t), F.lit(IPV4_RE))
-    )
-    n_phones = count_over_text(
-        lambda t: F.regexp_count(after_ip(t), F.lit(PHONE_RE))
+    counts = F.aggregate(
+        s,
+        zero,
+        lambda acc, x: F.struct(
+            (acc["e"] + one_count(x, x["text"], EMAIL_RE)).alias("e"),
+            (acc["i"] + one_count(x, after_email(x["text"]), IPV4_RE)).alias("i"),
+            (acc["p"] + one_count(x, after_ip(x["text"]), PHONE_RE)).alias("p"),
+        ),
     )
     new_spans = F.transform(
         s,
@@ -304,11 +315,15 @@ def span_pii_redact(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             x["offset"].alias("offset"),
         ),
     )
-    return df.select(
+    # two-step select: the counts struct materializes once in the first
+    # projection; the second only extracts fields (CollapseProject keeps
+    # non-cheap expressions referenced more than once in their own step)
+    mid = df.select("doc_id", new_spans.alias(spans_col), counts.alias("__c"))
+    return mid.select(
         "doc_id",
-        new_spans.alias(spans_col),
-        n_emails.alias("n_emails"),
-        n_ipv4.alias("n_ipv4"),
-        n_phones.alias("n_phones"),
-        (n_emails + n_ipv4 + n_phones).alias("n_pii"),
+        spans_col,
+        F.col("__c.e").alias("n_emails"),
+        F.col("__c.i").alias("n_ipv4"),
+        F.col("__c.p").alias("n_phones"),
+        (F.col("__c.e") + F.col("__c.i") + F.col("__c.p")).alias("n_pii"),
     )

@@ -141,6 +141,7 @@ def minhash_band_keys(
     their signatures is identical. This is also the INDEX format a
     persisted corpus signature store keeps (bucketed by band_key at
     scale) for incremental dedup — see components.minhash_incremental."""
+    assert k % band == 0, "k must divide into whole bands"
     sig = minhash_signatures(docs, k)
     n_bands = k // band
     return sig.select(
@@ -160,7 +161,7 @@ def minhash_band_keys(
     )
 
 
-def pairs_from_bands(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
     """Candidate pairs (a, b), a < b, distinct, from a (doc_id, band_key)
     banding. Bucket-grouped: pairs expand natively inside each band
     bucket, so the pair count is bounded by sum(|bucket|^2) — never a
@@ -172,13 +173,11 @@ def pairs_from_bands(bands: DataFrame, max_bucket: int | None = None) -> DataFra
     it both an executor-OOM (the per-bucket array) and a ~10^12-pair
     explosion. Consumers that only need connectivity (clustering) must
     use :func:`star_pairs_from_bands` — O(|bucket|), same transitive
-    closure. For the exact pair output, ``max_bucket`` bounds the
-    expansion per bucket (members ranked by doc_id; see
-    :func:`pairs_from_bands_capped` for the never-silent audit of what
-    a cap drops)."""
-    if max_bucket is not None:
-        pairs, _ = pairs_from_bands_capped(bands, max_bucket)
-        return pairs
+    closure. To bound the exact pair output, call
+    :func:`pairs_from_bands_capped` directly — it returns the cap audit
+    alongside the pairs, and that audit MUST be surfaced (this function
+    deliberately has no cap parameter, so truncation can never be
+    silent)."""
     buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))

@@ -192,3 +192,25 @@ def test_span_pii_redact_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_manifest_document_initial_media(spark):
+    """A document whose FIRST span is media still emits a manifest row —
+    with a NULL caption (lag semantics), not a silent drop."""
+    rows = [(
+        "d1",
+        [
+            ("media", None, "media://d1/0", 0),
+            ("text", "caption for next", None, 1),
+            ("media", None, "media://d1/1", 2),
+        ],
+    )]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {r["media_ref"]: r for r in media_manifest(df).collect()}
+    assert set(got) == {"media://d1/0", "media://d1/1"}
+    assert got["media://d1/0"]["caption"] is None
+    assert got["media://d1/1"]["caption"] == "caption for next"
