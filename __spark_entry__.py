@@ -1148,7 +1148,10 @@ def _run_fixture_crawl(spark):
 
     ship_package(spark)
     # tiny fixture -> tiny shuffles: 200 default partitions would drown the
-    # 50-page crawl in task-scheduling overhead
+    # 50-page crawl in task-scheduling overhead. Saved + restored below:
+    # this session is shared with every other driver query, and leaving 8
+    # behind would quietly run all their shuffles at 1/4 parallelism.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     pages, robots = generate_site(
         CRAWL_FIXTURE["n_hosts"], CRAWL_FIXTURE["pages_per_host"]
@@ -1169,7 +1172,10 @@ def _run_fixture_crawl(spark):
         render_partitions=8,
     )
     eng = CrawlEngine(spark, pages_df, robots_df, cfg)
-    eng.run()
+    try:
+        eng.run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     _CRAWL_CACHE["eng"] = eng
     return eng
 

@@ -133,11 +133,9 @@ def run_crawl(spark, checkpoint_dir: str) -> dict:
     summary = eng.run()
     wall = time.monotonic() - t0
     pages.unpersist()
-    with open("/proc/loadavg") as f:
-        load1 = float(f.read().split()[0])
     return {
         "wall_s": round(wall, 3),
-        "loadavg_after": load1,  # co-tenant noise indicator (shared box)
+        "loadavg_after": _loadavg(),  # co-tenant noise indicator (shared box)
         "pages_attempted": summary.attempted,
         "pages_ok": summary.ok,
         "links_discovered": summary.links_discovered,
@@ -356,8 +354,10 @@ def run_frontier_scale(spark) -> dict:
                 .orderBy("priority", "frontier_offset")
                 .limit(B)
             )
-            assert sel.count() == B
+            n_sel = sel.count()  # the timed action — never inside assert
             leg["t_watermark_select"] = round(time.monotonic() - t0, 3)
+            if n_sel != B:
+                raise RuntimeError(f"watermark select returned {n_sel}")
 
             seen = frontier.filter(F.col("frontier_offset") <= wm)
             t0 = time.monotonic()
@@ -368,8 +368,10 @@ def run_frontier_scale(spark) -> dict:
                 .orderBy("priority", "frontier_offset")
                 .limit(B)
             )
-            assert anti.count() == B
+            n_anti = anti.count()
             leg["t_anti_join_select"] = round(time.monotonic() - t0, 3)
+            if n_anti != B:
+                raise RuntimeError(f"anti-join select returned {n_anti}")
 
             t0 = time.monotonic()
             bloom = ShardedBloom.build(
@@ -424,9 +426,16 @@ def main() -> None:
             shutil.rmtree(os.path.dirname(fixture_dir), ignore_errors=True)
         return
 
+    import shutil
+
     spark = _spark(CPUS)
     ck = tempfile.mkdtemp(prefix="bench-crawl-")
-    crawl = run_crawl(spark, ck)
+    try:
+        crawl = run_crawl(spark, ck)
+    finally:
+        # checkpoint parquet for a 24k-page crawl is real disk; legs and
+        # repeated runs on a shared box must not accumulate it
+        shutil.rmtree(ck, ignore_errors=True)
 
     if crawl_only:
         print(json.dumps(crawl))
@@ -567,6 +576,13 @@ def run_scaling(levels=None, fixture_dir=None, include_detail=True) -> dict:
         levels = tuple(
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
+        )
+    if len(levels) != 2:
+        # fail BEFORE running any leg — the summary below is pairwise
+        # N -> 4N, and discovering that after minutes of subprocess
+        # crawls would discard all of them
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_LEVELS must name exactly two levels, got {levels}"
         )
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     budget_s = float(os.environ.get("BENCH_SCALING_BUDGET_S", "900"))
