@@ -151,6 +151,13 @@ AUDITS = {
         "forbid": ["Exchange", "CartesianProduct"],
         "absent_in_readschema": ["lang", "n_chars"],
     },
+    # curation composition: the stage pipeline is aggregations + the
+    # canonical-text groupBy; the blocklist dim must broadcast and
+    # nothing may sort globally or windows anywhere
+    "curation_verdicts": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+    },
     # simhash hamming pairs: band equi-join only — never an all-pairs
     # product; hamming verify is in-row codegen
     "simhash_neardup_pairs": {
