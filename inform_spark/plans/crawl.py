@@ -50,6 +50,7 @@ Scale notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 import time
@@ -74,12 +75,19 @@ from inform_spark.functions.urls import (
 from inform_spark.operators.render import make_extract_render_udf
 from inform_spark.plans.checkpoint import CrawlCheckpoint
 
+logger = logging.getLogger(__name__)
+
 RETRYABLE_SQL = (429, 500, 502, 503, 504)
 
 # frontier_offset bit layout: (batch+1) << 42 | parent_rank << 21 | link_idx
 BATCH_SHIFT = 42
 PARENT_SHIFT = 21
 MAX_LINKS_PER_PAGE = (1 << PARENT_SHIFT) - 1
+# parent_rank occupies 21 bits: a batch larger than 2^21 parents would
+# carry into the batch field (offset collisions + broken FIFO order), so
+# run() clamps the per-batch selection to this many rows — more batches,
+# identical crawl order, no overflow
+MAX_BATCH_ROWS = 1 << PARENT_SHIFT
 
 
 @dataclass
@@ -334,12 +342,17 @@ class CrawlEngine:
             if "priority" in sdf.columns
             else F.lit(0)
         )
+        # duplicate urls (post-normalization) keep their MOST URGENT
+        # priority — min, since lower sorts first in _select_batch. A
+        # dropDuplicates here would keep an arbitrary partition's row and
+        # make the seeded crawl order run-dependent.
         s = (
             sdf.select(
                 normalize_urls_udf(F.col("url")).alias("url"),
                 prio.alias("priority"),
             )
-            .dropDuplicates(["url"])
+            .groupBy("url")
+            .agg(F.min("priority").cast("int").alias("priority"))
         )
         ranked, caches = distributed_row_number(
             s, [F.col("url").asc()], out_col="__rk"
@@ -507,7 +520,23 @@ class CrawlEngine:
         # contribute disallow rules OR a crawl-delay, whatever it carries
         if "exists" in dim.columns:
             dim = dim.filter(F.col("exists"))
-        return dim.select("host", "disallow_prefixes", "crawl_delay_ms")
+        # exactly one row per host: two origins that collapse to the same
+        # netloc (http:// + https:// of one host) would otherwise
+        # DUPLICATE every frontier row of that host through the broadcast
+        # joins below (double fetches, corrupted rank totals). Merge as
+        # rule union + max crawl-delay (conservative politeness); sort for
+        # a deterministic array.
+        return (
+            dim.groupBy("host")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list("disallow_prefixes"))
+                    )
+                ).alias("disallow_prefixes"),
+                F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+            )
+        )
 
     # ------------------------------------------------------------------
     def _select_batch(
@@ -529,10 +558,19 @@ class CrawlEngine:
                 F.lit(self.cfg.default_delay_ms),
                 F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
             )
-            budget = F.greatest(
-                F.lit(1),
-                F.floor(F.lit(self.cfg.batch_wall_budget_ms) / delay_host),
-            )
+            # delay 0 (API callers may pass default_delay_ms=0 with a
+            # wall budget; the CLI guards this, the engine must too) means
+            # NO pacing for that host — never a divide-by-zero, which
+            # Spark 4's default ANSI mode raises as an error
+            budget = F.when(
+                delay_host > 0,
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(self.cfg.batch_wall_budget_ms) / delay_host
+                    ),
+                ),
+            ).otherwise(F.lit(1 << 60))
             sel = sel.withColumn("__budget", budget)
             # two-phase top-B per host (hot-host skew, north_rule): a salted
             # pre-rank over (host, salt) partitions cuts a 10^10-row hot host
@@ -627,10 +665,16 @@ class CrawlEngine:
             pages = pages.filter(F.col("host").isin(self._scope_hosts))
         bkeys = batch.select("url", "depth", "frontier_offset", "parent_rank")
         hit = pages.join(F.broadcast(bkeys), "url", "inner")
-        # misses = batch urls absent from the fixture; anti-join against the
-        # column-pruned url list, NOT against hit (which would re-run the
-        # full pages join with the html payload just to learn its keys)
-        miss = bkeys.join(F.broadcast(pages.select("url")), "url", "left_anti")
+        # misses = batch urls absent from the fixture. Derive the matched
+        # url set by STREAMING the fixture against the broadcast batch
+        # keys (output <= |batch|), then anti-join the batch against it —
+        # never broadcast the fixture's url column itself (a 10^7-page
+        # fixture would ship hundreds of MB per batch), and never re-run
+        # the full pages join with the html payload just to learn keys.
+        matched = pages.select("url").join(
+            F.broadcast(bkeys.select("url")), "url", "inner"
+        )
+        miss = bkeys.join(F.broadcast(matched), "url", "left_anti")
 
         max_r = self.cfg.max_retries
         needed = F.coalesce(F.col("retries_needed"), F.lit(0))
@@ -723,8 +767,14 @@ class CrawlEngine:
         cand = links.select(
             F.col("link").alias("url"),
             F.regexp_extract("link", "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1).alias("host"),
-            F.coalesce(F.parse_url("link", F.lit("PATH")), F.lit("/")).alias("path"),
-            F.parse_url("link", F.lit("QUERY")).alias("query"),
+            # try_parse_url: a malformed-but-Python-resolvable href (e.g.
+            # an unencoded space) must degrade to path "/" + null query,
+            # not raise INVALID_URL under Spark 4's default ANSI mode and
+            # kill the whole batch job
+            F.coalesce(
+                F.try_parse_url("link", F.lit("PATH")), F.lit("/")
+            ).alias("path"),
+            F.try_parse_url("link", F.lit("QUERY")).alias("query"),
             (F.col("depth") + 1).alias("depth"),
             (
                 F.shiftleft(F.col("attempted_in_batch") + 1, BATCH_SHIFT)
@@ -828,6 +878,11 @@ class CrawlEngine:
         else:
             self._init_state()
         pool = ThreadPoolExecutor(max_workers=4)
+        # every DataFrame persisted inside the try lands here; the finally
+        # unpersists whatever an exception left behind (unpersisting an
+        # already-unpersisted frame is a no-op, so the success path's own
+        # targeted unpersists stay where they are)
+        run_caches: list[DataFrame] = []
         try:
             # robots sizing and the seen-filter build are independent Spark
             # jobs — overlap them (setup fixed cost = max, not sum). ONE job
@@ -841,12 +896,19 @@ class CrawlEngine:
                     .limit(cfg.robots_closure_max_hosts + 1)
                     .collect
                 )
-            if cfg.use_bloom:
+            if cfg.use_bloom and self._bloom is None:
                 # the filter mirrors the NET frontier (everything ever
                 # enqueued minus revocation tombstones, which supersets
                 # `seen`) — the set the exact anti-join uses. bloom =
                 # cheapest bits/key; cuckoo = same interface plus delete
                 # (north_star's deletable fallback).
+                # Build ONLY when this engine has no filter yet: run()'s
+                # per-batch fold-in keeps an existing one current, and
+                # invalidate(revoke=True) keeps a cuckoo tight via
+                # delete() — rebuilding here would discard exactly the
+                # O(changes)-instead-of-O(frontier) benefit that delete
+                # exists for (a post-invalidate bloom is documented-safe
+                # stale: the exact anti-join still re-admits).
                 frontier_urls = self._net_frontier(
                     self.catalog.tables["frontier"].read()
                 ).select("url")
@@ -891,6 +953,7 @@ class CrawlEngine:
                     robots_filter = make_robots_filter_udf(rules)
                 else:
                     robots_join_dim = robots_dim.persist()
+                    run_caches.append(robots_join_dim)
             batches_run = 0
 
             phase = summary.extra.setdefault("phase_s", {})
@@ -947,7 +1010,7 @@ class CrawlEngine:
                     )
 
                 remaining = cfg.limit - self.attempted
-                b = min(cfg.batch_size or remaining, remaining)
+                b = min(cfg.batch_size or remaining, remaining, MAX_BATCH_ROWS)
                 # live frontier size by bookkeeping, not an extra anti-join job:
                 # frontier rows are unique and seen ⊆ frontier, so
                 # |live| = |enqueued| - |attempted|. Tombstones break the
@@ -969,6 +1032,7 @@ class CrawlEngine:
                 batch, batch_caches = self._with_parent_rank(
                     self._select_batch(live, b, skip_limit=live_count <= b)
                 )
+                run_caches.extend(batch_caches)
 
                 fetched = self._fetch(batch)
                 # Render placement: fixture mode rides the (balanced) pages-scan
@@ -1086,6 +1150,8 @@ class CrawlEngine:
                     maybe_seen, fresh, probed = bloom_partition(
                         dedup, self._bloom, persist=True
                     )
+                    if probed is not None:
+                        run_caches.append(probed)
                     checked = maybe_seen.join(
                         self._net_frontier(frontier_t.read(cached=True))
                         .select("url"),
@@ -1108,6 +1174,7 @@ class CrawlEngine:
                     from inform_spark.operators.traps import url_template_from_path
 
                     new_links = new_links.persist()
+                    run_caches.append(new_links)
                     n_pre_tpl = new_links.count()
                     if probed is not None:
                         probed.unpersist()
@@ -1121,6 +1188,7 @@ class CrawlEngine:
                         .drop("__tr")
                         .persist()
                     )
+                    run_caches.append(capped_links)
                     n_tpl_dropped = n_pre_tpl - capped_links.count()
                     new_links.unpersist()
                     new_links = capped_links
@@ -1146,6 +1214,7 @@ class CrawlEngine:
                     # cap path: materialize candidates once to count, then admit
                     # the FIFO prefix that fits
                     new_links = new_links.persist()
+                    run_caches.append(new_links)
                     n_cand = new_links.count()
                     if probed is not None:
                         probed.unpersist()
@@ -1156,6 +1225,15 @@ class CrawlEngine:
                         n_admit = capacity
                         if not self.queue_warned:
                             self.queue_warned = True
+                            # reference warns once when the queue cap first
+                            # binds (src/WebCrawler.js:553-560)
+                            logger.warning(
+                                "frontier queue cap %s reached in batch %s: "
+                                "%s candidate links dropped (lowest "
+                                "frontier_offset admitted first)",
+                                cfg.max_queue_size, self.batch_id,
+                                n_cand - capacity,
+                            )
                     else:
                         admitted = new_links
                         n_admit = n_cand
@@ -1256,6 +1334,12 @@ class CrawlEngine:
 
                 for df in batch_caches:
                     df.unpersist()
+                # this batch's caches are all released — drop their refs so
+                # a million-batch crawl does not accumulate plan objects;
+                # only the long-lived robots dim still needs finally-cover
+                run_caches.clear()
+                if robots_join_dim is not None:
+                    run_caches.append(robots_join_dim)
                 t_ph = _mark("commit", t_ph)
 
                 if (
@@ -1287,10 +1371,16 @@ class CrawlEngine:
             summary.wall_ms = (time.monotonic() - t0) * 1000
             return summary
         finally:
-            # a setup/batch exception must not leak the pool or an
-            # in-flight never-awaited future (idempotent after the
-            # success path's own shutdown above)
+            # a setup/batch exception must not leak the pool, an
+            # in-flight never-awaited future, or any cache persisted this
+            # run (idempotent after the success path's own shutdown and
+            # targeted unpersists above)
             pool.shutdown(wait=False, cancel_futures=True)
+            for df in run_caches:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     # ------------------------------------------------------------------
     def _net_attempts(self) -> DataFrame:
