@@ -98,6 +98,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # pointer jumping converges in ~log2(diameter) rounds; exhausting
+        # max_iter means labels are STILL SPLIT — returning them would
+        # silently merge families wrongly downstream (survivors, oracle)
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds 2^max_iter)"
+        )
     sym.unpersist()
     return labels.select("v", F.col("lbl").alias("component"))
 
@@ -137,7 +146,10 @@ def minhash_survivors(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
     Survivor = the family's min doc_id (deterministic); n_members audits
     how many near-duplicates it absorbed (1 = unique document). The
     filter to survivors is the pipeline's actual dedup drop step."""
-    clusters = minhash_clusters(docs, k, band)
+    # localCheckpoint (eager): the clusters relation is consumed by BOTH
+    # the sizes aggregate and the survivor filter below — unpinned, the
+    # docs scan + component join tail would execute twice
+    clusters = minhash_clusters(docs, k, band).localCheckpoint()
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
@@ -150,9 +162,10 @@ def minhash_survivors(docs: DataFrame, k: int = 8, band: int = 2) -> DataFrame:
 
 def minhash_incremental(
     new_docs: DataFrame,
-    index_docs: DataFrame,
+    index_docs: DataFrame | None = None,
     k: int = 8,
     band: int = 2,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: judge a NEW batch of documents against
     an EXISTING corpus without re-clustering the corpus — the production
@@ -169,11 +182,32 @@ def minhash_incremental(
     batch's band buckets, never the corpus. New-vs-new resolution runs
     connected components on the (small) survivor pair graph. Everything
     is min-based and hence partitioning-independent; the DuckDB oracle
-    hash-matches."""
+    hash-matches.
+
+    Pass ``index_bands`` (a persisted (doc_id, band_key) store — the
+    shape ``streaming.dedup`` maintains) to skip re-banding the index:
+    at production scale the index signature pipeline must never re-run
+    per delta. ``index_docs`` re-bands from raw text (test/oracle path).
+
+    Semantics note — survivor-only transitivity: only KEPT documents'
+    bands enter the index, so a new document whose ONLY connection to an
+    indexed family passes through a rejected duplicate is 'kept' (the
+    family link died with the duplicate). This is deliberate and
+    batching-invariant: the same document is kept whether it arrives
+    with the rejected duplicate or later, because the reject's bands are
+    never indexed either way. Indexing rejects' bands too would close
+    the gap at the cost of an index that grows with raw arrivals instead
+    of survivors."""
     from inform_spark.operators import textops
 
+    if (index_docs is None) == (index_bands is None):
+        raise ValueError("pass exactly one of index_docs / index_bands")
     nb = textops.minhash_band_keys(new_docs, k, band).persist()
-    ib = textops.minhash_band_keys(index_docs, k, band)
+    ib = (
+        index_bands
+        if index_bands is not None
+        else textops.minhash_band_keys(index_docs, k, band)
+    )
     # hits is referenced three times (twice via survivors inside
     # star_pairs' min-join, once in the lazily-returned verdict join);
     # localCheckpoint materializes it ONCE so the index-side signature

@@ -113,14 +113,22 @@ def distributed_row_number(
         2, min(spark.sparkContext.defaultParallelism, 64)
     )
     df, ranked = _ranked_with_local(df, order_cols, n)
-    base = _bases(
-        [
-            (r["__pid"], r["n"])
-            for r in ranked.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
-    )
+    counts = [
+        (r["__pid"], r["n"])
+        for r in ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    base = _bases(counts)
+    total = sum(c for _, c in counts)
+    if total > (1 << 31) - 1:
+        # the rank column's int contract (and the checkpoint schemas
+        # built on it) cannot represent this input; fail loudly with the
+        # real number instead of an ANSI cast error mid-job
+        raise OverflowError(
+            f"distributed_row_number over {total} rows exceeds int32; "
+            "use a long-typed ranking for corpora past 2^31 rows"
+        )
     out = ranked.withColumn(
         out_col, (F.col("__local") + _fold_offsets(base)).cast("int")
     ).drop("__pid", "__local")
@@ -164,7 +172,10 @@ def distributed_cumsum(
         pid = TaskContext.get().partitionId()
         run = 0
         for pdf in pdfs:
-            c = pdf[value_col].astype("int64").cumsum() + run
+            # NULL values arrive as NaN; treat as 0 — the same contract
+            # as the base aggregation's F.sum (which skips nulls), so
+            # __run and the partition bases stay synchronized
+            c = pdf[value_col].fillna(0).astype("int64").cumsum() + run
             if len(c):
                 run = int(c.iloc[-1])
             pdf = pdf.assign(__pid=pid, __run=c)
@@ -175,14 +186,16 @@ def distributed_cumsum(
         [
             (r["__pid"], r["t"])
             for r in summed.groupBy("__pid")
-            .agg(F.sum(value_col).alias("t"))
+            .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
             .collect()
         ]
     )
     out = summed.withColumn(
         out_col,
         (
-            F.col("__run") - F.col(value_col).cast("long") + _fold_offsets(base)
+            F.col("__run")
+            - F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+            + _fold_offsets(base)
         ).cast("long"),
     ).drop("__pid", "__run")
     return out, [df, summed]

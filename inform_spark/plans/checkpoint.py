@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,30 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    # the rename is atomic but not DURABLE until the directory entry is
+    # flushed: without this a power loss after "commit succeeded" could
+    # resurface the previous head on restart
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+#: committed artifacts only — a crash inside _atomic_write_json leaves
+#: ``*.tmp-<hex>`` siblings that every directory listing must ignore
+_MANIFEST_RE = re.compile(r"v(\d+)\.json$")
+_COMMIT_RE = re.compile(r"(\d+)\.json$")
+
+
+def _listed(dirname: str, pat: re.Pattern) -> list[tuple[int, str]]:
+    """(number, filename) for files matching ``pat`` exactly, sorted."""
+    out = []
+    for n in os.listdir(dirname):
+        m = pat.fullmatch(n)
+        if m:
+            out.append((int(m.group(1)), n))
+    return sorted(out)
 
 
 class SnapshotTable:
@@ -154,10 +179,7 @@ class SnapshotTable:
         """All known snapshot manifests, oldest first (Iceberg
         ``table.snapshots()``)."""
         out = []
-        for f in sorted(
-            os.listdir(self.manifest_dir),
-            key=lambda n: int(n[1:-5]),  # v<N>.json
-        ):
+        for _, f in _listed(self.manifest_dir, _MANIFEST_RE):
             with open(os.path.join(self.manifest_dir, f)) as fh:
                 out.append(json.load(fh))
         return out
@@ -184,24 +206,40 @@ class SnapshotTable:
             self._cache_df = None
         return new_version
 
-    def vacuum(self) -> int:
+    def vacuum(self, committed_version: int | None = None) -> int:
         """Expire everything but the current snapshot: delete data dirs
         the current manifest does not reference (crashed-batch orphans,
         pre-compaction deltas) and drop superseded manifests (Iceberg
         ``expire_snapshots``). Time-travel to expired versions is gone —
-        that is the contract. Returns the number of dirs removed."""
+        that is the contract. Returns the number of dirs removed.
+
+        ``committed_version``: the version the CATALOG's committed state
+        pins for this table. Between a staged append/compact and the next
+        catalog commit the staged version is AHEAD of the committed one —
+        without this, vacuuming in that window would delete data the
+        committed checkpoint still references and make restore()
+        unrecoverable. ``CrawlCheckpoint.vacuum()`` passes it
+        automatically; keep it None only when no catalog commit exists.
+        Crash-leftover ``*.tmp-*`` manifest files are swept too."""
         import shutil
 
         keep = set(self._dirs)
+        keep_versions = {self._version}
+        if committed_version is not None and committed_version > 0:
+            keep_versions.add(committed_version)
+            if committed_version != self._version:
+                with open(self._manifest_path(committed_version)) as f:
+                    keep.update(json.load(f)["dirs"])
         removed = 0
         for name in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, name)
             if full not in keep:
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
-        for f in os.listdir(self.manifest_dir):
-            if int(f[1:-5]) != self._version:
-                os.unlink(os.path.join(self.manifest_dir, f))
+        for n in os.listdir(self.manifest_dir):
+            m = _MANIFEST_RE.fullmatch(n)
+            if m is None or int(m.group(1)) not in keep_versions:
+                os.unlink(os.path.join(self.manifest_dir, n))
         return removed
 
     @property
@@ -286,13 +324,27 @@ class CrawlCheckpoint:
         self.state = payload["state"]
         return self.state
 
+    def vacuum(self) -> dict[str, int]:
+        """Catalog-safe vacuum: expire each table against BOTH its staged
+        version and the version pinned by the committed head, so a vacuum
+        issued between a staged append/compact and the next commit can
+        never delete committed data. Returns removed-dir counts."""
+        committed: dict[str, int] = {}
+        if self.exists():
+            with open(self.current_path) as f:
+                committed = json.load(f)["tables"]
+        return {
+            name: t.vacuum(committed_version=committed.get(name))
+            for name, t in self.tables.items()
+        }
+
     def history(self) -> list[dict]:
         """The commit journal, oldest first (Iceberg snapshot log)."""
         commits_dir = os.path.join(self.state_dir, "commits")
         if not os.path.isdir(commits_dir):
             return []
         out = []
-        for f in sorted(os.listdir(commits_dir), key=lambda n: int(n[:-5])):
+        for _, f in _listed(commits_dir, _COMMIT_RE):
             with open(os.path.join(commits_dir, f)) as fh:
                 out.append(json.load(fh))
         return out
@@ -304,8 +356,20 @@ class CrawlCheckpoint:
         valid after a table ``vacuum`` expired the pinned snapshots."""
         commits_dir = os.path.join(self.state_dir, "commits")
         with open(os.path.join(commits_dir, f"{commit_seq}.json")) as f:
-            payload = json.load(f)
-        # the rollback itself is the new head (journaled like any commit)
+            target = json.load(f)
+        # the rollback itself is the new head, JOURNALED like any commit:
+        # history() stays linear and its tail always agrees with current
+        entries = _listed(commits_dir, _COMMIT_RE)
+        new_seq = (entries[-1][0] if entries else 0) + 1
+        payload = {
+            "tables": target["tables"],
+            "state": {
+                **target["state"],
+                "_commit_seq": new_seq,
+                "_rollback_of": commit_seq,
+            },
+        }
+        _atomic_write_json(os.path.join(commits_dir, f"{new_seq}.json"), payload)
         _atomic_write_json(self.current_path, payload)
         for name, version in payload["tables"].items():
             self.tables[name].load_version(version)

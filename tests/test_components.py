@@ -211,3 +211,43 @@ def test_exact_substring_dedup_scale_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "collect_set" not in plan
+
+
+def test_incremental_prebanded_index_equivalent(spark):
+    """index_bands (the persisted signature store) must verdict exactly
+    like re-banding index_docs from raw text — the production path."""
+    from inform_spark.operators import textops
+    from inform_spark.operators.components import minhash_incremental
+
+    idx = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in minhash_incremental(new, idx).collect()
+    }
+    b = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in minhash_incremental(
+            new, index_bands=textops.minhash_band_keys(idx)
+        ).collect()
+    }
+    assert a == b
+    assert a[10] == ("dup_of_index", 0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_incremental(new)
+    with pytest.raises(ValueError):
+        minhash_incremental(
+            new, idx, index_bands=textops.minhash_band_keys(idx)
+        )
