@@ -251,6 +251,26 @@ def extract_content_html(html: str) -> str:
 # ---------------------------------------------------------------------------
 
 _H_RE = re.compile(r"^h([1-6])$")
+
+
+def _inline_code(content: str) -> str:
+    """Turndown's inline-code rule: the delimiter grows to one more
+    backtick than any run inside the content, with a pad space when the
+    content starts/ends with a backtick (turndown.js `code` rule) — a
+    bare ``\`content\``` would terminate early on inner backticks."""
+    if not content:
+        return "``"
+    content = re.sub(r"\r?\n|\r", " ", content)
+    extra = (
+        " "
+        if re.search(r"^`|^ .*?[^ ].* $|`$", content)
+        else ""
+    )
+    delimiter = "`"
+    runs = set(re.findall(r"`+", content))
+    while delimiter in runs:
+        delimiter += "`"
+    return f"{delimiter}{extra}{content}{extra}{delimiter}"
 _WS_RE = re.compile(r"\s+")
 _LANG_RE = re.compile(r".*language-(\w+).*")
 
@@ -349,8 +369,7 @@ def _md_node(node: Node | Text) -> str:
             # custom codeElements rule (src/WebCrawler.js:95-108)
             if "\n" in content or len(content) > 50:
                 return f"\n\n```html\n{content}\n```\n\n"
-            return f"`{content}`"
-        return f"`{content}`"
+        return _inline_code(content)
 
     if tag in ("strong", "b"):
         content = _md_children(node).strip()
@@ -362,13 +381,17 @@ def _md_node(node: Node | Text) -> str:
     if tag in ("ul", "ol"):
         items = []
         index = 0
+        # turndown's listItem rule honors <ol start="N">
+        # (turndown.js commonmark listItem: parent.getAttribute('start'))
+        start_attr = node.attrs.get("start") or ""
+        start = int(start_attr) if start_attr.lstrip("-").isdigit() else 1
         for li in node.element_children():
             if li.tag != "li":
                 continue
             index += 1
             content = _md_children(li).strip()
             content = content.replace("\n", "\n    ")
-            prefix = f"{index}.  " if tag == "ol" else "*   "
+            prefix = f"{start + index - 1}.  " if tag == "ol" else "*   "
             items.append(prefix + content)
         body = "\n".join(items)
         parent = node.parent

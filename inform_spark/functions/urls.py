@@ -51,6 +51,14 @@ def normalize_url(url: str) -> str:
     netloc = netloc.lower()
     if not path:
         path = "/"
+    elif "/." in path:
+        # RFC 3986 dot-segment removal, via the stdlib resolver (the
+        # exact code path relative resolution already uses). urljoin
+        # BYPASSES removal for absolute hrefs, so without this a link
+        # like http://h/docs/../admin would dedup as distinct from its
+        # canonical form, escape base-path scoping, and carry '..' into
+        # generated file paths.
+        path = urlsplit(urljoin(f"{scheme}://{netloc}", path)).path or "/"
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
@@ -59,7 +67,10 @@ def resolve_url(href: str, base: str) -> str | None:
     result is not a usable absolute http(s) URL (reference swallows the
     TypeError at src/WebCrawler.js:569-571)."""
     try:
-        absolute = urljoin(base, href.strip())
+        # WHATWG treats backslashes as slashes in special-scheme URLs
+        # (the reference's new URL() does this); Python's urljoin keeps
+        # them literal, which would 404 every Windows-style href
+        absolute = urljoin(base, href.strip().replace("\\", "/"))
         scheme, netloc, _p, _q, _f = urlsplit(absolute)
         if scheme not in ("http", "https") or not netloc:
             return None
@@ -135,7 +146,10 @@ def generate_filepath(url: str, raw: bool = False) -> str:
     if path in ("/", ""):
         return "index" + ext
     path = path.rstrip("/") if path.endswith("/") else path
-    path_parts = [p for p in path.split("/") if p]
+    # defense in depth: canonical urls carry no dot segments (normalize
+    # removes them), but a doc_id must NEVER traverse out of the output
+    # dir even if handed a raw url
+    path_parts = [p for p in path.split("/") if p and p not in (".", "..")]
     if not path_parts:
         return "index" + ext
     filename = path_parts[-1]

@@ -58,9 +58,14 @@ def render_one(url: str, html: str, raw: bool = False) -> dict:
         if r is not None:
             resolved.append(r)
     if raw:
-        from inform_spark.functions.html import extract_content_html
+        from inform_spark.functions.html import extract_content_html, strip_html
 
-        content = extract_content_html(html)
+        try:
+            content = extract_content_html(html)
+        except RecursionError:
+            # failures are rows, never task-killing exceptions: degrade a
+            # pathologically-nested page to its iterative tag-strip text
+            content = strip_html(html)
         return {
             "doc_id": generate_filepath(url, raw=True),
             "markdown": content,
@@ -71,10 +76,20 @@ def render_one(url: str, html: str, raw: bool = False) -> dict:
             ],
             "links": resolved,
         }
-    root, found = extract_content(html)
-    if not found:
-        root = parse_html(html)
-    markdown = cleanup_markdown(dom_to_markdown(root))
+    # extract_content returns the untouched dom when no main selector
+    # matched — re-parsing here would double the parse cost for every
+    # page without <main>/<article>
+    try:
+        root, _found = extract_content(html)
+        markdown = cleanup_markdown(dom_to_markdown(root))
+    except RecursionError:
+        # pathological nesting blows Python's frame limit inside the
+        # recursive DOM walkers; the engine's contract is failures as
+        # ROWS, never task-killing exceptions — degrade to the iterative
+        # tag-strip text (links already extracted by regex above)
+        from inform_spark.functions.html import strip_html
+
+        markdown = strip_html(html)
     return {
         "doc_id": generate_filepath(url),
         "markdown": markdown,

@@ -64,24 +64,36 @@ DEFAULT_MAX_BYTES = 16 * 1024 * 1024
 
 
 def fetch_url_once(url: str, user_agent: str, timeout_s: float,
-                   max_bytes: int) -> tuple[int, str | None, str | None]:
+                   max_bytes: int,
+                   force_body: bool = False) -> tuple[int, str | None, str | None]:
     """(status, content_type, body_text) for one GET; raises only on
     network-level errors (caller retries those). Bodies over ``max_bytes``
     are hard-capped — use :func:`fetch_url_once_flagged` when the caller
     needs to know the cap was hit."""
     status, ctype, body, _ = fetch_url_once_flagged(
-        url, user_agent, timeout_s, max_bytes
+        url, user_agent, timeout_s, max_bytes, force_body=force_body
     )
     return status, ctype, body
 
 
 def fetch_url_once_flagged(
-    url: str, user_agent: str, timeout_s: float, max_bytes: int
+    url: str, user_agent: str, timeout_s: float, max_bytes: int,
+    force_body: bool = False,
 ) -> tuple[int, str | None, str | None, bool]:
     """(status, content_type, body_text, truncated): reads one byte past
     the cap to detect truncation (a silently clipped body can drop links
     and skew discovery vs the reference's full-body fetch — the truncated
-    flag is surfaced as a seen-table marker downstream)."""
+    flag is surfaced as a seen-table marker downstream).
+
+    ``force_body=True`` reads the body regardless of Content-Type — the
+    robots.txt path needs it (the reference reads response.text()
+    unconditionally, src/RobotsParser.js:48; a robots file served with a
+    missing/binary Content-Type must not silently become allow-all).
+
+    Redirects are followed (urllib default) and links are later resolved
+    against the ORIGINAL frontier url — deliberately: the reference
+    resolves against currentUrl (src/WebCrawler.js:514), not
+    response.url, and crawl-order equality with it pins that choice."""
     import urllib.error
     import urllib.request
 
@@ -91,7 +103,7 @@ def fetch_url_once_flagged(
             status = resp.status
             ctype = resp.headers.get("Content-Type", "") or ""
             body, truncated = None, False
-            if "text/html" in ctype or "text/" in ctype or "xml" in ctype:
+            if force_body or "text/" in ctype or "xml" in ctype:
                 raw = resp.read(max_bytes + 1)
                 truncated = len(raw) > max_bytes
                 body = raw[:max_bytes].decode("utf-8", "replace")
@@ -192,11 +204,15 @@ def fetch_robots_df(
             for origin in pdf["origin"]:
                 host = urlsplit(origin).netloc.lower()
                 try:
+                    # force_body: robots.txt with a missing/odd
+                    # Content-Type is still robots.txt; 2xx (not just
+                    # 200) matches the reference's response.ok gate
                     status, _, body = fetch_url_once(
                         origin.rstrip("/") + "/robots.txt",
                         user_agent, timeout_s, 1024 * 1024,
+                        force_body=True,
                     )
-                    if status == 200 and body:
+                    if 200 <= status < 300 and body:
                         rules = parse_robots_txt(body, user_agent)
                         rows["host"].append(host)
                         rows["exists"].append(True)
