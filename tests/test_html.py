@@ -201,3 +201,35 @@ def test_strip_html():
     assert strip_html("<![CDATA[<p>Inner</p>]]>") == "Inner"
     assert strip_html("<script>var x;</script>text") == "text"
     assert strip_html("a &amp; b &lt;c&gt;") == "a & b <c>"
+
+
+def test_inline_code_backtick_padding():
+    from inform_spark.functions.html import render_page_markdown
+
+    assert (
+        render_page_markdown("<main><p>use <code>a`b</code> now</p></main>")
+        == "use ``a`b`` now"
+    )
+    assert (
+        render_page_markdown("<main><p>x <code>plain</code></p></main>")
+        == "x `plain`"
+    )
+
+
+def test_ordered_list_start_attribute():
+    from inform_spark.functions.html import render_page_markdown
+
+    assert (
+        render_page_markdown('<main><ol start="5"><li>a</li><li>b</li></ol></main>')
+        == "5.  a\n6.  b"
+    )
+
+
+def test_deeply_nested_page_degrades_not_crashes():
+    from inform_spark.operators.render import render_one
+
+    html = "<main>" + "<div>" * 3000 + "<a href='/x'>t</a>deep" + "</div>" * 3000 + "</main>"
+    for raw in (False, True):
+        r = render_one("http://h/deep", html, raw=raw)
+        assert r["spans"] and r["links"] == ["http://h/x"]
+        assert "deep" in r["spans"][0]["text"]

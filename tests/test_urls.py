@@ -106,3 +106,30 @@ def test_host_and_path_query():
     assert url_host("https://Example.com/a") == "example.com"
     assert url_path_query("https://example.com/a?b=1") == "/a?b=1"
     assert url_path_query("https://example.com") == "/"
+
+
+def test_dot_segments_removed_and_traversal_safe():
+    from inform_spark.functions.urls import generate_filepath, normalize_url, resolve_url
+
+    assert (
+        normalize_url("http://site.com/docs/../admin/secret")
+        == "http://site.com/admin/secret"
+    )
+    assert normalize_url("http://s/a/./b/") == "http://s/a/b/"
+    assert normalize_url("http://s/..") == "http://s/"
+    # absolute hrefs with dot segments canonicalize through resolve too
+    assert (
+        resolve_url("http://s/docs/../x", "http://s/docs/") == "http://s/x"
+    )
+    # doc_ids can never traverse out of the output dir
+    assert ".." not in generate_filepath("http://s/a/../../../tmp/evil")
+
+
+def test_backslash_hrefs_whatwg():
+    from inform_spark.functions.urls import resolve_url
+
+    assert (
+        resolve_url("..\\admin", "http://site.com/docs/a/")
+        == "http://site.com/docs/admin"
+    )
+    assert resolve_url("foo\\bar.html", "http://s/d/") == "http://s/d/foo/bar.html"
