@@ -87,8 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-queue-size",
                    type=_int_arg("--max-queue-size", 1), default=None,
                    help="frontier cap, drop-new (default 10000)")
-    p.add_argument("--max-depth", type=int, default=None)
-    p.add_argument("--template-cap", type=int, default=None,
+    p.add_argument(
+        "--max-depth", type=_int_arg("--max-depth", 0), default=None
+    )
+    p.add_argument("--template-cap",
+                   type=_int_arg("--template-cap", 1), default=None,
                    help="crawler-trap damping: admit at most N new urls per "
                         "(host, url-path template) per batch (default off)")
     p.add_argument("--include", action="append", default=None,
@@ -332,10 +335,19 @@ def run_feed(args, opts, spark) -> int:
         [(args.url, kind)], "input_url string, kind string"
     )
     bodies = fetch_feed_bodies(feeds, opts)
-    items = ingest_feeds(bodies, limit=opts.get("limit", 50))
+    # feed mode's own default is 50 (reference FeedCrawler.js:39
+    # `limit ?? 50`) — the web crawler's DEFAULTS limit of 100 only
+    # applies when a user/config layer chose it explicitly
+    limit = opts["limit"] if opts.get("_limit_explicit") else 50
+    items = ingest_feeds(bodies, limit=limit)
     if kind == "youtube" and opts.get("yt_include_transcript", True):
         items = enrich_youtube_transcripts(items, opts)
-    items = dedup_items(items)
+    # pin the ingested items: the error-collect, the file writes and the
+    # final count are SEPARATE actions — unpinned, each would re-execute
+    # the live fetch pipeline (network fetch 3x, and a fetch that fails
+    # on a later action after succeeding on the error check would write
+    # nothing while still reporting success)
+    items = dedup_items(items).localCheckpoint()
     errors = [
         r["content_text"]
         for r in items.filter("kind = 'error'").select("content_text").collect()

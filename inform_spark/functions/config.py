@@ -102,4 +102,13 @@ def options_for_target(config: dict, target_url: str, cli: dict | None = None) -
     )
     target = {k: v for k, v in target.items() if k != "url"}
     merged = merge_options(DEFAULTS, globals_, target, cli)
+    # provenance marker: feed mode has a DIFFERENT default limit than the
+    # web crawler (reference: FeedCrawler.js:39 `limit ?? 50` vs the web
+    # maxPages default of 100) — consumers need to know whether `limit`
+    # was actually chosen by a user/config layer or fell through from
+    # DEFAULTS
+    merged["_limit_explicit"] = any(
+        layer is not None and "limit" in layer
+        for layer in (globals_, target, cli or {})
+    )
     return resolve_env_vars(merged)

@@ -98,6 +98,9 @@ def is_youtube_url(url: str) -> bool:
 
 
 def is_x_url(url: str) -> bool:
+    # DELIBERATE substring match — byte-parity with the reference
+    # (src/sources/x.js:261 uses input.includes('x.com/')), which also
+    # classifies e.g. netflix.com/ as X; fixing it here would diverge
     return "x.com/" in url or "twitter.com/" in url
 
 
@@ -106,6 +109,8 @@ def is_bluesky_url(url: str) -> bool:
 
 
 def looks_like_feed(url: str) -> bool:
+    # DELIBERATE substring matches — parity with src/sources/rss.js:276
+    # (the reference also routes /feedback to feed mode)
     lower = url.lower()
     return (
         lower.endswith(".rss")
@@ -250,13 +255,16 @@ def parse_feed_xml(xml_str: str, feed_url: str, limit: int = DEFAULT_LIMIT) -> l
 
 
 def _qual_first_text(item, *qnames) -> str | None:
-    """Text of the first matching fully-qualified child (namespace-aware
-    fallback chains like content:encoded || encoded || description)."""
-    for c in item:
-        if _strip_ns(c.tag) in qnames:
-            t = _text(c)
-            if t:
-                return t
+    """Text of the first matching child in PRIORITY order of ``qnames``
+    (reference rss.js:95-97: content:encoded || encoded || description —
+    a document-order scan would let an earlier <description> beat the
+    full <content:encoded> body)."""
+    for q in qnames:
+        for c in item:
+            if _strip_ns(c.tag) == q:
+                t = _text(c)
+                if t:
+                    return t
     return None
 
 
@@ -831,7 +839,14 @@ def fetch_feed_bodies(feeds_df: DataFrame, options: dict | None = None) -> DataF
     opts = options or {}
     user_agent = opts.get("user_agent", "Inform/1.0 (inform-spark)")
     timeout_s = float(opts.get("timeout_s", 10.0))
-    limit = min(int(opts.get("limit", DEFAULT_LIMIT)), 100)
+    # feed default is 50 (reference FeedCrawler.js:39 / x.js:66). When the
+    # config layer marked provenance, DEFAULTS' web-crawler 100 does NOT
+    # count as a choice; direct API callers (no marker) keep plain
+    # presence semantics.
+    if opts.get("_limit_explicit", "limit" in opts):
+        limit = min(int(opts.get("limit", DEFAULT_LIMIT)), 100)
+    else:
+        limit = DEFAULT_LIMIT
     bsky_api = (opts.get("bsky_api_base") or "https://public.api.bsky.app").rstrip("/")
     x_api = (opts.get("x_api_base") or "https://api.x.com").rstrip("/")
     x_token = opts.get("x_bearer_token")

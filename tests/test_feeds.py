@@ -248,3 +248,37 @@ def test_ingest_feeds_spark(spark):
     deduped = feeds.dedup_items(dup, seen)
     assert deduped.count() == items.count() - 1
     assert deduped.filter("id = 'post-1'").count() == 0
+
+
+def test_content_encoded_beats_earlier_description():
+    """Reference rss.js:95-97 is a PRIORITY chain, not document order:
+    a <description> appearing before <content:encoded> must lose."""
+    from inform_spark.sources.feeds import parse_feed_xml
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<rss version="2.0" xmlns:content="http://purl.org/rss/1.0/modules/content/">'
+        "<channel><title>t</title>"
+        "<item><title>a</title><link>http://e/a</link>"
+        "<description>short summary</description>"
+        "<content:encoded><![CDATA[<p>full article body</p>]]></content:encoded>"
+        "</item></channel></rss>"
+    )
+    items = parse_feed_xml(xml, "http://e/feed")
+    assert "full article body" in (items[0]["content_html"] or "")
+
+
+def test_feed_limit_provenance():
+    """The merged web-crawler default (limit=100) must NOT leak into feed
+    mode: only an explicitly-set limit counts; otherwise feeds use the
+    reference's 50."""
+    from inform_spark.functions.config import options_for_target
+
+    merged = options_for_target({}, "http://e/feed.xml", cli={})
+    assert merged["limit"] == 100 and merged["_limit_explicit"] is False
+    merged2 = options_for_target({}, "http://e/feed.xml", cli={"limit": 7})
+    assert merged2["limit"] == 7 and merged2["_limit_explicit"] is True
+    merged3 = options_for_target(
+        {"globals": {"limit": 20}}, "http://e/feed.xml", cli={}
+    )
+    assert merged3["limit"] == 20 and merged3["_limit_explicit"] is True
