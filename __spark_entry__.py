@@ -1205,6 +1205,117 @@ def q_crawl_seen_order(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: subword tokenization, model lang-id, URL clustering,
+# normalized-paragraph dedup, crawl budgeting, text canonicalization,
+# pagination stitching
+# ---------------------------------------------------------------------------
+
+
+def q_subword_token_counts(spark, sf_dir):
+    """Wordpiece-style greedy longest-match subword token accounting over
+    a committed vocabulary (operators/subword.subword_token_counts) — the
+    fold runs over DISTINCT words only (Zipf dictionary trick), counts
+    join back per doc. The oracle replays the identical greedy walk in
+    DuckDB via list_reduce."""
+    from inform_spark.operators.subword import subword_token_counts
+
+    return subword_token_counts(_docs(spark, sf_dir))
+
+
+def q_pack_sequences_subword(spark, sf_dir):
+    """pack_sequences driven by SUBWORD token counts (training-real
+    budgets) instead of whitespace counts: the tokenizer feeds the
+    distributed prefix-sum packer, seq_len=512."""
+    from inform_spark.operators.packing import pack_sequences
+    from inform_spark.operators.subword import subword_token_counts
+
+    counts = subword_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_subword_tokens").alias("tok")
+    )
+    out, _caches = pack_sequences(
+        counts, "tok", [F.col("doc_id").asc()], seq_len=512
+    )
+    return out.select(
+        "doc_id", "tok", "cum_before", "seq_first", "seq_last",
+        "offset_in_seq", "n_seqs",
+    )
+
+
+def q_lang_id_model(spark, sf_dir):
+    """Hashed char-trigram per-language LM classifier in integer
+    surprisal bits (operators/langid.lang_id_model) — the CLD/fastText
+    shape with the committed seed corpus as training data."""
+    from inform_spark.operators.langid import lang_id_model
+
+    return lang_id_model(_docs(spark, sf_dir))
+
+
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy-URL surface forms synthesized from events:
+    case-variant scheme+host, default ports, trailing slashes, tracking
+    params, unsorted query order, fragments."""
+    ev = _t(spark, sf_dir, "events")
+    https = F.col("event_id") % 7 == 0
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(https, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://Host"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.when(https, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("event_id") % 50).cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("&b=2&a=1")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#frag"),
+    )
+    return ev.select(url.alias("url"))
+
+
+def q_url_canonical_cluster(spark, sf_dir):
+    """RFC 3986 safe-normalization + tracking-param strip + query-param
+    sort, clustering URL surface variants (operators/urlops)."""
+    from inform_spark.operators.urlops import url_canonical_cluster
+
+    return url_canonical_cluster(_synth_urls(spark, sf_dir))
+
+
+def q_ccnet_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence dedup on CCNet-NORMALIZED paragraphs
+    (lowercase, digits->0, punctuation stripped) — catches the
+    boilerplate variants raw line-hash dedup misses."""
+    return textops.ccnet_paragraph_dedup(_docs(spark, sf_dir))
+
+
+def q_domain_crawl_budget(spark, sf_dir):
+    """Next-round per-domain fetch budgets proportional to unique-doc
+    value, integer-clamped to a politeness floor / anti-trap ceiling
+    (operators/recrawl.domain_crawl_budget)."""
+    from inform_spark.operators.recrawl import domain_crawl_budget
+
+    return domain_crawl_budget(_docs(spark, sf_dir))
+
+
+def q_text_normalize(spark, sf_dir):
+    """Committed-table unicode punctuation transliteration + control
+    strip + whitespace collapse (operators/textops.text_normalize)."""
+    return textops.text_normalize(_docs(spark, sf_dir))
+
+
+def q_suffix_prefix_overlap(spark, sf_dir):
+    """Pagination stitching: (a, b) where a's last-k tokens equal b's
+    first-k tokens (operators/textops.suffix_prefix_overlap, k=2)."""
+    return textops.suffix_prefix_overlap(_docs(spark, sf_dir), k=2)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1219,19 +1330,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks a PREFIX of this
-    # dict (r02 recorded exactly the first 50 of 65). Order = least-recently-
-    # driver-verified first: (1) the 15 queries with no r02 row, (2) the
-    # operators whose implementation changed in round 3 (LSH/clustering
-    # family), followed by the round-3 additions (model quality, exact
-    # substring, PII flat+span, BM25, SemDeDup, curation composition,
-    # badwords, surprisal), (3) the remainder; the tail holds queries green
-    # in BOTH r01 and r02 whose code is untouched (x*/f*/o4/s*/t5/w1/w3/a1b
-    # string+filter functions). Union across rounds keeps every query
-    # driver-verified; all 75 entries also pass tests/verify/check_oracle.py
-    # locally (66 s total at sf0.01 this round).
+    # dict (50 rows per round). Rotation policy (round-parity keyed so no
+    # query ever goes two rounds unchecked): (1) the 25 queries whose last
+    # driver row is r02 — they run FIRST this round, exactly as r03 front-
+    # loaded the r02 gap; (2) queries new in round 4 or whose implementation
+    # changed in round 4 (semdedup pre-collapse, exact_substring 128-bit
+    # hashes, badword source-gate, capped-pairs integer audit); (3) the
+    # remainder — everything in the tail beyond position 50 was green in
+    # CORRECTNESS_r03 and its code is untouched this round. Union across
+    # r03 ∪ r04 covers all queries; all entries also pass
+    # tests/verify/check_oracle.py locally.
     return {
-        # -- (1) no CORRECTNESS_r02 row — verify first ---------------------
+        # -- (1) last driver row is r02 — verify first ----------------------
+        "a1b_pricing_rollup": q_a1b_pricing_rollup,
+        "boilerplate_filter": q_boilerplate_filter,
+        "f1_content_type_gate": q_f1_content_type_gate,
+        "f4_regex_filter": q_f4_regex_filter,
+        "f5_glob_filter": q_f5_glob_filter,
+        "f6_robots_match": q_f6_robots_match,
+        "media_manifest": q_media_manifest,
+        "o4_limit_union": q_o4_limit_union,
+        "recrawl_schedule": q_recrawl_schedule,
+        "repetition_gates": q_repetition_gates,
+        "s10_feed_dedup": q_s10_feed_dedup,
+        "s8_inline_vs_download": q_s8_inline_vs_download,
+        "snapshot_diff": q_snapshot_diff,
+        "span_rechunk": q_span_rechunk,
+        "span_render": q_span_render,
+        "t3_paced_admissions": q_t3_paced_admissions,
+        "t5_retry_backoff": q_t5_retry_backoff,
+        "w1_tumbling_window": q_w1_tumbling_window,
+        "w2_sliding_window": q_w2_sliding_window,
+        "w3_sessionization": q_w3_sessionization,
+        "x5_url_filepath": q_x5_url_filepath,
+        "x6_strip_html": q_x6_strip_html,
+        "x7_content_hash": q_x7_content_hash,
+        "x8_slugify": q_x8_slugify,
+        "x9_date_normalize": q_x9_date_normalize,
+        # -- (2) new or implementation-changed in round 4 --------------------
+        "semdedup": q_semdedup,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "badword_filter": q_badword_filter,
+        "curation_verdicts": q_curation_verdicts,
+        "subword_token_counts": q_subword_token_counts,
+        "pack_sequences_subword": q_pack_sequences_subword,
+        "lang_id_model": q_lang_id_model,
+        "url_canonical_cluster": q_url_canonical_cluster,
+        "ccnet_paragraph_dedup": q_ccnet_paragraph_dedup,
+        "domain_crawl_budget": q_domain_crawl_budget,
+        "text_normalize": q_text_normalize,
+        "suffix_prefix_overlap": q_suffix_prefix_overlap,
+        # -- (3) remainder (r03-green, code untouched) -----------------------
+        "crawl_documents": q_crawl_documents,
+        "crawl_seen_order": q_crawl_seen_order,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "dedup_incremental": q_dedup_incremental,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_exact": q_dedup_exact,
+        "dedup_lines": q_dedup_lines,
+        "source_cap": q_source_cap,
+        "model_quality_score": q_model_quality_score,
+        "pii_redact": q_pii_redact,
+        "span_pii_redact": q_span_pii_redact,
+        # ---- position 51+: every query below was green in CORRECTNESS_r03
+        # and its implementation is untouched this round ---------------------
+        "bm25_relevance": q_bm25_relevance,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "unigram_surprisal": q_unigram_surprisal,
         "vocab_topk": q_vocab_topk,
         "trap_templates": q_trap_templates,
         "duplicate_passages": q_duplicate_passages,
@@ -1244,28 +1411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "crawl_documents": q_crawl_documents,
-        "crawl_seen_order": q_crawl_seen_order,
-        # -- (2) implementation changed this round -------------------------
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        "dedup_minhash_survivors": q_dedup_minhash_survivors,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_exact": q_dedup_exact,
-        "dedup_lines": q_dedup_lines,
-        "source_cap": q_source_cap,
-        # -- new this round --------------------------------------------------
-        "model_quality_score": q_model_quality_score,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        "pii_redact": q_pii_redact,
-        "span_pii_redact": q_span_pii_redact,
-        "bm25_relevance": q_bm25_relevance,
-        "semdedup": q_semdedup,
-        "simhash_neardup_pairs": q_simhash_neardup_pairs,
-        "curation_verdicts": q_curation_verdicts,
-        "badword_filter": q_badword_filter,
-        "unigram_surprisal": q_unigram_surprisal,
-        # -- (3) remainder --------------------------------------------------
         "a1_status_rollup": q_a1_status_rollup,
         "j1_anti_join_seen": q_j1_anti_join_seen,
         "j2_broadcast_lookup": q_j2_broadcast_lookup,
@@ -1284,32 +1429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "decontaminate": q_decontaminate,
         "gopher_gates": q_gopher_gates,
-        "repetition_gates": q_repetition_gates,
-        "boilerplate_filter": q_boilerplate_filter,
-        "snapshot_diff": q_snapshot_diff,
-        "recrawl_schedule": q_recrawl_schedule,
-        "span_rechunk": q_span_rechunk,
-        "span_render": q_span_render,
-        "media_manifest": q_media_manifest,
-        "t3_paced_admissions": q_t3_paced_admissions,
-        # -- tail: green in r02 (w2) / BOTH r01+r02, code untouched ---------
-        "f6_robots_match": q_f6_robots_match,
-        "w2_sliding_window": q_w2_sliding_window,
-        "w1_tumbling_window": q_w1_tumbling_window,
-        "w3_sessionization": q_w3_sessionization,
-        "a1b_pricing_rollup": q_a1b_pricing_rollup,
-        "f1_content_type_gate": q_f1_content_type_gate,
-        "f4_regex_filter": q_f4_regex_filter,
-        "f5_glob_filter": q_f5_glob_filter,
-        "o4_limit_union": q_o4_limit_union,
-        "s8_inline_vs_download": q_s8_inline_vs_download,
-        "s10_feed_dedup": q_s10_feed_dedup,
-        "t5_retry_backoff": q_t5_retry_backoff,
-        "x5_url_filepath": q_x5_url_filepath,
-        "x6_strip_html": q_x6_strip_html,
-        "x7_content_hash": q_x7_content_hash,
-        "x8_slugify": q_x8_slugify,
-        "x9_date_normalize": q_x9_date_normalize,
     }
 
 
@@ -1831,6 +1950,172 @@ def _repetition_oracle() -> str:
     )
 
 
+def _subword_counts_sql() -> str:
+    """DuckDB replay of operators/subword.subword_token_counts: the same
+    greedy longest-match walk over the DISTINCT word dictionary, as a
+    lambda-free RECURSIVE CTE (one state row per word per step, vocab as
+    a values table, longest match via a correlated max subquery).
+
+    Deliberately NOT a list_reduce fold: DuckDB 1.0.0 mis-evaluates a
+    list_reduce lambda that captures an outer column under multithreaded
+    execution (reproducibly tokenizes 'table' as 3 pieces instead of 2
+    with default threads, correct with PRAGMA threads=1), so the fold
+    formulation cannot serve as an oracle."""
+    from inform_spark.operators.subword import VOCAB
+
+    vocab_rows = ", ".join(f"('{p}')" for p in VOCAB)
+    match = (
+        "case when w.pos = 1 "
+        "then v.pp not like '##%' and "
+        "substr(w.word, cast(w.pos as int), length(v.pp)) = v.pp "
+        "else v.pp like '##%' and "
+        "substr(w.word, cast(w.pos as int), length(v.pp)-2) = "
+        "substr(v.pp, 3, length(v.pp)-2) end"
+    )
+    return (
+        "base as (select cast(doc_id as bigint) as doc_id from documents), "
+        "p as (select cast(doc_id as bigint) as doc_id, "
+        "unnest(list_filter(string_split(lower(text), ' '), "
+        "w -> length(w) > 0)) as word from documents), "
+        "dw as (select distinct word from p), "
+        f"vocab(pp) as (values {vocab_rows}), "
+        "walk(word, pos, n, unk) as ("
+        "select word, cast(1 as bigint), cast(0 as bigint), false from dw "
+        "union all "
+        "select word, "
+        "case when ml is null then pos else pos + ml end, "
+        "case when ml is null then n else n + 1 end, "
+        "ml is null "
+        "from (select w.word, w.pos, w.n, "
+        "(select max(length(v.pp) - "
+        "case when v.pp like '##%' then 2 else 0 end) "
+        f"from vocab v where {match}) as ml "
+        "from walk w where w.pos <= length(w.word) and not w.unk) t), "
+        "tk as (select word, "
+        "case when unk then 1 else n end as n_sub, "
+        "cast(unk as bigint) as unk from walk "
+        "where unk or pos > length(word)), "
+        "swc as (select doc_id, cast(count(*) as bigint) as n_words, "
+        "cast(sum(n_sub) as bigint) as n_subword_tokens, "
+        "cast(sum(unk) as bigint) as n_unk_words "
+        "from p join tk using (word) group by doc_id)"
+    )
+
+
+def _lang_id_model_sql() -> str:
+    """DuckDB replay of operators/langid.lang_id_model: same committed
+    seeds, trigram buckets, integer floor-log2 surprisal, argmin with
+    alphabetical tie-break."""
+    from inform_spark.operators.langid import LANGS, N_BUCKETS, SEEDS
+
+    seeds = ", ".join(f"('{lang}', '{SEEDS[lang]}')" for lang in LANGS)
+    tri = (
+        "list_transform(range(1, greatest(length({s})-2, 0)+1), "
+        "i -> cast('0x'||substr(md5('lid'||substr({s}, cast(i as int), 3))"
+        f",1,15) as bigint) % {N_BUCKETS})"
+    )
+    # casts: DuckDB sum() is HUGEINT, which printf('%b', ...) rejects
+    tot_cols = ", ".join(
+        f"cast(sum(case when lang='{lang}' then cnt end) as bigint) "
+        f"as tot_{lang}"
+        for lang in LANGS
+    )
+    cnt_cols = ", ".join(
+        f"cast(sum(case when lang='{lang}' then cnt end) as bigint) "
+        f"as c_{lang}"
+        for lang in LANGS
+    )
+    w_cols = ", ".join(
+        f"length(printf('%b', (tot_{lang} + {N_BUCKETS}) // "
+        f"(coalesce(c_{lang}, 0) + 1))) - 1 as w_{lang}"
+        for lang in LANGS
+    )
+    bit_cols = ", ".join(
+        f"cast(sum(cnt * coalesce(w_{lang}, "
+        f"length(printf('%b', tot_{lang} + {N_BUCKETS})) - 1)) as bigint) "
+        f"as bits_{lang}"
+        for lang in LANGS
+    )
+    return (
+        f"with seeds(lang, s) as (values {seeds}), "
+        f"sg as (select lang, unnest({tri.format(s='s')}) as bucket "
+        "from seeds), "
+        "sc as (select lang, bucket, count(*) as cnt from sg "
+        "group by lang, bucket), "
+        f"tots as (select {tot_cols} from sc), "
+        f"wp as (select bucket, {cnt_cols} from sc group by bucket), "
+        f"wb as (select bucket, {w_cols} from wp, tots), "
+        "dg as (select cast(doc_id as bigint) as doc_id, "
+        f"unnest({tri.format(s='lower(text)')}) as bucket from documents), "
+        "dc as (select doc_id, bucket, count(*) as cnt from dg "
+        "group by doc_id, bucket), "
+        "sc2 as (select doc_id, cast(sum(cnt) as bigint) as n_trigrams, "
+        f"{bit_cols} from dc left join wb using (bucket), tots "
+        "group by doc_id), "
+        "base as (select cast(doc_id as bigint) as doc_id from documents) "
+        "select base.doc_id, "
+        "cast(coalesce(n_trigrams, 0) as bigint) as n_trigrams, "
+        "bits_de, bits_en, bits_es, bits_fr, "
+        "case when n_trigrams is null then null "
+        "when bits_de <= bits_en and bits_de <= bits_es and "
+        "bits_de <= bits_fr then 'de' "
+        "when bits_en <= bits_es and bits_en <= bits_fr then 'en' "
+        "when bits_es <= bits_fr then 'es' else 'fr' end as pred_lang "
+        "from base left join sc2 using (doc_id)"
+    )
+
+
+def _url_canon_sql() -> str:
+    """DuckDB replay of operators/urlops over the same synthesized
+    messy-URL surface forms (see _synth_urls)."""
+    return (
+        "with ev as (select 'HTTP' || "
+        "case when event_id % 7 = 0 then 'S' else '' end || '://Host' || "
+        "cast(user_id % 20 as varchar) || '.Example.COM' || "
+        "case when event_id % 3 = 0 then "
+        "(case when event_id % 7 = 0 then ':443' else ':80' end) "
+        "else '' end || '/Path/' || event_type || "
+        "case when event_id % 2 = 0 then '/' else '' end || "
+        "'?utm_source=feed&id=' || cast(event_id % 50 as varchar) || "
+        "case when event_id % 5 = 0 then '&b=2&a=1' else '' end || "
+        "'#frag' as url from events), "
+        "x as (select url, "
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+        "as scheme, "
+        "lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) as host0, "
+        "regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path0, "
+        "regexp_extract(url, '\\?([^#]*)', 1) as q from ev), "
+        "y as (select url, scheme, "
+        "case when scheme = 'http' and host0 like '%:80' "
+        "then substr(host0, 1, length(host0)-3) "
+        "when scheme = 'https' and host0 like '%:443' "
+        "then substr(host0, 1, length(host0)-4) else host0 end as host, "
+        "case when regexp_replace(path0, '/+$', '') = '' then '/' "
+        "else regexp_replace(path0, '/+$', '') end as path, "
+        "array_to_string(list_sort(list_filter(string_split(q, '&'), "
+        "p -> p != '' and not starts_with(p, 'utm_') "
+        "and not starts_with(p, 'gclid') "
+        "and not starts_with(p, 'fbclid'))), '&') as qc from x), "
+        "c as (select url, scheme || '://' || host || path || "
+        "case when qc != '' then '?' || qc else '' end as canon_url "
+        "from y) "
+        "select canon_url, cast(count(*) as bigint) as n_occurrences, "
+        "cast(count(distinct url) as bigint) as n_variants, "
+        "min(url) as rep_url from c group by canon_url"
+    )
+
+
+# CCNet paragraph normalization, DuckDB side (regexp_replace needs the
+# 'g' flag — DuckDB replaces first-match-only by default, Spark always
+# replaces all)
+_CCNET_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower({p}), "
+    "'[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_base()
     # curation_verdicts composes the STAGE ORACLES as subqueries — the
@@ -1849,6 +2134,96 @@ def oracle_sql() -> dict[str, str]:
         "group by text) select cast(d2.doc_id as bigint) as doc_id, "
         "cast(d2.doc_id = m.mn as int) as is_canonical "
         "from documents d2 join m using (text)) c using (doc_id)"
+    )
+    # ---- round-4 additions --------------------------------------------
+    d["subword_token_counts"] = (
+        f"with recursive {_subword_counts_sql()} "
+        "select base.doc_id, "
+        "cast(coalesce(n_words, 0) as bigint) as n_words, "
+        "cast(coalesce(n_subword_tokens, 0) as bigint) as n_subword_tokens, "
+        "cast(coalesce(n_unk_words, 0) as bigint) as n_unk_words "
+        "from base left join swc using (doc_id)"
+    )
+    d["pack_sequences_subword"] = (
+        f"with recursive {_subword_counts_sql()}, "
+        "t as (select base.doc_id, "
+        "cast(coalesce(n_subword_tokens, 0) as bigint) as tok "
+        "from base left join swc using (doc_id)), "
+        "c as (select doc_id, tok, cast(coalesce(sum(tok) over "
+        "(order by doc_id rows between unbounded preceding and 1 "
+        "preceding), 0) as bigint) as cum_before from t) "
+        "select doc_id, tok, cum_before, "
+        "cum_before // 512 as seq_first, "
+        "(cum_before + greatest(tok, 1) - 1) // 512 as seq_last, "
+        "cum_before % 512 as offset_in_seq, "
+        "(cum_before + greatest(tok, 1) - 1) // 512 "
+        "- cum_before // 512 + 1 as n_seqs from c"
+    )
+    d["lang_id_model"] = _lang_id_model_sql()
+    d["url_canonical_cluster"] = _url_canon_sql()
+    d["ccnet_paragraph_dedup"] = (
+        "with paras as (select doc_id, t.s.pos as pos, t.s.para as para, "
+        "doc_id * 4294967296 + t.s.pos as k, "
+        + _CCNET_NORM_SQL.format(p="t.s.para")
+        + " as norm from "
+        "(select cast(doc_id as bigint) as doc_id, "
+        "list_transform(string_split(text, chr(10)), "
+        "(x, i) -> {'pos': i, 'para': x}) as pls from documents), "
+        "unnest(pls) as t(s)), "
+        "winners as (select norm, min(k) as wk from paras "
+        "where norm != '' group by norm), "
+        "kept as (select p.doc_id, p.pos, p.para from paras p "
+        "left join winners w on p.norm = w.norm "
+        "where p.norm = '' or p.k = w.wk), "
+        "rebuilt as (select doc_id, "
+        "string_agg(para, chr(10) order by pos) as t, "
+        "cast(count(*) as bigint) as kept_n from kept group by doc_id), "
+        "totals as (select cast(doc_id as bigint) as doc_id, "
+        "cast(len(string_split(text, chr(10))) as bigint) as total_n "
+        "from documents) "
+        "select totals.doc_id, coalesce(t, '') as text_dedup, "
+        "cast(coalesce(kept_n, 0) as bigint) as n_paras_kept, "
+        "cast(total_n - coalesce(kept_n, 0) as bigint) as n_paras_dropped "
+        "from totals left join rebuilt using (doc_id)"
+    )
+    d["domain_crawl_budget"] = (
+        "with s as (select source, md5(text) as h, "
+        "cast(len(string_split(lower(text), ' ')) as bigint) as tok "
+        "from documents), "
+        "g as (select source, cast(count(*) as bigint) as n_docs, "
+        "cast(count(distinct h) as bigint) as n_unique_docs, "
+        "cast(sum(tok) as bigint) as n_tokens from s group by source), "
+        "tv as (select sum(n_unique_docs) as tv from g) "
+        "select source, n_docs, n_unique_docs, n_tokens, "
+        "cast(greatest(least((n_unique_docs * 10000) // tv, 4000), 100) "
+        "as bigint) as budget_pages from g, tv"
+    )
+    # text_normalize: replace() chain mirrors operators/textops.PUNCT_MAP
+    from inform_spark.operators.textops import PUNCT_MAP
+
+    norm_expr = "text"
+    for src, dst in PUNCT_MAP:
+        sq, dq = src.replace("'", "''"), dst.replace("'", "''")
+        norm_expr = f"replace({norm_expr}, '{sq}', '{dq}')"
+    norm_expr = (
+        f"trim(regexp_replace(regexp_replace({norm_expr}, "
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    d["text_normalize"] = (
+        f"with n as (select cast(doc_id as bigint) as doc_id, "
+        f"{norm_expr} as norm_text, "
+        "cast(length(text) as bigint) as n_chars from documents) "
+        "select doc_id, norm_text, n_chars, "
+        "cast(length(norm_text) as bigint) as n_chars_norm from n"
+    )
+    d["suffix_prefix_overlap"] = (
+        "with t as (select cast(doc_id as bigint) as doc_id, "
+        "string_split(lower(text), ' ') as w from documents), "
+        "b as (select doc_id, array_to_string(w[1:2], ' ') as pre, "
+        "array_to_string(w[len(w)-1:len(w)], ' ') as suf from t "
+        "where len(w) >= 2) "
+        "select x.doc_id as a, y.doc_id as b, x.suf as boundary "
+        "from b x join b y on x.suf = y.pre and x.doc_id != y.doc_id"
     )
     return d
 
@@ -2089,13 +2464,15 @@ def _oracle_base() -> dict[str, str]:
             "t as (select doc_id, u.idx as idx, u.tok as tok from t0), "
             "wn0 as (select doc_id, unnest(list_transform("
             "range(greatest(len(w)-7, 0)), i -> {'pos': i, "
-            "'h': cast('0x'||substr(md5(array_to_string("
-            "w[i+1:i+8], ' ')),1,15) as bigint)})) as u "
+            "'hm': md5(array_to_string(w[i+1:i+8], ' '))})) as u "
             "from s where len(w) >= 8), "
-            "wn as (select doc_id, u.pos as pos, u.h as h from wn0), "
-            "d as (select h from wn group by h having count(*) >= 2), "
+            "wn as (select doc_id, u.pos as pos, "
+            "cast('0x'||substr(u.hm,1,15) as bigint) as h1, "
+            "cast('0x'||substr(u.hm,17,15) as bigint) as h2 from wn0), "
+            "d as (select h1, h2 from wn group by h1, h2 "
+            "having count(*) >= 2), "
             "rem as (select distinct doc_id, pos + j as idx "
-            "from wn join d using (h), unnest(range(8)) as r(j)), "
+            "from wn join d using (h1, h2), unnest(range(8)) as r(j)), "
             "k as (select t.* from t anti join rem "
             "using (doc_id, idx)), "
             "rb as (select doc_id, string_agg(tok, ' ' order by idx) "

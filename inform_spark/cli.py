@@ -288,12 +288,14 @@ def run_git(args, opts, spark) -> int:
         include=opts.get("include"), exclude=opts.get("exclude"),
         output_dir=output_dir, lister=lister,
     )
-    files = fetch_download_urls(eng.run(), **fetch_kw)
+    files = fetch_download_urls(eng.run(), **fetch_kw).persist()
 
     os.makedirs(output_dir, exist_ok=True)
 
     def write_partition(rows):
         for row in rows:
+            if row["fetch_failed"]:
+                continue
             path = row["local_path"]
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             if row["is_binary"]:
@@ -305,14 +307,20 @@ def run_git(args, opts, spark) -> int:
 
     files.foreachPartition(write_partition)
     s = eng.summary
+    s.files_failed = files.filter("fetch_failed").count()
+    s.files_downloaded = files.count() - s.files_failed
+    files.unpersist()
     if not args.quiet:
         print(f"Download complete: {s.files_downloaded} files, "
               f"{s.dirs_listed} dirs listed ({s.rounds} rounds), "
-              f"{s.dirs_failed} dir errors -> {output_dir}")
-    # reference exit-code policy (src/cli.js:229-231)
-    if s.dirs_failed > 0 and not opts.get("ignore_errors"):
+              f"{s.dirs_failed} dir errors, {s.files_failed} file errors "
+              f"-> {output_dir}")
+    # reference exit-code policy (src/cli.js:229-231): rc=1 iff anything
+    # FAILED (dir listing or file download) and --ignore-errors is off; an
+    # empty-but-error-free repo exits 0 (crawler.failures is empty there).
+    if (s.dirs_failed + s.files_failed) > 0 and not opts.get("ignore_errors"):
         return 1
-    return 0 if s.files_downloaded > 0 else 1
+    return 0
 
 
 def run_feed(args, opts, spark) -> int:

@@ -254,7 +254,7 @@ _H_RE = re.compile(r"^h([1-6])$")
 
 
 def _inline_code(content: str) -> str:
-    """Turndown's inline-code rule: the delimiter grows to one more
+    r"""Turndown's inline-code rule: the delimiter grows to one more
     backtick than any run inside the content, with a pad space when the
     content starts/ends with a backtick (turndown.js `code` rule) — a
     bare ``\`content\``` would terminate early on inner backticks."""

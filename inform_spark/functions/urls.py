@@ -69,8 +69,13 @@ def resolve_url(href: str, base: str) -> str | None:
     try:
         # WHATWG treats backslashes as slashes in special-scheme URLs
         # (the reference's new URL() does this); Python's urljoin keeps
-        # them literal, which would 404 every Windows-style href
-        absolute = urljoin(base, href.strip().replace("\\", "/"))
+        # them literal, which would 404 every Windows-style href.
+        # Only PATH-state backslashes flip: once the parser enters the
+        # query ('?') or fragment ('#') state, '\' is preserved — so
+        # /search?q=a\b keeps its backslash, matching new URL().
+        s = href.strip()
+        cut = min((i for i in (s.find("?"), s.find("#")) if i != -1), default=len(s))
+        absolute = urljoin(base, s[:cut].replace("\\", "/") + s[cut:])
         scheme, netloc, _p, _q, _f = urlsplit(absolute)
         if scheme not in ("http", "https") or not netloc:
             return None

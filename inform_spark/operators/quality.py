@@ -307,12 +307,14 @@ def badword_filter(
     n_bad = F.size(
         F.filter(toks, lambda t: t.isin([w.lower() for w in words]))
     ).cast("long")
-    out = docs.select(
-        "doc_id",
-        F.col(source_col).alias("__src"),
-        n_bad.alias("n_bad_words"),
-    )
     if blocked_sources is not None:
+        # Only the domain-gated form touches the source column; the
+        # word-only gate must work on frames that don't carry one.
+        out = docs.select(
+            "doc_id",
+            F.col(source_col).alias("__src"),
+            n_bad.alias("n_bad_words"),
+        )
         dim = F.broadcast(
             blocked_sources.select(
                 F.col("source").alias("__src"), F.lit(True).alias("__blk")
@@ -322,7 +324,9 @@ def badword_filter(
             "source_blocked", F.coalesce("__blk", F.lit(False))
         ).drop("__blk")
     else:
-        out = out.withColumn("source_blocked", F.lit(False))
+        out = docs.select("doc_id", n_bad.alias("n_bad_words")).withColumn(
+            "source_blocked", F.lit(False)
+        )
     return out.select(
         "doc_id",
         "n_bad_words",

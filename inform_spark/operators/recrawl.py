@@ -104,3 +104,60 @@ def due_now(
     due = schedule.filter(F.col("next_due_ms") <= F.lit(now_ms))
     due = due.orderBy(F.col("next_due_ms").asc(), F.col("url").asc())
     return due.limit(budget) if budget else due
+
+
+def domain_crawl_budget(
+    docs: DataFrame,
+    total_budget: int = 10_000,
+    min_pages: int = 100,
+    max_pages: int = 4_000,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-domain page budget for the NEXT crawl round: (source, n_docs,
+    n_unique_docs, n_tokens, budget_pages). The classic crawl-planning
+    allocation (BUbiNG / IRLbot-style politeness budgeting): each
+    domain's share of the global fetch budget is proportional to the
+    VALUE it produced last round — its count of unique documents
+    (exact-duplicate pages earn nothing; a domain serving one template
+    under 10^6 URLs gets the floor, not 10^6 fetches) — then clamped to
+    [min_pages, max_pages] so no domain starves (politeness floor) or
+    monopolizes (anti-trap ceiling).
+
+    Integer arithmetic throughout (``div`` shares, integer clamp):
+    budgets are reproducible across engines and partitionings —
+    a crawl plan must not change when the cluster resizes. Clamping
+    happens after the proportional share, so sum(budget) can differ
+    from total_budget by design (the clamp is the contract, not the
+    total).
+
+    Scale: one groupBy(source) with map-side combine over
+    (source, text-hash) partials; the global value total is a 1-row
+    broadcast cross. Nothing O(corpus^2), no window."""
+    per_source = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.md5("text").alias("__h"),
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias("__tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("__h").cast("long").alias("n_unique_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+        )
+    )
+    total_value = per_source.agg(
+        F.sum("n_unique_docs").cast("long").alias("__tv")
+    )
+    share = F.expr(f"(n_unique_docs * {total_budget}) div __tv").cast("long")
+    budget = F.greatest(
+        F.least(share, F.lit(max_pages).cast("long")),
+        F.lit(min_pages).cast("long"),
+    )
+    return per_source.join(F.broadcast(total_value)).select(
+        "source",
+        "n_docs",
+        "n_unique_docs",
+        "n_tokens",
+        budget.alias("budget_pages"),
+    )

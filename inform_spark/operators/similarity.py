@@ -247,6 +247,7 @@ def semdedup(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _counters: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedded corpus — cluster into cells, call
@@ -270,21 +271,33 @@ def semdedup(
     per-vector ranking window is bounded at n_cells rows per vector);
     the pair join is scoped to cells, O(sum cell^2) never corpus^2 —
     with SemDeDup-realistic cell counts (~sqrt(corpus)) cells stay small.
-    A degenerate cell of exact copies has the same quadratic exposure as
-    any similarity join: pre-collapse byte-identical vectors first
-    (textops.dedup_exact on a vector hash) and scale n_cells with the
-    corpus. Components run on the (sparse) tau-graph only; the survivor
-    pick is an associative min(struct) — no global sort, no window over
-    the corpus."""
+    Exact-identical vectors are PRE-COLLAPSED to their min-id
+    representative before cell assignment (one groupBy on the vector),
+    so the degenerate cell — a boilerplate class of byte-identical
+    embeddings — costs O(distinct) in the pair join instead of
+    O(copies^2), by construction rather than by user discipline.
+    Collapsing is exact, not an approximation: identical vectors have
+    identical cosine to every centroid (same cell, same ccos) and
+    identical tau-edges, each copy-group's min id IS its representative
+    so the component label (min reachable id) is unchanged, and the
+    survivor min(struct(ccos, v)) over the fanned-out family is always
+    attained at a representative. Components run on the (sparse)
+    representative tau-graph only; the survivor pick is an associative
+    min(struct) — no global sort, no window over the corpus."""
     from inform_spark.operators.components import connected_components
 
     cents = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("ctn"),
     )
-    corpus = emb.select(
-        F.col(id_col).alias("v"), F.col(vec_col).alias("vv"),
-        _norm(F.col(vec_col)).alias("vn"),
+    members = emb.select(
+        F.col(id_col).alias("ov"), F.col(vec_col).alias("ovv")
+    )
+    # exact-dup pre-collapse: one groupBy on the vector; every copy-group's
+    # representative is its min id
+    reps = members.groupBy("ovv").agg(F.min("ov").alias("v")).persist()
+    corpus = reps.select(
+        "v", F.col("ovv").alias("vv"), _norm(F.col("ovv")).alias("vn")
     )
     ac = corpus.join(F.broadcast(cents)).withColumn(
         "ccos", _cos("vv", "cv", "vn", "ctn")
@@ -311,27 +324,41 @@ def semdedup(
         .filter(F.col("cos") >= tau)
         .select("a", "b")
     )
+    if _counters is not None:
+        # test seam: prove the pair join runs at collapsed cardinality
+        _counters["n_input"] = members.count()
+        _counters["n_reps"] = reps.count()
+        _counters["n_rep_pairs"] = pairs.count()
     comp = connected_components(pairs, "a", "b").select(
         F.col("v").alias("cv_id"), "component"
     )
-    # localCheckpoint (eager) pins the small (v, cell, ccos, component)
-    # relation so the cached assignment — which still carries the full
-    # embedding vectors — can be dropped instead of leaking for the
-    # session lifetime
-    labeled = (
-        assigned.join(comp, assigned["v"] == comp["cv_id"], "left")
-        .select(
-            "v", "cell", "ccos",
-            F.coalesce("component", F.col("v")).alias("component"),
-        )
+    labeled = assigned.join(comp, assigned["v"] == comp["cv_id"], "left").select(
+        F.col("v").alias("rep"), "cell", "ccos",
+        F.coalesce("component", F.col("v")).alias("component"),
+    )
+    # fan the representative verdicts back out to every exact copy, then
+    # localCheckpoint (eager): pins the small (v, cell, ccos, component)
+    # relation so the cached assignment and rep frames — which still carry
+    # the full embedding vectors — can be dropped instead of leaking for
+    # the session lifetime
+    rep_map = members.join(
+        reps.select("ovv", F.col("v").alias("rep")), "ovv"
+    ).select(F.col("ov").alias("v"), "rep")
+    full = (
+        rep_map.join(labeled, "rep")
+        .select("v", "cell", "ccos", "component")
         .localCheckpoint()
     )
     assigned.unpersist()
-    stats = labeled.groupBy("component").agg(
+    reps.unpersist()
+    # family stats over the FULL corpus: n_members counts copies, and the
+    # survivor min(struct(ccos, v)) is attained at a representative (copies
+    # share ccos and have larger ids), matching the uncollapsed semantics
+    stats = full.groupBy("component").agg(
         F.min(F.struct(F.col("ccos"), F.col("v"))).alias("pick"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
-    return labeled.join(stats, "component").select(
+    return full.join(stats, "component").select(
         F.col("v").cast("long").alias("vec_id"),
         F.col("cell").cast("long").alias("cell"),
         "ccos",

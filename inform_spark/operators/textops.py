@@ -251,9 +251,13 @@ def pairs_from_bands_capped(
             "band_key",
             "bucket_n",
             (F.col("bucket_n") - max_bucket).alias("n_dropped_members"),
+            # Integer arithmetic throughout: float division would round the
+            # exact pair count once a degenerate bucket exceeds ~9.4e7
+            # members (pairs > 2^53) — precisely the web-scale case this
+            # audit exists for. `div` is Spark's integral division.
             (
-                F.col("bucket_n") * (F.col("bucket_n") - 1) / 2
-                - F.lit(max_bucket * (max_bucket - 1) / 2)
+                F.expr("cast(bucket_n as bigint) * (bucket_n - 1) div 2")
+                - F.lit(max_bucket * (max_bucket - 1) // 2)
             ).cast("long").alias("n_dropped_pairs"),
         )
     )
@@ -629,7 +633,12 @@ def exact_substring_dedup(docs: DataFrame, w: int = 50) -> DataFrame:
     Scale design — everything is linear and join-based, no suffix array
     and no per-doc quadratic in-row scan:
     - window hashes: narrow posexplode, O(corpus tokens) rows of
-      (doc_id, pos, h60) — text never shuffles, only 60-bit hashes;
+      (doc_id, pos, h1, h2) — text never shuffles, only hashes. The key
+      is 120 bits (two 60-bit halves of ONE md5): at 10^11 w-token
+      windows the birthday bound is n^2/2^121 ~ 4e-15 expected
+      collisions, vs thousands at 60 bits — and every collision is a
+      wrongful w-token cut from a real document, so the width is a
+      correctness margin, not a tuning knob;
     - duplicated hashes: count groupBy with map-side combine (boilerplate
       windows are heavy hitters; partial aggregation absorbs them);
     - removed token indices: duplicated window starts exploded xW and
@@ -647,18 +656,25 @@ def exact_substring_dedup(docs: DataFrame, w: int = 50) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("__w") - w),
-                lambda i: _h60(F.concat_ws(" ", F.slice(F.col("__w"), i + 1, w))),
+                # one md5 per window; the two 60-bit halves are derived
+                # post-explode so the digest is computed exactly once
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), i + 1, w))),
             )
-        ).alias("pos", "h"),
+        ).alias("pos", "__hm"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring("__hm", 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("__hm", 17, 15), 16, 10).cast("long").alias("h2"),
     )
     dup_h = (
-        wins.groupBy("h")
+        wins.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 2)
-        .select("h")
+        .select("h1", "h2")
     )
     removed = (
-        wins.join(dup_h, "h", "left_semi")
+        wins.join(dup_h, ["h1", "h2"], "left_semi")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias(
@@ -748,4 +764,159 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet normalized-paragraph dedup
+# ---------------------------------------------------------------------------
+
+def ccnet_normalize(col):
+    """CCNet's paragraph-hash normalization (Wenzek et al. 2020 §3.2,
+    public paper): lowercase, every digit to '0', strip everything
+    outside [a-z0 ], collapse whitespace runs, trim. Two paragraphs that
+    differ only in casing, punctuation, or embedded numbers (dates,
+    view counts, session ids — the classic boilerplate variants) then
+    hash identically. Pure codegen string ops, zero shuffle."""
+    s = F.regexp_replace(F.lower(col), "[0-9]", "0")
+    s = F.regexp_replace(s, "[^a-z0 ]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
+def ccnet_paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide NORMALIZED-paragraph dedup: each distinct
+    ccnet_normalize(paragraph) survives only at its first occurrence
+    (minimum (doc_id, position), long-encoded so the winner pick is a
+    plain associative min); every other occurrence is dropped and each
+    document is rebuilt from its surviving ORIGINAL paragraphs in
+    order. This is :func:`dedup_lines` hardened the CCNet way — raw
+    line-hash dedup misses the dominant boilerplate variants (same
+    banner, different date), normalized hashing catches them.
+    Paragraphs that normalize to '' (pure punctuation/whitespace) are
+    structural, never dedup-eligible, always kept.
+
+    Returns (doc_id, text_dedup, n_paras_kept, n_paras_dropped) for
+    every input document.
+
+    Scale design: identical to dedup_lines — two shuffles (winner
+    groupBy with map-side combine absorbing heavy-hitter boilerplate;
+    per-doc reassembly), AQE skew-join on the value join. Only the
+    normalized key shuffles twice; original paragraph text shuffles
+    once."""
+    big = F.lit(1 << 32)
+    paras = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(F.split("text", "\n")).alias("pos", "para"),
+        )
+        .withColumn("k", F.col("doc_id") * big + F.col("pos"))
+        .withColumn("norm", ccnet_normalize(F.col("para")))
+    )
+    winners = (
+        paras.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.min("k").alias("wk"))
+    )
+    kept = paras.join(winners, "norm", "left").filter(
+        (F.col("norm") == "") | (F.col("k") == F.col("wk"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", "\n")).cast("long").alias("__total"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("__text", F.lit("")).alias("text_dedup"),
+        F.coalesce("__kept", F.lit(0)).cast("long").alias("n_paras_kept"),
+        (F.col("__total") - F.coalesce("__kept", F.lit(0)))
+        .cast("long")
+        .alias("n_paras_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode/whitespace text canonicalization
+# ---------------------------------------------------------------------------
+
+# committed 1:1-and-small punctuation transliteration table (curly
+# quotes, dashes, ellipsis, non-breaking/ideographic spaces) — the
+# pre-tokenization cleanup every corpus pipeline runs before hashing
+PUNCT_MAP: list[tuple[str, str]] = [
+    ("‘", "'"), ("’", "'"), ("‚", "'"),
+    ("“", '"'), ("”", '"'), ("„", '"'),
+    ("–", "-"), ("—", "-"), ("−", "-"),
+    ("…", "..."), (" ", " "), ("　", " "),
+]
+
+
+def text_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_text, n_chars, n_chars_norm): canonicalize text for
+    downstream hashing/tokenization — transliterate the committed
+    PUNCT_MAP (curly quotes -> straight, en/em/minus dashes -> '-',
+    ellipsis -> '...', nbsp/ideographic space -> ' '), replace control
+    characters with spaces, collapse whitespace runs, trim. Zero
+    shuffle: a chain of replace/regexp_replace, whole-stage codegen.
+    Full NFC normalization needs ICU (not a Spark built-in); the
+    committed-table subset keeps the operator engine-exact and covers
+    the forms that actually fracture dedup keys in web text."""
+    s: Column = F.col(text_col)
+    for src, dst in PUNCT_MAP:
+        s = F.replace(s, F.lit(src), F.lit(dst))
+    s = F.regexp_replace(s, r"[\x00-\x1f\x7f]", " ")
+    s = F.trim(F.regexp_replace(s, " +", " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        s.alias("norm_text"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        s.alias("__n"),
+    ).select(
+        "doc_id", "norm_text", "n_chars",
+        F.length("__n").cast("long").alias("n_chars_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suffix/prefix boundary overlap (pagination stitching)
+# ---------------------------------------------------------------------------
+
+def suffix_prefix_overlap(docs: DataFrame, k: int = 2) -> DataFrame:
+    """Candidate continuation pairs: (a, b, boundary) where document
+    a's last ``k`` lowercased tokens equal document b's first ``k``
+    tokens — the signal for stitching paginated articles / split crawl
+    captures back together (a "page 2 of" detector that needs no
+    markup). Documents shorter than k tokens have no boundary and never
+    pair.
+
+    Scale design: one equi-join on the k-token boundary key — each side
+    is one row per doc (narrow slice + concat, no explode). Boilerplate
+    boundaries ("click here to continue") are hot keys; AQE's skew-join
+    split absorbs them, and the key itself is k tokens, so only short
+    strings shuffle, never documents."""
+    w = words_col()
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), w.alias("__w")
+    ).filter(F.size("__w") >= k)
+    suf = base.select(
+        F.col("doc_id").alias("a"),
+        F.concat_ws(" ", F.slice("__w", -k, k)).alias("boundary"),
+    )
+    pre = base.select(
+        F.col("doc_id").alias("b"),
+        F.concat_ws(" ", F.slice("__w", 1, k)).alias("boundary"),
+    )
+    return (
+        suf.join(pre, "boundary")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "boundary")
     )

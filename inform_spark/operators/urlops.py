@@ -1,0 +1,82 @@
+"""Distributed URL canonicalization + variant clustering.
+
+A 100 TB crawl sees the same resource under thousands of surface forms
+— tracking parameters, case-variant hosts, default ports, trailing
+slashes, fragments, shuffled query order. Canonicalizing BEFORE the
+seen-set / dedup keys is what keeps the frontier from re-crawling the
+same page under a fresh utm_ tag (the reference normalizes fragments
+and resolves relative forms in ``new URL()`` — src/WebCrawler.js:560+
+— this operator extends that to the full variant family as a corpus
+batch op).
+
+Everything is a chain of in-row string built-ins (regexp_extract /
+filter / array_sort / concat), zero shuffle for the canonical form and
+ONE groupBy for the clustering — both expressible identically in
+DuckDB, which is what the oracle checks.
+
+Semantics (the widely-published safe-normalization subset, RFC 3986
+§6 + the tracking-param strip every production crawler ships):
+- scheme and host lowercase; fragment dropped;
+- default ports stripped (:80 for http, :443 for https);
+- trailing slash runs on the path collapsed ('' -> '/');
+- tracking params removed (utm_*, gclid, fbclid), remaining params
+  byte-sorted so order variants collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# params stripped by prefix match on 'name=' (or bare 'name')
+TRACKING_PREFIXES = ["utm_", "gclid", "fbclid"]
+
+
+def canonicalize_url(url: Column) -> Column:
+    """The canonical form of an absolute http(s) URL as a Column
+    expression (see module docstring for the exact rule set)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        host.substr(F.lit(1), F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        host.substr(F.lit(1), F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # prefix match covers both 'utm_x=1' and bare 'gclid'
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.startswith("utm_")
+        & ~p.startswith("gclid")
+        & ~p.startswith("fbclid"),
+    )
+    qcanon = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def url_canonical_cluster(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canon_url, n_occurrences, n_variants, rep_url): group every
+    input URL occurrence by its canonical form. ``n_variants`` counts
+    DISTINCT surface forms, ``rep_url`` is the lexicographic minimum
+    surface form (a deterministic representative). One shuffle; the
+    canonicalization itself is map-side codegen."""
+    canon = df.select(
+        F.col(url_col).alias("url"), canonicalize_url(F.col(url_col)).alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.min("url").alias("rep_url"),
+    )

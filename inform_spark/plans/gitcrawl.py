@@ -105,6 +105,7 @@ class GitCrawlSummary:
     dirs_listed: int = 0
     dirs_failed: int = 0
     files_downloaded: int = 0
+    files_failed: int = 0
     files_filtered: int = 0
     dirs_pruned: int = 0
     rounds: int = 0

@@ -185,9 +185,20 @@ def fetch_download_urls(
     """Fill ``text``/``data`` for non-inline files by fetching their
     ``download_url`` (src/GitCrawler.js:308-325). Distributed: each
     partition's worker streams its files; binary bytes stay in the binary
-    column on the executor. Inline rows pass through untouched."""
+    column on the executor. Inline rows pass through untouched.
+
+    The output schema is FILES plus a ``fetch_failed`` boolean: the
+    reference tracks per-FILE download failures in ``crawler.failures``
+    (src/GitCrawler.js:318-323) and gates the exit code on them
+    (src/cli.js:229-231), so failures must survive the distributed fetch
+    back to the driver as data, not logs."""
+    from pyspark.sql.types import BooleanType, StructField
+
     from inform_spark.plans.gitcrawl import FILES
 
+    out_schema = StructType(
+        list(FILES.fields) + [StructField("fetch_failed", BooleanType(), False)]
+    )
     headers = {"User-Agent": user_agent}
     if token:
         headers["Authorization"] = f"token {token}"
@@ -197,22 +208,32 @@ def fetch_download_urls(
         pacing: dict[str, float] = {}
         for pdf in batches:
             out = {c: [] for c in cols}
+            out["fetch_failed"] = []
             for row in pdf.itertuples(index=False):
                 text, data = row.text, row.data
-                if not row.inline and row.download_url:
-                    status, body = _get_with_retry(
-                        row.download_url, headers, timeout_s, max_retries,
-                        base_backoff_s, pacing, min_interval_ms,
-                    )
-                    if status == 200 and body is not None:
-                        body = body[:max_bytes]
-                        if row.is_binary:
-                            data = body
+                failed = False
+                if not row.inline:
+                    if row.download_url:
+                        status, body = _get_with_retry(
+                            row.download_url, headers, timeout_s, max_retries,
+                            base_backoff_s, pacing, min_interval_ms,
+                        )
+                        if status == 200 and body is not None:
+                            body = body[:max_bytes]
+                            if row.is_binary:
+                                data = body
+                            else:
+                                text = body.decode("utf-8", "replace")
                         else:
-                            text = body.decode("utf-8", "replace")
+                            failed = True
+                    else:
+                        # listed but not inlined and no download URL:
+                        # nothing fetchable — a failure, not an empty file
+                        failed = True
                 for c in cols:
                     v = {"text": text, "data": data}.get(c, getattr(row, c))
                     out[c].append(v)
-            yield pd.DataFrame(out, columns=cols)
+                out["fetch_failed"].append(failed)
+            yield pd.DataFrame(out, columns=cols + ["fetch_failed"])
 
-    return files_df.mapInPandas(fetch, FILES)
+    return files_df.mapInPandas(fetch, out_schema)

@@ -131,7 +131,9 @@ def process_batch(
     mq = model_quality_score(d).select(
         "doc_id", F.col("keep").cast("int").alias("pass_model")
     )
-    bw_in = d if "source" in d.columns else d.withColumn("source", F.lit(""))
+    bw_in = d
+    if blocked_sources is not None and "source" not in d.columns:
+        bw_in = d.withColumn("source", F.lit(""))
     bw = badword_filter(bw_in, blocked_sources=blocked_sources).select(
         "doc_id", F.col("keep").cast("int").alias("pass_badword")
     )

@@ -103,6 +103,16 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 items.append(it)
             self._send(json.dumps(items).encode(), "application/json")
+        # repo with one file whose download URL 404s (exit-code policy)
+        elif path.startswith("/repos/o/rbad/contents"):
+            items = [{
+                "name": "gone.md", "type": "file", "size": 2_000_000,
+                "content": None, "download_url": f"{origin}/raw/gone.md",
+            }]
+            self._send(json.dumps(items).encode(), "application/json")
+        # error-free repo with zero files (exit-code policy)
+        elif path.startswith("/repos/o/rempty/contents"):
+            self._send(b"[]", "application/json")
         elif path == "/raw/big.md":
             self._send(b"# Big file body", "text/plain")
         # --- feeds ---
@@ -167,6 +177,36 @@ def test_cli_git_mode(spark, server, tmp_path, monkeypatch):
     assert (out / "big.md").read_text() == "# Big file body"
     # recursion happened through the API, not a pre-built listing
     assert any(p.startswith("/repos/o/r/contents/docs") for p in server.request_log)
+
+
+def test_cli_git_mode_file_failure_exit_code(spark, server, tmp_path, monkeypatch):
+    """Reference exit-code policy (src/cli.js:229-231): a failed FILE
+    download lands in crawler.failures -> rc 1, unless --ignore-errors."""
+    from inform_spark import cli
+
+    monkeypatch.setenv("GITHUB_API_BASE", _origin(server))
+    out = tmp_path / "repo-bad"
+    rc = cli.main(["https://github.com/o/rbad", "--output-dir", str(out)])
+    assert rc == 1
+    assert not (out / "gone.md").exists()  # failed files never hit disk
+    rc2 = cli.main([
+        "https://github.com/o/rbad",
+        "--output-dir", str(tmp_path / "repo-bad2"), "--ignore-errors",
+    ])
+    assert rc2 == 0
+
+
+def test_cli_git_mode_empty_repo_exit_zero(spark, server, tmp_path, monkeypatch):
+    """An empty-but-error-free repo exits 0 (reference: failures map is
+    empty, so cli.js:229 gate does not fire)."""
+    from inform_spark import cli
+
+    monkeypatch.setenv("GITHUB_API_BASE", _origin(server))
+    rc = cli.main([
+        "https://github.com/o/rempty",
+        "--output-dir", str(tmp_path / "repo-empty"),
+    ])
+    assert rc == 0
 
 
 def test_cli_git_mode_include_prunes(spark, server, tmp_path, monkeypatch):

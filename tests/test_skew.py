@@ -140,10 +140,11 @@ def test_budget_binds_per_host(spark, hot_site, tmp_path):
 
 def test_semdedup_degenerate_cell(spark):
     """A boilerplate class of 2,000 byte-identical vectors lands in ONE
-    cell: the cell-scoped pair join is quadratic in the cell by design
-    (documented exposure, mitigated by pre-collapsing exact dups), but
-    the family must still resolve to one component with one survivor —
-    and complete without OOM at bench-like memory."""
+    cell: since round 4, semdedup pre-collapses exact-identical vectors
+    to their min-id representative BEFORE cell assignment, so the
+    cell-scoped pair join runs at O(distinct) — the counters prove the
+    join saw 2 representatives, not 2,002 rows — while the family still
+    resolves to one component with one survivor."""
     from pyspark.sql import functions as F
 
     from inform_spark.operators.similarity import semdedup
@@ -158,8 +159,17 @@ def test_semdedup_degenerate_cell(spark):
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    out = semdedup(cents.unionByName(base), n_cells=2, tau=0.99)
+    counters = {}
+    out = semdedup(
+        cents.unionByName(base), n_cells=2, tau=0.99, _counters=counters
+    )
     fam = out.filter(F.col("component") == 0)
     assert fam.count() == 2_001  # centroid 0 + the 2,000 copies
     assert fam.filter("keep = 1").count() == 1
     assert out.filter("keep = 1").count() == 2  # + centroid 1's singleton
+    # the degenerate class collapsed: 2,002 inputs -> 2 distinct vectors,
+    # and the tau-pair join produced ZERO pairs (the copies' edges are
+    # implied by the collapse, never materialized)
+    assert counters["n_input"] == 2_002
+    assert counters["n_reps"] == 2
+    assert counters["n_rep_pairs"] == 0
