@@ -187,6 +187,61 @@ AUDITS = {
         "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
         "absent_in_readschema": ["source", "lang", "n_chars"],
     },
+    # ---- round 4 -------------------------------------------------------
+    # subword counts: the distinct-word dictionary joins back to the
+    # (doc, word) pairs — aggregation + equi-join, never a window/sort;
+    # only doc_id+text may be read
+    "subword_token_counts": {
+        "require": ["HashAggregate"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # model lang-id: the <=4096-row weight table and the totals scalar
+    # must broadcast; aggregation pipeline. (The final resurface join of
+    # per-doc scores back to the doc base is a corpus-side equi-join —
+    # SortMergeJoin is the right plan there, so it is not forbidden.)
+    "lang_id_model": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # URL clustering: canonicalization is map-side codegen; ONE
+    # aggregation, nothing else. min(url) over strings compiles to
+    # SortAggregate (variable-width buffer — per-partition sort after the
+    # hash exchange, not a range repartition), so 'Aggregate' matches
+    # either physical form.
+    "url_canonical_cluster": {
+        "require": ["Aggregate", "codegen id"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["value", "props", "ts"],
+    },
+    # normalized-paragraph dedup: same two-hash-shuffle shape as
+    # dedup_lines, never a global sort
+    "ccnet_paragraph_dedup": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang"],
+    },
+    # crawl budgets: one groupBy(source) + the 1-row value total crossed
+    # in by broadcast
+    "domain_crawl_budget": {
+        "require": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # text normalization: pure narrow replace/regexp chain — ANY
+    # exchange is a regression
+    "text_normalize": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang"],
+    },
+    # pagination stitching: one boundary equi-join, one row per doc per
+    # side — never an all-pairs product, no window
+    "suffix_prefix_overlap": {
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
