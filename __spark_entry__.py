@@ -1315,6 +1315,30 @@ def q_suffix_prefix_overlap(spark, sf_dir):
     return textops.suffix_prefix_overlap(_docs(spark, sf_dir), k=2)
 
 
+# committed target mixture for the corpus_mix_sample query: favor the
+# even sources 3:1 (relative integer weights; only ratios matter)
+MIX_WEIGHTS = {f"src{i}": (300 if i % 2 == 0 else 100) for i in range(16)}
+
+
+def q_corpus_mix_sample(spark, sf_dir):
+    """Static mixture sampling (The Pile/DoReMi shape): deterministic
+    hash-Bernoulli acceptance tuned so per-source TOKEN shares match the
+    committed MIX_WEIGHTS at the largest feasible budget
+    (operators/sampling.corpus_mix_sample). src16-19 are absent from the
+    target map -> explicit accepted=false verdicts."""
+    from inform_spark.operators.sampling import corpus_mix_sample
+
+    return corpus_mix_sample(_docs(spark, sf_dir), MIX_WEIGHTS, salt="m4")
+
+
+def q_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM middle-band quality gate, integer-exact
+    (operators/importance.bigram_surprisal)."""
+    from inform_spark.operators.importance import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1338,7 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hashes, badword source-gate, capped-pairs integer audit); (3) the
     # remainder — everything in the tail beyond position 50 was green in
     # CORRECTNESS_r03 and its code is untouched this round. Union across
-    # r03 ∪ r04 covers all queries; all entries also pass
+    # r03 ∪ r04 covers all 85 queries; all entries also pass
     # tests/verify/check_oracle.py locally.
     return {
         # -- (1) last driver row is r02 — verify first ----------------------
@@ -1380,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_crawl_budget": q_domain_crawl_budget,
         "text_normalize": q_text_normalize,
         "suffix_prefix_overlap": q_suffix_prefix_overlap,
+        "corpus_mix_sample": q_corpus_mix_sample,
+        "bigram_surprisal": q_bigram_surprisal,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -1391,11 +1417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_lines": q_dedup_lines,
         "source_cap": q_source_cap,
-        "model_quality_score": q_model_quality_score,
-        "pii_redact": q_pii_redact,
         "span_pii_redact": q_span_pii_redact,
         # ---- position 51+: every query below was green in CORRECTNESS_r03
         # and its implementation is untouched this round ---------------------
+        "model_quality_score": q_model_quality_score,
+        "pii_redact": q_pii_redact,
         "bm25_relevance": q_bm25_relevance,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "unigram_surprisal": q_unigram_surprisal,
@@ -2215,6 +2241,57 @@ def oracle_sql() -> dict[str, str]:
         "cast(length(text) as bigint) as n_chars from documents) "
         "select doc_id, norm_text, n_chars, "
         "cast(length(norm_text) as bigint) as n_chars_norm from n"
+    )
+    _w_sum = sum(MIX_WEIGHTS.values())
+    _wm_rows = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+    d["corpus_mix_sample"] = (
+        "with b as (select cast(doc_id as bigint) as doc_id, source, "
+        "cast(len(string_split(lower(text), ' ')) as bigint) as n_tokens "
+        "from documents), "
+        f"wm(source, w) as (values {_wm_rows}), "
+        "ps as (select source, cast(sum(n_tokens) as bigint) as tokens_s, "
+        "cast(min(w) as bigint) as w_s from b join wm using (source) "
+        "group by source), "
+        f"tb as (select min(tokens_s * {_w_sum} // w_s) as T from ps), "
+        f"dim as (select source, ((w_s * T // {_w_sum}) * 1000000) "
+        "// tokens_s as p_micro from ps, tb) "
+        "select b.doc_id, b.source, b.n_tokens, "
+        "cast(coalesce(p_micro, 0) as bigint) as p_micro, "
+        "(cast('0x'||substr(md5('mixm4'||cast(b.doc_id as varchar)),1,15) "
+        "as bigint) % 1000000) < coalesce(p_micro, 0) as accepted "
+        "from b left join dim using (source)"
+    )
+    d["bigram_surprisal"] = (
+        "with s as (select cast(doc_id as bigint) as doc_id, "
+        "list_filter(string_split(lower(text), ' '), w -> w != '') as ws "
+        "from documents), "
+        "base as (select doc_id, cast(len(ws) as bigint) as n_tokens from s), "
+        "t as (select doc_id, unnest(ws) as token from s), "
+        "ug as (select token, cast(count(*) as bigint) as c1 from t "
+        "group by token), "
+        "tot as (select cast(sum(c1) as bigint) as N from ug), "
+        "fb as (select s.doc_id, "
+        "cast(length(printf('%b', N // c1)) - 1 as bigint) as bits "
+        "from s join ug on ug.token = s.ws[1], tot where len(s.ws) >= 1), "
+        "bg0 as (select doc_id, unnest(list_transform(range(1, len(ws)), "
+        "i -> {'w1': ws[i], 'w2': ws[i+1]})) as g from s "
+        "where len(ws) >= 2), "
+        "pdb as (select doc_id, g.w1 as w1, g.w2 as w2, "
+        "cast(count(*) as bigint) as cnt from bg0 "
+        "group by doc_id, g.w1, g.w2), "
+        "bv as (select w1, w2, cast(sum(cnt) as bigint) as c12 from pdb "
+        "group by w1, w2), "
+        "cb as (select doc_id, cnt * "
+        "cast(length(printf('%b', c1 // c12)) - 1 as bigint) as bits "
+        "from pdb join bv using (w1, w2) join ug on ug.token = pdb.w1), "
+        "sc as (select doc_id, cast(sum(bits) as bigint) as surprisal_bits "
+        "from (select * from fb union all select * from cb) "
+        "group by doc_id) "
+        "select doc_id, n_tokens, surprisal_bits, mean_bits_milli, "
+        "coalesce(mean_bits_milli between 500 and 12000, false) as keep "
+        "from (select base.doc_id, n_tokens, surprisal_bits, "
+        "case when n_tokens > 0 then (1000 * surprisal_bits) // n_tokens "
+        "end as mean_bits_milli from base left join sc using (doc_id))"
     )
     d["suffix_prefix_overlap"] = (
         "with t as (select cast(doc_id as bigint) as doc_id, "

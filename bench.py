@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "text_normalize",
     "suffix_prefix_overlap",
     "exact_substring_dedup",
+    "corpus_mix_sample",
+    "bigram_surprisal",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

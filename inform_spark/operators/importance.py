@@ -181,3 +181,94 @@ def unigram_surprisal(
             F.lit(False),
         ).alias("keep"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    min_bits_milli: int = 500,
+    max_bits_milli: int = 12_000,
+) -> DataFrame:
+    """Bigram-LM quality band — :func:`unigram_surprisal` upgraded to the
+    corpus's own bigram model (one step closer to CCNet's real 5-gram
+    LM): the first token of a document costs its unigram surprisal
+    ``floor(log2(N div c(w1)))`` and every following token costs its
+    CONDITIONAL surprisal ``floor(log2(c(w1) div c(w1 w2)))`` — the
+    integer-exact MLE bigram perplexity (floor-log2 as binary-string
+    length, so sums are associative and the score is independent of
+    partitioning, execution order, and engine; the module's fixed-point
+    contract). Against the corpus-own model every document bigram is
+    observed (it counts itself), so no backoff branch is needed; scoring
+    a frozen EXTERNAL model would add one (streaming/curation.py shows
+    the frozen-stats pattern).
+
+    Returns (doc_id, n_tokens, surprisal_bits, mean_bits_milli, keep) —
+    keep brackets mean bits/token in [min, max]/1000, the middle-band
+    rule. Zero-token docs carry explicit NULL scores and keep = false.
+
+    Scale (100 TB): (doc, bigram) counts are ONE shuffle with map-side
+    combine (Zipf-heavy bigrams reduce in the map task); the bigram and
+    unigram vocab tables join back by key with AQE absorbing stop-pair
+    skew; the per-doc rollup is the only other shuffle. No window, no
+    cartesian, no Python."""
+    ws = F.filter(words_col(), lambda w: w != "")
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), ws.alias("__w")
+    )
+    base = staged.select(
+        "doc_id", F.size("__w").cast("long").alias("n_tokens")
+    )
+    toks = staged.select("doc_id", F.explode("__w").alias("token"))
+    ug = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = ug.agg(F.sum("c1").alias("N"))
+    first_bits = (
+        staged.filter(F.size("__w") >= 1)
+        .select("doc_id", F.element_at("__w", 1).alias("token"))
+        .join(ug, "token")
+        .join(F.broadcast(total))
+        .select("doc_id", floor_log2(F.expr("N div c1")).alias("bits"))
+    )
+    per_doc_bg = (
+        staged.filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__w"), i.cast("int")).alias("w1"),
+                        F.element_at(
+                            F.col("__w"), (i + 1).cast("int")
+                        ).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bg_vocab = per_doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    cond_bits = (
+        per_doc_bg.join(bg_vocab, ["w1", "w2"])
+        .join(ug.select(F.col("token").alias("w1"), "c1"), "w1")
+        .select(
+            "doc_id",
+            (F.col("cnt") * floor_log2(F.expr("c1 div c12"))).alias("bits"),
+        )
+    )
+    scored = (
+        first_bits.unionByName(cond_bits)
+        .groupBy("doc_id")
+        .agg(F.sum("bits").cast("long").alias("surprisal_bits"))
+    )
+    mean_milli = F.expr("1000 * surprisal_bits div n_tokens")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bits",
+        F.when(F.col("n_tokens") > 0, mean_milli).alias("mean_bits_milli"),
+        F.coalesce(
+            (mean_milli >= min_bits_milli) & (mean_milli <= max_bits_milli),
+            F.lit(False),
+        ).alias("keep"),
+    )

@@ -147,3 +147,77 @@ def per_source_cap(
     return base.withColumn("cap_rank", F.row_number().over(w)).filter(
         F.col("cap_rank") <= k
     )
+
+
+def corpus_mix_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    salt: str = "",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Static mixture sampling (The Pile / DoReMi shape, Gao et al. 2020,
+    Xie et al. 2023): select a sub-corpus whose per-source TOKEN shares
+    match a committed target ``weights`` map (integer milli-style
+    weights; only relative size matters), scaled to the largest total
+    budget every source can actually supply.
+
+    For each source s with weight w_s (W = sum of weights):
+    - T = min over s of ``tokens_s * W div w_s`` — the largest total
+      token budget for which no source is oversubscribed;
+    - the source's expected contribution is ``t_s = w_s * T div W``
+      (<= tokens_s by construction of T);
+    - a document is ACCEPTED iff
+      ``H60('mix' || salt || doc_id) % 1e6 < (t_s * 1e6) div tokens_s``
+      — a deterministic Bernoulli whose token-expected value hits t_s.
+
+    Sources absent from ``weights`` are excluded (accepted = false,
+    p_micro = 0) — an explicit verdict, not a dropped row. Every
+    decision is integer arithmetic keyed on the content hash, so the
+    selected set is identical under any partitioning or engine (the
+    module contract; df.sample() cannot provide this).
+
+    Scale: one groupBy(source) for the per-source token totals (a
+    <=#sources-row dim, broadcast back), acceptance itself is narrow.
+    Returns (doc_id, source, n_tokens, p_micro, accepted)."""
+    w_sum = sum(weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(F.split(F.lower(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("w", wmap[F.col("source")].cast("long"))
+    per_source = base.filter(F.col("w").isNotNull()).groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_s"), F.first("w").alias("w_s")
+    )
+    t_budget = per_source.agg(
+        F.min(F.expr(f"tokens_s * {w_sum} div w_s")).alias("T")
+    )
+    dim = F.broadcast(
+        per_source.join(F.broadcast(t_budget)).select(
+            "source",
+            F.expr(
+                f"((w_s * T div {w_sum}) * {_DENOM}) div tokens_s"
+            ).cast("long").alias("p_micro"),
+        )
+    )
+    return (
+        base.join(dim, "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("p_micro", F.lit(0)).cast("long").alias("p_micro"),
+            (
+                F.pmod(
+                    h60(F.concat(F.lit(f"mix{salt}"), F.col("doc_id"))),
+                    F.lit(_DENOM),
+                )
+                < F.coalesce("p_micro", F.lit(0))
+            ).alias("accepted"),
+        )
+    )

@@ -329,3 +329,59 @@ def test_resolve_url_backslash_only_in_path(spark):
         resolve_url(r"docs\page?x=1", "http://h.test/a/")
         == "http://h.test/a/docs/page?x=1"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_mix_sample_budget_and_exclusions(spark):
+    from inform_spark.operators.sampling import corpus_mix_sample
+
+    rows = []
+    # source a: 10 docs x 100 tokens = 1000; source b: 1 doc x 100 = 100;
+    # source c: not in the target map
+    for i in range(10):
+        rows.append((i, " ".join(f"w{j}" for j in range(100)), "a"))
+    rows.append((100, " ".join(f"v{j}" for j in range(100)), "b"))
+    rows.append((200, "excluded words here", "c"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus_mix_sample(docs, {"a": 500, "b": 500}, salt="t").collect()
+    }
+    # equal weights, b binds: T = min(1000*1000/500, 100*1000/500) = 200,
+    # each source contributes 100 expected tokens -> p(a)=10%, p(b)=100%
+    assert out[0]["p_micro"] == 100_000
+    assert out[100]["p_micro"] == 1_000_000
+    assert out[100]["accepted"] is True  # p=1e6 accepts every hash draw
+    # excluded source: explicit verdict, not a dropped row
+    assert out[200]["p_micro"] == 0
+    assert out[200]["accepted"] is False
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    from inform_spark.operators.importance import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "")],
+        "doc_id long, text string",
+    )
+    # ug: a=3 b=2 c=1, N=6; bg: (a,b)=2 (a,c)=1
+    # doc1: first 'a' = flog2(6 div 3)=1; cond b|a = flog2(3 div 2)=0 -> 1
+    # doc3: 1 + flog2(3 div 1)=1 -> 2
+    got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert got[1]["surprisal_bits"] == 1
+    assert got[1]["mean_bits_milli"] == 500
+    assert got[3]["surprisal_bits"] == 2
+    assert got[3]["mean_bits_milli"] == 1000
+    assert got[1]["keep"] is True and got[3]["keep"] is True
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["surprisal_bits"] is None
+    assert got[4]["keep"] is False

@@ -242,6 +242,20 @@ AUDITS = {
         "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
         "absent_in_readschema": ["source", "lang", "n_chars"],
     },
+    # mixture sampling: per-source dims broadcast back, acceptance is
+    # narrow hash arithmetic
+    "corpus_mix_sample": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # bigram LM band: aggregation pipeline, corpus-total via broadcast;
+    # vocab joins are corpus-side equi-joins (SMJ is correct there)
+    "bigram_surprisal": {
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
