@@ -27,6 +27,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -1352,18 +1353,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_crawl_documents(spark, sf_dir)
 
 
+# Queries whose IMPLEMENTATION changed this round (the builder updates
+# this list each round): they verify ahead of everything except
+# never-driver-verified queries, regardless of when they last had a
+# driver row.
+CHANGED_THIS_ROUND = [
+    "semdedup",           # exact-identical-vector pre-collapse
+    "exact_substring_dedup",  # 2x60-bit window hashes
+    "badword_filter",     # word-only gate without a source column
+    "curation_verdicts",  # composes badword_filter
+]
+
+
+def _verification_order(names) -> list[str]:
+    """MECHANICAL rotation (VERDICT r3 item 1): order queries so the
+    driver's 50-row prefix always hits the least-recently-verified ones.
+    The last round each query had a driver row is read from the
+    committed CORRECTNESS_r*.json artifacts; sort key = (never-verified
+    or changed-this-round first, then ascending last-verified round,
+    then name). With W=50 and Q<=2W queries this guarantees every query
+    gets a driver row at least every 2 rounds with NO manual reordering:
+    whatever round r verifies becomes the tail of round r+1."""
+    import glob as _glob
+    import re as _re
+
+    last: dict[str, int] = {n: -1 for n in names}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k in data:
+            if k in last:
+                last[k] = max(last[k], rnd)
+
+    def key(n: str):
+        urgent = last[n] < 0 or n in CHANGED_THIS_ROUND
+        return (0 if urgent else 1, last[n] if not urgent else -1, n)
+
+    return sorted(names, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks a PREFIX of this
-    # dict (50 rows per round). Rotation policy (round-parity keyed so no
-    # query ever goes two rounds unchecked): (1) the 25 queries whose last
-    # driver row is r02 — they run FIRST this round, exactly as r03 front-
-    # loaded the r02 gap; (2) queries new in round 4 or whose implementation
-    # changed in round 4 (semdedup pre-collapse, exact_substring 128-bit
-    # hashes, badword source-gate, capped-pairs integer audit); (3) the
-    # remainder — everything in the tail beyond position 50 was green in
-    # CORRECTNESS_r03 and its code is untouched this round. Union across
-    # r03 ∪ r04 covers all 85 queries; all entries also pass
+    # ORDER MATTERS: the driver's correctness gate checks a PREFIX of
+    # this dict (50 rows per round), so entries are ordered by
+    # _verification_order — never-driver-verified and changed-this-round
+    # queries first, then least-recently-verified (from the committed
+    # CORRECTNESS_r*.json artifacts), alphabetical within a tier. The
+    # literal dict below is the REGISTRY (alphabetical-ish, grouped by
+    # family); the returned dict is the rotation. All entries also pass
     # tests/verify/check_oracle.py locally.
+    reg = _query_registry()
+    return {n: reg[n] for n in _verification_order(list(reg))}
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) last driver row is r02 — verify first ----------------------
         "a1b_pricing_rollup": q_a1b_pricing_rollup,
