@@ -524,9 +524,27 @@ def run_crawl_ab(ref: str) -> dict:
         ).write.parquet(fixture_dir, mode="overwrite")
         spark.stop()  # free the heap before the leg subprocesses
 
+        # co-tenant bursts on this shared box last minutes — comparable to
+        # a whole leg — so interleaving alone can't cancel them; wait
+        # (bounded) for a quiet-ish box before each leg, like run_scaling
+        quiet_load = float(os.environ.get("BENCH_SCALING_QUIET_LOAD", "4"))
+        quiet_wait_s = float(os.environ.get("BENCH_SCALING_QUIET_WAIT_S", "90"))
         legs: dict[str, list[dict]] = {"current": [], "ref": []}
         for _rep in range(reps):
-            for side, cwd in (("current", REPO), ("ref", wt)):
+            # alternate leg order each rep: with a fixed order, decaying
+            # co-tenant bursts systematically favor whichever side runs
+            # second (measured: the same trees A/B'd 0.60 under a burst
+            # with current-first vs 1.04 on a quiet box)
+            pair = [("current", REPO), ("ref", wt)]
+            if _rep % 2 == 1:
+                pair.reverse()
+            for side, cwd in pair:
+                t_quiet = time.monotonic()
+                while (
+                    _loadavg() > quiet_load
+                    and time.monotonic() - t_quiet < quiet_wait_s
+                ):
+                    time.sleep(10)
                 env = dict(
                     os.environ, BENCH_FIXTURE_DIR=fixture_dir, **pages_env
                 )
@@ -543,7 +561,9 @@ def run_crawl_ab(ref: str) -> dict:
                         f"A/B leg {side} produced no JSON (rc="
                         f"{out.returncode}): {out.stderr[-2000:]}"
                     )
-                legs[side].append(json.loads(lines[-1]))
+                leg = json.loads(lines[-1])
+                print(f"ab {side}: {lines[-1]}", file=sys.stderr)
+                legs[side].append(leg)
         best = {
             s: min(rs, key=lambda r: r["wall_s"]) for s, rs in legs.items()
         }
