@@ -1,0 +1,236 @@
+"""Pure-stdlib codec semantics (operators/codecs): the decoders are
+checked against independently-constructed byte streams — hand-applied
+PNG scanline filters, hand-padded BMP rows, struct-built WAV chunks —
+never against the module's own encoder alone."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from inform_spark.operators import codecs
+
+
+def _png_chunks(w, h, color, raw):
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        codecs.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanline(ftype, line, prev, nch):
+    """Apply a PNG filter (encoder side) by hand — the spec's §9
+    equations, written independently of the decoder's inverse."""
+    out = bytearray([ftype])
+    for i in range(len(line)):
+        x = int(line[i])
+        a = int(line[i - nch]) if i >= nch else 0
+        b = int(prev[i])
+        c = int(prev[i - nch]) if i >= nch else 0
+        if ftype == 0:
+            v = x
+        elif ftype == 1:
+            v = x - a
+        elif ftype == 2:
+            v = x - b
+        elif ftype == 3:
+            v = x - ((a + b) >> 1)
+        else:  # paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = x - pr
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def test_png_all_filter_types_roundtrip():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    nch, stride = 3, 4 * 3
+    raw = b""
+    prev = bytes(stride)
+    # one scanline per filter type 0..4 (5 rows)
+    for y in range(5):
+        line = img[y].tobytes()
+        raw += _filter_scanline(y, line, prev, nch)
+        prev = line
+    decoded = codecs.decode_png(_png_chunks(4, 5, 2, raw))
+    assert decoded.shape == (5, 4, 3)
+    assert np.array_equal(decoded, img)
+
+
+def test_png_gray_and_rgba():
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    d = codecs.decode_png(_png_chunks(4, 4, 0, raw))
+    assert np.array_equal(d, g)
+    rgba = np.arange(64, dtype=np.uint8).reshape(4, 4, 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    d = codecs.decode_png(_png_chunks(4, 4, 6, raw))
+    assert np.array_equal(d, rgba)
+
+
+def test_png_encoder_decoder_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+def test_png_rejects_unsupported():
+    raw = b"\x00" + bytes(3)
+    b = _png_chunks(1, 1, 2, raw)
+    # flip depth byte to 16 inside IHDR: offset 8(sig)+8(len/type)+8(w,h)
+    bad = bytearray(b)
+    bad[24] = 16
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not a png at all")
+
+
+def test_bmp_24bpp_bottom_up_with_padding():
+    # 2x2, 24bpp: stride = 2*3=6 -> padded to 8; bottom-up row order.
+    # pixels (RGB): top row (255,0,0) (0,255,0); bottom row (0,0,255) (10,20,30)
+    top = bytes([0, 0, 255]) + bytes([0, 255, 0])        # BGR on disk
+    bottom = bytes([255, 0, 0]) + bytes([30, 20, 10])
+    pad = b"\x00\x00"
+    pixel_data = bottom + pad + top + pad  # bottom-up
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    )
+    arr = codecs.decode_bmp(header + pixel_data)
+    assert arr.shape == (2, 2, 3)
+    assert tuple(arr[0, 0]) == (255, 0, 0)
+    assert tuple(arr[0, 1]) == (0, 255, 0)
+    assert tuple(arr[1, 0]) == (0, 0, 255)
+    assert tuple(arr[1, 1]) == (10, 20, 30)
+
+
+def test_wav_pcm16():
+    # 1 channel, 8000 Hz, 4 frames of known samples
+    samples = np.array([0, 16384, -16384, 0], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    f = codecs.decode_wav(wav)
+    assert f["sample_rate"] == 8000
+    assert f["n_channels"] == 1
+    assert f["n_frames"] == 4
+    assert f["duration_ms"] == 0  # 4 frames @ 8 kHz = 0.5 ms -> floor 0
+    expected_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert f["rms"] == round(expected_rms, 3)
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_block_mean_resize_and_phash():
+    # left half dark, right half bright: phash must set exactly the
+    # 4 right columns of every row
+    g = np.zeros((16, 16))
+    g[:, 8:] = 255.0
+    small = codecs.block_mean_resize(g, 8, 8)
+    assert small.shape == (8, 8)
+    assert small[0, 0] == 0.0 and small[0, 7] == 255.0
+    ph = codecs.average_phash(g)
+    for i in range(8):
+        for j in range(8):
+            bit = (ph >> (i * 8 + j)) & 1
+            want = 1 if j >= 4 else 0
+            if i * 8 + j == 63:
+                continue  # top bit masked for signed-long safety
+            assert bit == want, (i, j)
+
+
+def test_image_features_real_vs_stub_dispatch(spark):
+    """PNG bytes decode for real (decode_ok='ok', exact luma); unknown
+    bytes fall back to the deterministic stub."""
+    import pandas as pd
+
+    from inform_spark.operators import multimodal as mm
+
+    img = np.full((4, 4, 3), 100, dtype=np.uint8)
+    img[:, :, 1] = 200  # luma = .299*100 + .587*200 + .114*100 = 158.7
+    png = codecs.encode_png(img)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["a.png", "b.jpg"],
+            "doc_id": ["1", "1"],
+            "kind": ["image", "image"],
+            "content": [png, b"\xff\xd8notreallyjpeg"],
+            "content_len": [len(png), 14],
+            "format": ["png", "jpg"],
+        }),
+        schema=mm.MEDIA,
+    )
+    got = {r["media_ref"]: r for r in mm.image_features(media).collect()}
+    assert got["a.png"]["decode_ok"] == "ok"
+    assert got["a.png"]["width"] == 4 and got["a.png"]["height"] == 4
+    assert abs(got["a.png"]["mean_luma"] - 158.7) < 1e-3
+    assert got["b.jpg"]["decode_ok"] == "stub"
+
+
+def test_resize_images_real_thumbnail(spark):
+    import pandas as pd
+
+    from inform_spark.operators import multimodal as mm
+
+    img = np.zeros((16, 8, 3), dtype=np.uint8)
+    img[:8] = 255  # top half white
+    png = codecs.encode_png(img)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["t.png"], "doc_id": ["1"], "kind": ["image"],
+            "content": [png], "content_len": [len(png)], "format": ["png"],
+        }),
+        schema=mm.MEDIA,
+    )
+    out = mm.resize_images(media, max_px=4).collect()[0]
+    assert out["format"] == "png"
+    thumb = codecs.decode_png(bytes(out["content"]))
+    assert thumb.shape == (4, 2, 3)  # 16x8 -> fit 4 -> 4x2
+    assert thumb[0, 0, 0] == 255 and thumb[3, 0, 0] == 0
+
+
+def test_audio_features_real_wav(spark):
+    import pandas as pd
+
+    from inform_spark.operators import multimodal as mm
+
+    samples = (np.sin(np.linspace(0, 20, 8000)) * 10000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["s.wav", "x.mp3"], "doc_id": ["1", "2"],
+            "kind": ["audio", "audio"],
+            "content": [wav, b"ID3notdecodable"],
+            "content_len": [len(wav), 15], "format": ["wav", "mp3"],
+        }),
+        schema=mm.MEDIA,
+    )
+    got = {r["media_ref"]: r for r in mm.audio_features(media).collect()}
+    assert got["s.wav"]["decode_ok"] == "ok"
+    assert got["s.wav"]["sample_rate"] == 8000
+    assert got["s.wav"]["duration_ms"] == 1000
+    expected_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert abs(got["s.wav"]["rms"] - expected_rms) < 0.01
+    assert got["x.mp3"]["decode_ok"] == "error"
+    assert got["x.mp3"]["sample_rate"] is None
