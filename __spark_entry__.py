@@ -1340,6 +1340,76 @@ def q_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_docs(spark, sf_dir))
 
 
+def _warc_staged(spark, sf_dir):
+    """documents staged as WARC inputs: deterministic uri/date/type."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://corpus.test/doc/"), F.col("doc_id").cast("string")
+        ).alias("uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.col("text").alias("payload"),
+    )
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) archive round trip: serialize every document as a
+    WARC/1.0 response record (pure-codegen string concat, zero UDF),
+    concatenate records into 16 shard buffers, then re-parse the shards
+    with the Content-Length-framed mapInPandas parser
+    (sources/warc.py). Output is derived entirely from PARSED values, so
+    hash-equality with the oracle (which re-derives uri / byte length /
+    payload md5 straight from `documents`) proves parse∘serialize ==
+    identity, including byte-exact Content-Length on multi-byte text.
+    The in-query shard concat is the test-scale stand-in for
+    write_warc's one-file-per-partition publish path."""
+    from inform_spark.session import ship_package
+    from inform_spark.sources import warc
+
+    ship_package(spark)
+    recs = warc.serialize_warc(_warc_staged(spark, sf_dir)).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(16))
+    )
+    shards = recs.groupBy("shard").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "warc"))),
+                lambda s: s["warc"],
+            ),
+        ).alias("content")
+    )
+    parsed = warc.parse_warc(shards, "content")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("uri"),
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+def q_warc_cdx_index(spark, sf_dir):
+    """CDX companion index for WARC shards: (uri, shard, offset, length)
+    with offset = exclusive per-shard prefix sum of record byte lengths
+    in write order (sources/warc.cdx_index) — the range-read handle that
+    gives sub-file parallelism on oversized archive shards. The window
+    is per-shard (bounded rows), never corpus-global; the oracle
+    replicates the full record template in SQL and takes the same
+    windowed sum."""
+    from inform_spark.sources import warc
+
+    recs = warc.serialize_warc(_warc_staged(spark, sf_dir)).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(16))
+    )
+    idx = warc.cdx_index(recs)
+    return idx.select(
+        "uri", F.col("shard").cast("long").alias("shard"), "offset", "length"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1456,6 +1526,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_prefix_overlap": q_suffix_prefix_overlap,
         "corpus_mix_sample": q_corpus_mix_sample,
         "bigram_surprisal": q_bigram_surprisal,
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx_index": q_warc_cdx_index,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2342,6 +2414,41 @@ def oracle_sql() -> dict[str, str]:
         "from (select base.doc_id, n_tokens, surprisal_bits, "
         "case when n_tokens > 0 then (1000 * surprisal_bits) // n_tokens "
         "end as mean_bits_milli from base left join sc using (doc_id))"
+    )
+    # WARC round trip: the oracle re-derives the PARSED output straight
+    # from documents — equality proves parse(serialize(x)) == x with
+    # byte-exact (octet_length) Content-Length
+    d["warc_roundtrip"] = (
+        "select cast(doc_id as bigint) as doc_id, "
+        "'https://corpus.test/doc/'||cast(doc_id as varchar) as uri, "
+        "cast(octet_length(encode(text)) as bigint) as content_length, "
+        "md5(text) as payload_md5 from documents"
+    )
+    # CDX index: replicate the full WARC/1.0 record template in SQL
+    # (same field order + CRLFs as sources/warc.warc_record_col), take
+    # octet_length, and prefix-sum per shard in write order
+    _crlf = "chr(13)||chr(10)"
+    d["warc_cdx_index"] = (
+        "with s as (select doc_id, "
+        "'https://corpus.test/doc/'||cast(doc_id as varchar) as uri, "
+        "md5('https://corpus.test/doc/'||cast(doc_id as varchar)"
+        "||chr(10)||'2026-01-01T00:00:00Z') as h, text from documents), "
+        "r as (select doc_id, uri, doc_id % 16 as shard, "
+        "octet_length(encode("
+        f"'WARC/1.0'||{_crlf}||'WARC-Type: response'||{_crlf}"
+        f"||'WARC-Target-URI: '||uri||{_crlf}"
+        f"||'WARC-Date: 2026-01-01T00:00:00Z'||{_crlf}"
+        "||'WARC-Record-ID: <urn:uuid:'||substr(h,1,8)||'-'||substr(h,9,4)"
+        "||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12)"
+        f"||'>'||{_crlf}"
+        f"||'Content-Type: text/plain; charset=utf-8'||{_crlf}"
+        "||'Content-Length: '"
+        f"||cast(octet_length(encode(text)) as varchar)||{_crlf}||{_crlf}"
+        f"||text||{_crlf}||{_crlf})) as length from s) "
+        "select uri, cast(shard as bigint) as shard, "
+        "cast(coalesce(sum(length) over (partition by shard order by doc_id "
+        "rows between unbounded preceding and 1 preceding), 0) as bigint) "
+        "as offset, cast(length as bigint) as length from r"
     )
     d["suffix_prefix_overlap"] = (
         "with t as (select cast(doc_id as bigint) as doc_id, "
