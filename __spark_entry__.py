@@ -1410,6 +1410,26 @@ def q_warc_cdx_index(spark, sf_dir):
     )
 
 
+def q_corpus_publish_manifest(spark, sf_dir):
+    """Per-bucket publish manifest for the bucketed corpus layout
+    (operators/publish.py): engine-portable H60 bucket assignment + one
+    hash-groupBy. The bucketed-join zero-Exchange guarantee itself is
+    plan-asserted in tests/test_publish.py; this query oracle-checks the
+    bucket function and the per-bucket doc/token/byte totals a scheduler
+    would size tasks from."""
+    from inform_spark.operators.publish import publish_manifest
+
+    m = publish_manifest(_docs(spark, sf_dir), n_buckets=32)
+    return m.select(
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_bytes",
+        "min_key",
+        "max_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1528,6 +1548,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_index": q_warc_cdx_index,
+        "corpus_publish_manifest": q_corpus_publish_manifest,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2449,6 +2470,19 @@ def oracle_sql() -> dict[str, str]:
         "cast(coalesce(sum(length) over (partition by shard order by doc_id "
         "rows between unbounded preceding and 1 preceding), 0) as bigint) "
         "as offset, cast(length as bigint) as length from r"
+    )
+    d["corpus_publish_manifest"] = (
+        "with b as (select cast('0x'||substr(md5('pub'"
+        "||cast(doc_id as varchar)),1,15) as bigint) % 32 as bucket, "
+        "doc_id, text from documents) "
+        "select cast(bucket as int) as bucket, "
+        "cast(count(*) as bigint) as n_docs, "
+        "cast(sum(len(list_filter(string_split(lower(text), ' '), "
+        "w -> w != ''))) as bigint) as n_tokens, "
+        "cast(sum(octet_length(encode(text))) as bigint) as n_bytes, "
+        "cast(min(doc_id) as bigint) as min_key, "
+        "cast(max(doc_id) as bigint) as max_key "
+        "from b group by bucket"
     )
     d["suffix_prefix_overlap"] = (
         "with t as (select cast(doc_id as bigint) as doc_id, "
