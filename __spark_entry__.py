@@ -1430,6 +1430,66 @@ def q_corpus_publish_manifest(spark, sf_dir):
     )
 
 
+def q_sitemap_inventory(spark, sf_dir):
+    """Sitemap-protocol URL inventory (sources/sitemaps.py — a
+    beyond-reference crawl source: the reference discovers URLs only by
+    link-following). Synthesizes 16 deterministic namespaced <urlset>
+    documents from `documents` with pure-codegen XML concat, parses them
+    back through the mapInPandas sitemap parser, and emits one row per
+    URL with lastmod/priority — round-trip equality with the oracle's
+    direct re-derivation proves the parser (incl. namespace stripping
+    and priority float parse). Index expansion + robots discovery are
+    pytest-covered (tests/test_sitemaps.py)."""
+    from inform_spark.session import ship_package
+    from inform_spark.sources import sitemaps
+
+    ship_package(spark)
+    entry = F.concat(
+        F.lit("<url><loc>https://corpus.test/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    staged = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 16).alias("g"),
+        entry.alias("entry"),
+    )
+    xml = staged.groupBy("g").agg(
+        F.concat(
+            F.lit(
+                '<?xml version="1.0"?><urlset '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            ),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s["entry"],
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("body")
+    ).select(
+        F.concat(
+            F.lit("https://corpus.test/sitemap-"),
+            F.col("g").cast("string"),
+            F.lit(".xml"),
+        ).alias("url"),
+        "body",
+    )
+    parsed = sitemaps.parse_sitemaps(xml)
+    return parsed.select(
+        "sitemap_url",
+        "loc",
+        "lastmod",
+        F.round(F.col("priority"), 1).alias("priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1549,6 +1609,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_index": q_warc_cdx_index,
         "corpus_publish_manifest": q_corpus_publish_manifest,
+        "sitemap_inventory": q_sitemap_inventory,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2483,6 +2544,15 @@ def oracle_sql() -> dict[str, str]:
         "cast(min(doc_id) as bigint) as min_key, "
         "cast(max(doc_id) as bigint) as max_key "
         "from b group by bucket"
+    )
+    d["sitemap_inventory"] = (
+        "select 'https://corpus.test/sitemap-'"
+        "||cast(doc_id % 16 as varchar)||'.xml' as sitemap_url, "
+        "'https://corpus.test/doc/'||cast(doc_id as varchar) as loc, "
+        "'2026-01-'||lpad(cast(doc_id % 28 + 1 as varchar), 2, '0') "
+        "as lastmod, "
+        "round(cast(doc_id % 9 + 1 as double) / 10, 1) as priority "
+        "from documents"
     )
     d["suffix_prefix_overlap"] = (
         "with t as (select cast(doc_id as bigint) as doc_id, "
