@@ -1490,6 +1490,30 @@ def q_sitemap_inventory(spark, sf_dir):
     )
 
 
+def q_decontaminate_fraction(spark, sf_dir):
+    """Graded decontamination (textops.ngram_contamination_fraction):
+    per-training-doc fraction of distinct 8-gram shingles shared with
+    the hash-designated 5% benchmark partition, integer milli
+    fixed-point, keep = <5% overlap. Same broadcast semi-join shape as
+    the binary `decontaminate` gate."""
+    from inform_spark.operators.textops import (
+        _h60,
+        ngram_contamination_fraction,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    is_bench = (
+        F.pmod(
+            _h60(F.concat(F.lit("bench"), F.col("doc_id").cast("string"))),
+            F.lit(20),
+        )
+        == 0
+    )
+    return ngram_contamination_fraction(d, is_bench)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1610,6 +1634,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_index": q_warc_cdx_index,
         "corpus_publish_manifest": q_corpus_publish_manifest,
         "sitemap_inventory": q_sitemap_inventory,
+        "decontaminate_fraction": q_decontaminate_fraction,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2544,6 +2569,32 @@ def oracle_sql() -> dict[str, str]:
         "cast(min(doc_id) as bigint) as min_key, "
         "cast(max(doc_id) as bigint) as max_key "
         "from b group by bucket"
+    )
+    d["decontaminate_fraction"] = (
+        "with d as (select cast(doc_id as bigint) as doc_id, "
+        "list_distinct(list_transform("
+        "range(0, greatest(len(string_split(lower(text),' '))-8,0)+1), "
+        "i -> array_to_string((string_split(lower(text),' '))[i+1:i+8], "
+        "' '))) as sh, "
+        f"{_H60_SQL.format(s=chr(39) + 'bench' + chr(39) + ' || cast(doc_id as varchar)')} "
+        "% 20 = 0 as is_bench from documents), "
+        "hs as (select doc_id, is_bench, "
+        "cast('0x'||substr(md5(s),1,15) as bigint) as h "
+        "from d, unnest(sh) as t(s)), "
+        "bh as (select distinct h from hs where is_bench), "
+        "tr as (select doc_id, cast(len(sh) as bigint) as n_shingles "
+        "from d where not is_bench), "
+        "hits as (select doc_id, cast(count(*) as bigint) as n_contaminated "
+        "from hs where not is_bench and h in (select h from bh) "
+        "group by doc_id) "
+        "select tr.doc_id, n_shingles, "
+        "cast(coalesce(n_contaminated, 0) as bigint) as n_contaminated, "
+        "cast(case when n_shingles > 0 then "
+        "1000 * coalesce(n_contaminated, 0) // n_shingles else 0 end "
+        "as bigint) as contamination_milli, "
+        "(case when n_shingles > 0 then "
+        "1000 * coalesce(n_contaminated, 0) // n_shingles else 0 end) < 50 "
+        "as keep from tr left join hits using (doc_id)"
     )
     d["sitemap_inventory"] = (
         "select 'https://corpus.test/sitemap-'"

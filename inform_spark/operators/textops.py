@@ -477,6 +477,61 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_fraction(
+    docs: DataFrame,
+    is_bench: Column,
+    w: int = 8,
+    text_col: str = "text",
+    drop_at_milli: int = 50,
+) -> DataFrame:
+    """Graded decontamination: per-training-document FRACTION of its
+    distinct w-gram shingles that occur in any benchmark document —
+    the decision signal behind span-removal-vs-doc-removal policies
+    (GPT-3 appx. C removes whole documents only above an overlap
+    threshold; light overlap gets span surgery or a pass). The binary
+    :func:`ngram_contamination` is this operator at threshold > 0.
+
+    Returns every training doc: (doc_id, n_shingles, n_contaminated,
+    contamination_milli, keep) with ``contamination_milli`` =
+    ``1000 * hits // n_shingles`` (integer fixed-point, engine-exact)
+    and ``keep = contamination_milli < drop_at_milli`` (default: drop
+    at >=5% overlap).
+
+    Scale: identical join shape to :func:`ngram_contamination` — the
+    benchmark shingle-hash set is distinct-ed and broadcast, the
+    training side counts semi-join survivors per doc with map-side
+    combine; no pair materialization, one shuffle (the per-doc count).
+    """
+    hs = docs.withColumn("__hs", F.transform(shingles_col(text_col, w), _h60))
+    bench = hs.filter(is_bench).select(F.explode("__hs").alias("h")).distinct()
+    train = hs.filter(~is_bench).select(
+        "doc_id", F.size("__hs").cast("long").alias("n_shingles"), "__hs"
+    )
+    hits = (
+        train.select("doc_id", F.explode("__hs").alias("h"))
+        .join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.drop("__hs")
+        .join(hits, "doc_id", "left")
+        .withColumn(
+            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+        )
+        # integer fixed-point via `div` — floor(double division) can
+        # round a just-below-integer quotient up before flooring
+        .withColumn(
+            "contamination_milli",
+            F.expr(
+                "case when n_shingles > 0 "
+                "then 1000 * n_contaminated div n_shingles else 0 end"
+            ).cast("long"),
+        )
+        .withColumn("keep", F.col("contamination_milli") < F.lit(drop_at_milli))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Line-level global dedup (C4 / CCNet style)
 # ---------------------------------------------------------------------------

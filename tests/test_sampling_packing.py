@@ -134,3 +134,44 @@ def test_ngram_contamination(spark):
         for r in ngram_contamination(d, F.col("doc_id") == 1, w=8).collect()
     )
     assert got == [2]
+
+
+def test_ngram_contamination_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.textops import ngram_contamination_fraction
+
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, bench_text),                       # benchmark doc
+        (2, bench_text),                       # fully contaminated copy
+        (3, "x " * 4 + bench_text),            # partial overlap
+        (4, "totally different words here nothing shared at all ok"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination_fraction(
+            d, F.col("doc_id") == 1, w=8
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}  # every training doc has a row
+    # doc 2: all 3 distinct 8-grams contaminated -> 1000 milli, dropped
+    assert out[2]["n_shingles"] == 3
+    assert out[2]["n_contaminated"] == 3
+    assert out[2]["contamination_milli"] == 1000
+    assert out[2]["keep"] is False
+    # doc 3: shingles of 14 words -> 7 distinct; the 3 bench shingles
+    # appear among them -> 3/7 = 428 milli, dropped at the 5% default
+    assert out[3]["n_contaminated"] == 3
+    assert out[3]["contamination_milli"] == 1000 * 3 // out[3]["n_shingles"]
+    assert out[3]["keep"] is False
+    # doc 4: zero overlap, kept
+    assert out[4]["n_contaminated"] == 0
+    assert out[4]["contamination_milli"] == 0
+    assert out[4]["keep"] is True
+    # threshold is a policy knob: at drop_at_milli=1001 everything keeps
+    lax = ngram_contamination_fraction(
+        d, F.col("doc_id") == 1, w=8, drop_at_milli=1001
+    )
+    assert all(r["keep"] for r in lax.collect())
