@@ -256,6 +256,37 @@ AUDITS = {
         "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
         "absent_in_readschema": ["source", "lang", "n_chars"],
     },
+    # WARC serialization: the record-build leg is pure codegen (the
+    # parser is a deliberate mapInPandas); one groupBy shard — no
+    # window, no product, and the scan must not read doc metadata
+    "warc_roundtrip": {
+        "require": ["WholeStageCodegen", "HashAggregate"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # CDX index: per-shard window over record lengths is the DESIGN
+    # (bounded rows per shard) — but never a corpus-global sort, and
+    # the record column build stays codegen
+    "warc_cdx_index": {
+        "require": ["WholeStageCodegen", "Window"],
+        "forbid": ["CartesianProduct", "GlobalLimit", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # publish manifest: ONE hash aggregation with map-side combine —
+    # no join, no window
+    "corpus_publish_manifest": {
+        "require": ["HashAggregate", "WholeStageCodegen"],
+        "forbid": ["Window", "CartesianProduct", "SortMergeJoin",
+                   "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # graded decontamination: benchmark shingle set BROADCASTS; the
+    # per-doc count is a hash agg — no pair materialization, no window
+    "decontaminate_fraction": {
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
