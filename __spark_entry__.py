@@ -1514,6 +1514,49 @@ def q_decontaminate_fraction(spark, sf_dir):
     return ngram_contamination_fraction(d, is_bench)
 
 
+def q_script_profile(spark, sf_dir):
+    """Writing-system histogram + dominant script per document
+    (operators/langid.script_profile) — the script-detection stage that
+    partitions the candidate-language set before lang-ID. Zero-shuffle
+    codegen regexp arithmetic; the oracle uses the IDENTICAL
+    codepoint-range literals (shared SCRIPT_RANGES constants), so the
+    counts hash-match exactly."""
+    from inform_spark.operators.langid import script_profile
+
+    return script_profile(_docs(spark, sf_dir))
+
+
+def _script_profile_sql() -> str:
+    from inform_spark.operators.langid import SCRIPT_RANGES, SCRIPTS
+
+    cnt = ", ".join(
+        f"cast(length(regexp_replace(text, '[^{r}]', '', 'g')) as bigint) "
+        f"as n_{s}"
+        for s, r in SCRIPT_RANGES.items()
+    )
+    tot = " + ".join(f"n_{s}" for s in SCRIPTS)
+    g = "greatest(" + ", ".join(f"n_{s}" for s in SCRIPTS) + ")"
+    dom = "case when __g = 0 then 'none' " + " ".join(
+        f"when n_{s} = __g then '{s}'" for s in SCRIPTS
+    ) + " end"
+    return (
+        "with c as (select cast(doc_id as bigint) as doc_id, "
+        f"cast(length(text) as bigint) as n_chars, {cnt}, "
+        "cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as bigint) "
+        "as n_digit, "
+        "cast(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) as bigint) "
+        "as n_space from documents), "
+        f"gg as (select *, {g} as __g from c) "
+        "select doc_id, n_chars, "
+        + ", ".join(f"n_{s}" for s in SCRIPTS)
+        + ", n_digit, n_space, "
+        f"cast(n_chars - ({tot} + n_digit + n_space) as bigint) as n_other, "
+        f"{dom} as dominant_script, "
+        "cast(case when n_chars > 0 then 1000 * __g // n_chars else 0 end "
+        "as bigint) as script_milli from gg"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1635,6 +1678,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_publish_manifest": q_corpus_publish_manifest,
         "sitemap_inventory": q_sitemap_inventory,
         "decontaminate_fraction": q_decontaminate_fraction,
+        "script_profile": q_script_profile,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2596,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "1000 * coalesce(n_contaminated, 0) // n_shingles else 0 end) < 50 "
         "as keep from tr left join hits using (doc_id)"
     )
+    d["script_profile"] = _script_profile_sql()
     d["sitemap_inventory"] = (
         "select 'https://corpus.test/sitemap-'"
         "||cast(doc_id % 16 as varchar)||'.xml' as sitemap_url, "

@@ -189,3 +189,80 @@ def lang_id_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "bits_fr",
         F.when(F.col("n_trigrams").isNotNull(), pred).alias("pred_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Script / writing-system profiling (zero-shuffle char-class histogram)
+# ---------------------------------------------------------------------------
+
+# codepoint RANGES (not \p{Script} names) so the identical pattern string
+# means the same thing to Java regex (Spark) and RE2 (DuckDB) — the
+# literal characters are interpolated into both engines' patterns
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+}
+SCRIPTS = list(SCRIPT_RANGES)  # insertion order = tie-break priority
+
+
+def _class_count(text_col: Column, char_class: str) -> Column:
+    return F.length(F.regexp_replace(text_col, f"[^{char_class}]", ""))
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-system histogram + dominant script — the
+    script-detection stage a multilingual pipeline runs BEFORE language
+    ID (script partitions the candidate-language set: CLD2/fastText-lid
+    do exactly this; a Cyrillic doc never scores against the es/fr
+    models). Counts per script range plus digits/whitespace/other, the
+    dominant script (argmax, ties broken in SCRIPTS order, 'none' for
+    zero script chars), and its share of all characters in integer
+    milli.
+
+    Scale: ZERO shuffle — the whole profile is a narrow codegen chain
+    of regexp_replace/length arithmetic; supplementary-plane characters
+    (emoji) fall into `other` identically in both engines because every
+    class is a BMP codepoint range."""
+    t = F.col(text_col)
+    # stage 1 names every count ONCE so stage 2's argmax/other/milli
+    # expressions reference columns, not re-inlined regexp trees — the
+    # CASE chain would otherwise embed each regexp ~9x in the project
+    counted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        *[
+            _class_count(t, r).cast("long").alias(f"n_{s}")
+            for s, r in SCRIPT_RANGES.items()
+        ],
+        _class_count(t, "0-9").cast("long").alias("n_digit"),
+        _class_count(t, " \t\n\r").cast("long").alias("n_space"),
+    )
+    script_cols = [F.col(f"n_{s}") for s in SCRIPTS]
+    known = F.col("n_digit") + F.col("n_space")
+    for c in script_cols:
+        known = known + c
+    g = F.greatest(*script_cols)
+    dominant = F.when(g == 0, F.lit("none"))
+    for s in SCRIPTS:
+        dominant = dominant.when(F.col(f"n_{s}") == g, F.lit(s))
+    return counted.select(
+        "*",
+        (F.col("n_chars") - known).cast("long").alias("n_other"),
+        dominant.alias("dominant_script"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                "1000 * greatest("
+                + ", ".join(f"n_{s}" for s in SCRIPTS)
+                + ") div n_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("script_milli"),
+    )
