@@ -1557,6 +1557,34 @@ def _script_profile_sql() -> str:
     )
 
 
+def q_curated_publish_manifest(spark, sf_dir):
+    """Capstone composition — the full corpus-build tail: curation
+    verdicts (model + blocklist + LM band + canonical pick) select the
+    survivors, which are published through the bucketed layout's
+    manifest (operators/publish.publish_manifest). The Spark side
+    literally chains the stage queries; the oracle composes the
+    curation-verdict SQL inside the manifest SQL, so what gets
+    cross-checked is the COMPOSITION: the per-bucket doc/token/byte
+    totals of exactly the kept documents."""
+    from inform_spark.operators.publish import publish_manifest
+
+    kept = q_curation_verdicts(spark, sf_dir).filter(
+        F.col("keep_final") == 1
+    ).select("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).join(kept, "doc_id")
+    m = publish_manifest(docs, n_buckets=16)
+    return m.select(
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_bytes",
+        "min_key",
+        "max_key",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1679,6 +1707,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_inventory": q_sitemap_inventory,
         "decontaminate_fraction": q_decontaminate_fraction,
         "script_profile": q_script_profile,
+        "curated_publish_manifest": q_curated_publish_manifest,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2641,6 +2670,25 @@ def oracle_sql() -> dict[str, str]:
         "as keep from tr left join hits using (doc_id)"
     )
     d["script_profile"] = _script_profile_sql()
+    # capstone composition: the curation-verdict oracle nested inside
+    # the publish-manifest oracle — the chain is what's cross-checked
+    d["curated_publish_manifest"] = (
+        "with kept as (select doc_id from ("
+        + d["curation_verdicts"]
+        + ") where keep_final = 1), "
+        "b as (select cast('0x'||substr(md5('pub'"
+        "||cast(d.doc_id as varchar)),1,15) as bigint) % 16 as bucket, "
+        "cast(d.doc_id as bigint) as doc_id, d.text "
+        "from documents d join kept on kept.doc_id = cast(d.doc_id as bigint)) "
+        "select cast(bucket as int) as bucket, "
+        "cast(count(*) as bigint) as n_docs, "
+        "cast(sum(len(list_filter(string_split(lower(text), ' '), "
+        "w -> w != ''))) as bigint) as n_tokens, "
+        "cast(sum(octet_length(encode(text))) as bigint) as n_bytes, "
+        "cast(min(doc_id) as bigint) as min_key, "
+        "cast(max(doc_id) as bigint) as max_key "
+        "from b group by bucket"
+    )
     d["sitemap_inventory"] = (
         "select 'https://corpus.test/sitemap-'"
         "||cast(doc_id % 16 as varchar)||'.xml' as sitemap_url, "
