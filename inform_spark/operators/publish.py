@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import _h60 as h60
+from inform_spark.operators.textops import _h60 as h60, words_col
 
 PUBLISH_SALT = "pub"
 
@@ -50,9 +50,7 @@ def publish_manifest(
     min_key, max_key). One hash-groupBy with map-side combine — the
     aggregation is by the same key the files are bucketed by, so when
     computed over an already-published table it is shuffle-free."""
-    toks = F.size(
-        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-    )
+    toks = F.size(F.filter(words_col(text_col), lambda w: w != ""))
     return (
         docs.select(
             bucket_of(key_col, n_buckets).alias("bucket"),

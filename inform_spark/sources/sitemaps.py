@@ -142,12 +142,18 @@ def expand_sitemap_index(
     tolerates sloppy real-world nesting without letting a crawler trap
     recurse unboundedly."""
     seen = set(seed_urls)
-    level = list(seed_urls)
+    level = list(dict.fromkeys(seed_urls))
     url_frames = []
     for _ in range(max_depth + 1):
         if not level:
             break
-        parsed = parse_sitemaps(fetch_bodies(level))
+        # persist BEFORE the children collect: with a live fetcher the
+        # frame's lineage re-executes the fetch, so without the pin every
+        # sitemap would be fetched twice (once for the child list, again
+        # when the caller evaluates the returned union) — and a body that
+        # changed between fetches would desync URLs from the expansion
+        # actually followed
+        parsed = parse_sitemaps(fetch_bodies(level)).persist()
         # one bounded collect per level: only CHILD SITEMAP locs come to
         # the driver (the next fetch list — same shape as feed fan-out);
         # page URL rows stay distributed
@@ -156,7 +162,9 @@ def expand_sitemap_index(
             for r in parsed.filter("kind = 'sitemap'").select("loc").collect()
         ]
         url_frames.append(parsed.filter("kind = 'url'"))
-        level = [u for u in children if u not in seen]
+        # dedupe within the level too — two sibling indexes listing the
+        # same child must not fetch it twice / duplicate its URLs
+        level = [u for u in dict.fromkeys(children) if u not in seen]
         seen.update(level)
     if not url_frames:
         raise ValueError("no sitemap levels fetched")

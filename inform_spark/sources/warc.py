@@ -77,6 +77,15 @@ def warc_record_col(uri, date, content_type, payload):
         F.col(content_type) if isinstance(content_type, str) else content_type
     )
     payload = F.col(payload) if isinstance(payload, str) else payload
+    # F.concat null-propagates: a NULL uri/date would SILENTLY drop the
+    # whole record (shard concat skips it, cdx_index emits a null-length
+    # row — file and index disagree). Fail loudly instead; a missing
+    # payload/content-type is legitimate and becomes empty.
+    uri = F.when(
+        uri.isNotNull() & date.isNotNull(), uri
+    ).otherwise(F.raise_error(F.lit("warc_record_col: NULL uri or date")))
+    content_type = F.coalesce(content_type, F.lit(""))
+    payload = F.coalesce(payload, F.lit(""))
     digest = F.md5(F.concat_ws("\n", uri, date))
     record_id = F.concat(
         F.lit("<urn:uuid:"),
@@ -162,6 +171,7 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     records (e.g. a writer that appended a newline per record) is
     tolerated and skipped."""
     pos, n = 0, len(blob)
+    mv = memoryview(blob)
     while pos < n:
         while pos < n and blob[pos] in (0x0D, 0x0A):
             pos += 1
@@ -169,7 +179,10 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
             return
         if blob[pos : pos + 2] == b"\x1f\x8b":
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            member = d.decompress(blob[pos:])
+            # memoryview slice: zero-copy — a bytes slice here would
+            # memmove the remaining buffer once PER MEMBER (O(n^2) over
+            # a 50k-member .warc.gz shard)
+            member = d.decompress(mv[pos:])
             consumed = (n - pos) - len(d.unused_data)
             yield from iter_warc_records(member)
             pos += consumed
@@ -179,6 +192,10 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
             raise ValueError("truncated WARC header block")
         headers = _parse_headers(blob[pos:hdr_end])
         clen = int(headers.get("content-length", "0"))
+        if clen < 0:
+            # a negative length would move pos BACKWARD — at best garbage
+            # records, at worst an infinite re-parse of the same bytes
+            raise ValueError(f"negative WARC Content-Length: {clen}")
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise ValueError(

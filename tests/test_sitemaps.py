@@ -138,6 +138,43 @@ def test_expand_index_cycle_terminates(spark):
     assert [r["loc"] for r in out.collect()] == ["https://a.test/leaf"]
 
 
+def test_expand_index_fetches_each_child_once(spark):
+    # two sibling indexes list the SAME child: it must be fetched once
+    # and its URLs must not be duplicated in the result
+    calls = []
+    site = {
+        "https://a.test/i.xml": (
+            "<sitemapindex>"
+            "<sitemap><loc>https://a.test/c1.xml</loc></sitemap>"
+            "<sitemap><loc>https://a.test/c2.xml</loc></sitemap>"
+            "</sitemapindex>"
+        ),
+        "https://a.test/c1.xml": (
+            "<sitemapindex><sitemap><loc>https://a.test/shared.xml</loc>"
+            "</sitemap></sitemapindex>"
+        ),
+        "https://a.test/c2.xml": (
+            "<sitemapindex><sitemap><loc>https://a.test/shared.xml</loc>"
+            "</sitemap></sitemapindex>"
+        ),
+        "https://a.test/shared.xml": (
+            "<urlset><url><loc>https://a.test/leaf</loc></url></urlset>"
+        ),
+    }
+    base = _fixture_fetcher(spark, site)
+
+    def counting_fetch(urls):
+        calls.append(list(urls))
+        return base(urls)
+
+    out = sitemaps.expand_sitemap_index(
+        counting_fetch, ["https://a.test/i.xml"]
+    )
+    assert [r["loc"] for r in out.collect()] == ["https://a.test/leaf"]
+    fetched = [u for lvl in calls for u in lvl]
+    assert len(fetched) == len(set(fetched)), fetched
+
+
 def test_expand_index_depth_bound(spark):
     # a chain deeper than max_depth: deepest urlset never reached
     site = {

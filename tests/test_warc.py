@@ -75,6 +75,39 @@ def test_gzip_member_records():
     assert [r["payload"] for r in recs] == [b"abcde", b"fghij"]
 
 
+def test_negative_content_length_raises():
+    # a negative length would move the cursor backward: at best garbage,
+    # at worst an infinite re-parse loop on a corrupt/hostile archive
+    bad = (
+        b"WARC/1.0\r\nWARC-Target-URI: https://n.test\r\n"
+        b"Content-Length: -10\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative WARC Content-Length"):
+        list(warc.iter_warc_records(bad))
+
+
+def test_null_uri_raises_instead_of_silent_drop(spark):
+    # F.concat null-propagates; a NULL uri must fail loudly, not vanish
+    # from the shard while cdx_index still counts it
+    df = spark.createDataFrame(
+        [(None, "2026-01-01T00:00:00Z", "text/plain", "x")],
+        "uri string, warc_date string, content_type string, payload string",
+    )
+    with pytest.raises(Exception, match="NULL uri or date"):
+        warc.serialize_warc(df).select("warc").collect()
+
+
+def test_null_payload_becomes_empty_record(spark):
+    df = spark.createDataFrame(
+        [("https://p.test/", "2026-01-01T00:00:00Z", None, None)],
+        "uri string, warc_date string, content_type string, payload string",
+    )
+    rec = warc.serialize_warc(df).select("warc").first()["warc"]
+    (parsed,) = list(warc.iter_warc_records(rec.encode("utf-8")))
+    assert parsed["payload"] == b""
+    assert parsed["content_length"] == 0
+
+
 def test_truncated_payload_raises():
     raw = (
         b"WARC/1.0\r\nWARC-Target-URI: https://t.test\r\n"
