@@ -191,3 +191,62 @@ def test_expand_index_depth_bound(spark):
         _fixture_fetcher(spark, site), ["https://a.test/d0.xml"], max_depth=3
     )
     assert out.count() == 0
+
+
+def test_sitemap_inventory_seeds_the_crawl_engine(spark, tmp_path):
+    """End-to-end composition: robots `Sitemap:` discovery -> index
+    expansion -> inventory URLs feed CrawlConfig.seeds_df (the
+    distributed bulk-seeding path) -> the engine crawls exactly those
+    pages plus what they link to, without the inventory ever being
+    collected to the driver as a seed list."""
+    from inform_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from inform_spark.schemas import ROBOTS
+    from inform_spark.sources.pages import generate_site
+
+    pages, robots = generate_site(2, 10)
+    pages_df = spark.createDataFrame(pages).cache()
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], r["exists"], r["disallow_prefixes"], r["crawl_delay_ms"])
+            for r in robots
+        ],
+        schema=ROBOTS,
+    ).cache()
+
+    robots_txt = "User-agent: *\nSitemap: https://site0.test/sitemap.xml\n"
+    discovered = sitemaps.sitemap_urls_from_robots(robots_txt)
+    assert discovered == ["https://site0.test/sitemap.xml"]
+    site = {
+        "https://site0.test/sitemap.xml": (
+            "<urlset>"
+            "<url><loc>https://site0.test/docs</loc></url>"
+            "<url><loc>https://site0.test/blog</loc></url>"
+            "</urlset>"
+        ),
+    }
+    inv = sitemaps.expand_sitemap_index(_fixture_fetcher(spark, site), discovered)
+    eng = CrawlEngine(
+        spark,
+        pages_df,
+        robots_df,
+        CrawlConfig(
+            seeds=["https://site0.test/"],  # host scope
+            seeds_df=inv.selectExpr("loc as url"),
+            limit=30,
+        ),
+        checkpoint_dir=str(tmp_path / "smck"),
+    )
+    eng.run()
+    seen = [r["url"] for r in eng.seen().collect()]
+    assert "https://site0.test/docs" in seen
+    assert "https://site0.test/blog" in seen
+    # the sitemap seeds were the frontier roots: the home page is only
+    # crawled if some sitemap page links back to it
+    ranks = {
+        r["url"]: r["crawl_rank"]
+        for r in eng.seen().orderBy("crawl_rank").collect()
+    }
+    first_two = sorted(u for u, k in ranks.items() if k <= 2)
+    assert first_two == [
+        "https://site0.test/blog", "https://site0.test/docs"
+    ]
