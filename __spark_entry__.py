@@ -1585,6 +1585,41 @@ def q_curated_publish_manifest(spark, sf_dir):
     )
 
 
+def q_sitemap_recrawl_overlay(spark, sf_dir):
+    """Composition: sitemap freshness over the adaptive recrawl schedule
+    (operators/recrawl.sitemap_informed_schedule). The revisit log's
+    adaptive schedule (= the `recrawl_schedule` query) is joined with a
+    deterministic sitemap inventory whose lastmod epochs straddle the
+    log's last-check times, so both branches are exercised: a declared
+    change AFTER our last check pulls next_due down to the change time;
+    everything else keeps the adaptive interval. The oracle nests the
+    recrawl-schedule SQL and applies the identical overlay."""
+    from inform_spark.operators.recrawl import sitemap_informed_schedule
+
+    sched = q_recrawl_schedule(spark, sf_dir)
+    # inventory for even-numbered urls only (odd urls = not in sitemap):
+    # lastmod = 2024-01-01 UTC + (urlnum % 60) days, spanning the log's
+    # Jan-2024 check times
+    inv = sched.select("url").filter(
+        F.expr("cast(substring(url, 2) as bigint) % 2 = 0")
+    ).select(
+        "url",
+        (
+            F.lit(1_704_067_200_000)
+            + (F.expr("cast(substring(url, 2) as bigint)") % 60)
+            * F.lit(86_400_000)
+        ).alias("lastmod_ms"),
+    )
+    out = sitemap_informed_schedule(sched, inv)
+    return out.select(
+        "url",
+        "last_ms",
+        "interval_ms",
+        "next_due_ms",
+        F.col("sitemap_override").cast("boolean").alias("sitemap_override"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1708,6 +1743,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fraction": q_decontaminate_fraction,
         "script_profile": q_script_profile,
         "curated_publish_manifest": q_curated_publish_manifest,
+        "sitemap_recrawl_overlay": q_sitemap_recrawl_overlay,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2688,6 +2724,21 @@ def oracle_sql() -> dict[str, str]:
         "cast(min(doc_id) as bigint) as min_key, "
         "cast(max(doc_id) as bigint) as max_key "
         "from b group by bucket"
+    )
+    d["sitemap_recrawl_overlay"] = (
+        "with s as (" + d["recrawl_schedule"] + "), "
+        "inv as (select url, 1704067200000 "
+        "+ (cast(substring(url, 2) as bigint) % 60) * 86400000 "
+        "as lastmod_ms from s "
+        "where cast(substring(url, 2) as bigint) % 2 = 0) "
+        "select s.url, last_ms, interval_ms, "
+        "cast(case when inv.lastmod_ms is not null "
+        "and inv.lastmod_ms > last_ms "
+        "then least(next_due_ms, inv.lastmod_ms) else next_due_ms end "
+        "as bigint) as next_due_ms, "
+        "coalesce(inv.lastmod_ms is not null "
+        "and inv.lastmod_ms > last_ms, false) as sitemap_override "
+        "from s left join inv using (url)"
     )
     d["sitemap_inventory"] = (
         "select 'https://corpus.test/sitemap-'"

@@ -161,3 +161,46 @@ def domain_crawl_budget(
         "n_tokens",
         budget.alias("budget_pages"),
     )
+
+
+def sitemap_informed_schedule(
+    schedule: DataFrame,
+    inventory: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod_ms",
+) -> DataFrame:
+    """Overlay sitemap freshness onto the adaptive schedule: when the
+    site DECLARES a modification after our last check (sitemap
+    ``lastmod`` > ``last_ms``), the page is due at the declared change
+    time — ``next_due_ms`` drops to ``least(next_due_ms, lastmod_ms)``
+    so :func:`due_now`'s most-overdue-first order surfaces it ahead of
+    interval-driven revisits. URLs the sitemap doesn't cover (or whose
+    declared change predates our last check) keep the adaptive
+    interval untouched. This is the standard crawler freshness loop:
+    sitemaps are hints, not truth, so the adaptive interval stays as
+    the floor of trust — a site spamming future lastmods cannot pull
+    pages EARLIER than the declared time itself, and never bumps
+    ``interval_ms`` (the change-rate model is only updated by observed
+    checks).
+
+    Scale: one equi-join on url (the inventory is corpus-scale — no
+    broadcast; AQE handles host skew), then narrow arithmetic.
+    """
+    inv = inventory.select(
+        F.col(url_col).alias("url"),
+        F.col(lastmod_col).cast("long").alias("__lastmod_ms"),
+    )
+    j = schedule.join(inv, "url", "left")
+    override = F.col("__lastmod_ms").isNotNull() & (
+        F.col("__lastmod_ms") > F.col("last_ms")
+    )
+    return (
+        j.withColumn("sitemap_override", override)
+        .withColumn(
+            "next_due_ms",
+            F.when(
+                override, F.least(F.col("next_due_ms"), F.col("__lastmod_ms"))
+            ).otherwise(F.col("next_due_ms")),
+        )
+        .drop("__lastmod_ms")
+    )

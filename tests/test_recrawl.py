@@ -83,3 +83,41 @@ def test_due_now_budget(history):
         "hot"
     ]
     assert due_now(sched, 0).count() == 0
+
+
+def test_sitemap_informed_schedule(spark):
+    """Sitemap lastmod overlay: declared-change-after-last-check pulls
+    next_due down to the change time; stale or absent sitemap data
+    leaves the adaptive schedule untouched."""
+    from pyspark.sql import Row
+
+    from inform_spark.operators.recrawl import sitemap_informed_schedule
+
+    sched = spark.createDataFrame(
+        [
+            # url, checks, changes, last_ms, interval_ms, next_due_ms
+            ("a", 4, 1, 1000, 500, 1500),  # lastmod AFTER last -> due at 1200
+            ("b", 4, 1, 1000, 500, 1500),  # lastmod BEFORE last -> untouched
+            ("c", 4, 1, 1000, 500, 1500),  # not in sitemap -> untouched
+            ("d", 4, 1, 1000, 500, 1500),  # future lastmod past due -> capped at next_due
+        ],
+        "url string, checks long, changes long, last_ms long, "
+        "interval_ms long, next_due_ms long",
+    )
+    inv = spark.createDataFrame(
+        [Row(url="a", lastmod_ms=1200),
+         Row(url="b", lastmod_ms=900),
+         Row(url="d", lastmod_ms=9999)]
+    )
+    out = {
+        r["url"]: r
+        for r in sitemap_informed_schedule(sched, inv).collect()
+    }
+    assert out["a"]["next_due_ms"] == 1200 and out["a"]["sitemap_override"]
+    assert out["b"]["next_due_ms"] == 1500 and not out["b"]["sitemap_override"]
+    assert out["c"]["next_due_ms"] == 1500 and not out["c"]["sitemap_override"]
+    # a spammed future lastmod can't push the page LATER than the
+    # adaptive due time (least), though it flags the override
+    assert out["d"]["next_due_ms"] == 1500 and out["d"]["sitemap_override"]
+    # interval model never touched by hints
+    assert all(r["interval_ms"] == 500 for r in out.values())
