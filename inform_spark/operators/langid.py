@@ -199,7 +199,9 @@ def lang_id_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # means the same thing to Java regex (Spark) and RE2 (DuckDB) — the
 # literal characters are interpolated into both engines' patterns
 SCRIPT_RANGES = {
-    "latin": "A-Za-zÀ-ɏ",
+    # À-Ö Ø-ö ø-ɏ excludes the math symbols × ÷ (not letters);
+    # Ḁ-ỿ is Latin Extended Additional (Vietnamese tone-marked vowels)
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏḀ-ỿ",
     "cyrillic": "Ѐ-ӿ",
     "greek": "Ͱ-Ͽ",
     "arabic": "؀-ۿ",

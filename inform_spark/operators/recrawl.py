@@ -186,9 +186,16 @@ def sitemap_informed_schedule(
     Scale: one equi-join on url (the inventory is corpus-scale — no
     broadcast; AQE handles host skew), then narrow arithmetic.
     """
-    inv = inventory.select(
-        F.col(url_col).alias("url"),
-        F.col(lastmod_col).cast("long").alias("__lastmod_ms"),
+    # real inventories repeat URLs (the same page listed by two
+    # urlsets); aggregate to the NEWEST declared change per url so the
+    # left join can never fan one schedule row into several
+    inv = (
+        inventory.select(
+            F.col(url_col).alias("url"),
+            F.col(lastmod_col).cast("long").alias("__lastmod_ms"),
+        )
+        .groupBy("url")
+        .agg(F.max("__lastmod_ms").alias("__lastmod_ms"))
     )
     j = schedule.join(inv, "url", "left")
     override = F.col("__lastmod_ms").isNotNull() & (

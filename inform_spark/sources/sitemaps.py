@@ -154,14 +154,24 @@ def expand_sitemap_index(
         # changed between fetches would desync URLs from the expansion
         # actually followed
         parsed = parse_sitemaps(fetch_bodies(level)).persist()
-        # one bounded collect per level: only CHILD SITEMAP locs come to
-        # the driver (the next fetch list — same shape as feed fan-out);
-        # page URL rows stay distributed
-        children = [
-            r["loc"]
-            for r in parsed.filter("kind = 'sitemap'").select("loc").collect()
-        ]
-        url_frames.append(parsed.filter("kind = 'url'"))
+        try:
+            # one bounded collect per level: only CHILD SITEMAP locs come
+            # to the driver (the next fetch list — same shape as feed
+            # fan-out); page URL rows stay distributed
+            children = [
+                r["loc"]
+                for r in parsed.filter("kind = 'sitemap'").select("loc").collect()
+            ]
+            # localCheckpoint cuts the url rows' lineage (materialized on
+            # executors), so the level's cache can be released NOW rather
+            # than leaking one pinned frame per level for the session's
+            # lifetime; executor loss mid-expansion would re-raise rather
+            # than silently re-fetch
+            url_frames.append(
+                parsed.filter("kind = 'url'").localCheckpoint(eager=True)
+            )
+        finally:
+            parsed.unpersist()
         # dedupe within the level too — two sibling indexes listing the
         # same child must not fetch it twice / duplicate its URLs
         level = [u for u in dict.fromkeys(children) if u not in seen]

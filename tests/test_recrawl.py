@@ -121,3 +121,24 @@ def test_sitemap_informed_schedule(spark):
     assert out["d"]["next_due_ms"] == 1500 and out["d"]["sitemap_override"]
     # interval model never touched by hints
     assert all(r["interval_ms"] == 500 for r in out.values())
+
+
+def test_sitemap_schedule_dedupes_inventory(spark):
+    """A URL listed by two urlsets must not fan the schedule out into
+    two rows — the newest declared change wins."""
+    from pyspark.sql import Row
+
+    from inform_spark.operators.recrawl import sitemap_informed_schedule
+
+    sched = spark.createDataFrame(
+        [("u", 2, 1, 1000, 500, 1500)],
+        "url string, checks long, changes long, last_ms long, "
+        "interval_ms long, next_due_ms long",
+    )
+    inv = spark.createDataFrame(
+        [Row(url="u", lastmod_ms=1100), Row(url="u", lastmod_ms=1300)]
+    )
+    rows = sitemap_informed_schedule(sched, inv).collect()
+    assert len(rows) == 1
+    assert rows[0]["next_due_ms"] == 1300
+    assert rows[0]["sitemap_override"]

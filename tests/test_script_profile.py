@@ -78,3 +78,19 @@ def test_ranges_are_bmp_pairs():
     # the engine-parity precondition: every class is literal BMP ranges
     for s, r in SCRIPT_RANGES.items():
         assert all(ord(c) <= 0xFFFF for c in r if c != "-"), s
+
+
+def test_math_symbols_are_not_latin(spark):
+    # U+00D7 (×) and U+00F7 (÷) sit inside Latin-1 but are math symbols
+    r = _profile(spark, "3 × 4 ÷ 2")
+    assert r["n_latin"] == 0
+    assert r["n_other"] == 2
+    assert r["dominant_script"] == "none"
+
+
+def test_vietnamese_extended_latin(spark):
+    # Latin Extended Additional (U+1E00-U+1EFF) counts as latin
+    r = _profile(spark, "Tiếng Việt")
+    assert r["n_latin"] == 9
+    assert r["n_other"] == 0
+    assert r["dominant_script"] == "latin"

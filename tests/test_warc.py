@@ -214,46 +214,48 @@ except ImportError:  # pragma: no cover
     HAVE_HYPOTHESIS = False
 
 
-@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis unavailable")
-@settings(max_examples=150, deadline=None)
-@given(
-    payloads=st.lists(
-        st.text(
-            # surrogates can't encode to utf-8; everything else goes,
-            # including CRLFs, header-lookalikes, and astral chars
-            alphabet=st.characters(blacklist_categories=("Cs",)),
-            max_size=300,
-        ),
-        min_size=1,
-        max_size=5,
-    )
-)
-def test_serialize_parse_identity_fuzz(payloads):
-    """Property: parse(concat(serialize(p_i))) recovers every payload
-    byte-for-byte, for arbitrary unicode payloads — the plain-Python
-    mirror of warc_record_col's template (kept in sync by the
-    byte-level framing tests above and the oracle round trip)."""
-    import hashlib
-
-    def record(uri, payload: str) -> bytes:
-        body = payload.encode("utf-8")
-        h = hashlib.md5(f"{uri}\n2026-01-01T00:00:00Z".encode()).hexdigest()
-        rid = f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
-        hdr = (
-            f"WARC/1.0\r\nWARC-Type: response\r\n"
-            f"WARC-Target-URI: {uri}\r\n"
-            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
-            f"WARC-Record-ID: {rid}\r\n"
-            f"Content-Type: text/plain; charset=utf-8\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
+if HAVE_HYPOTHESIS:
+    _fuzz_given = given(
+        payloads=st.lists(
+            st.text(
+                # surrogates can't encode to utf-8; everything else goes,
+                # including CRLFs, header-lookalikes, and astral chars
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=300,
+            ),
+            min_size=1,
+            max_size=5,
         )
-        return hdr.encode("utf-8") + body + b"\r\n\r\n"
-
-    blob = b"".join(
-        record(f"https://f.test/{i}", p) for i, p in enumerate(payloads)
     )
-    recs = list(warc.iter_warc_records(blob))
-    assert len(recs) == len(payloads)
-    for i, (r, p) in enumerate(zip(recs, payloads)):
-        assert r["target_uri"] == f"https://f.test/{i}"
-        assert r["payload"] == p.encode("utf-8")
+
+    @settings(max_examples=150, deadline=None)
+    @_fuzz_given
+    def test_serialize_parse_identity_fuzz(payloads):
+        """Property: parse(concat(serialize(p_i))) recovers every payload
+        byte-for-byte, for arbitrary unicode payloads — the plain-Python
+        mirror of warc_record_col's template (kept in sync by the
+        byte-level framing tests above and the oracle round trip)."""
+        import hashlib
+
+        def record(uri, payload: str) -> bytes:
+            body = payload.encode("utf-8")
+            h = hashlib.md5(f"{uri}\n2026-01-01T00:00:00Z".encode()).hexdigest()
+            rid = f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"WARC-Record-ID: {rid}\r\n"
+                f"Content-Type: text/plain; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            )
+            return hdr.encode("utf-8") + body + b"\r\n\r\n"
+
+        blob = b"".join(
+            record(f"https://f.test/{i}", p) for i, p in enumerate(payloads)
+        )
+        recs = list(warc.iter_warc_records(blob))
+        assert len(recs) == len(payloads)
+        for i, (r, p) in enumerate(zip(recs, payloads)):
+            assert r["target_uri"] == f"https://f.test/{i}"
+            assert r["payload"] == p.encode("utf-8")
