@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "corpus_mix_sample",
     "bigram_surprisal",
+    # round-4 second wave (keep the headline JSON under the driver's
+    # 2000-char capture — adding a query costs ~25 chars)
+    "warc_roundtrip",
+    "corpus_publish_manifest",
+    "script_profile",
+    "decontaminate_fraction",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
