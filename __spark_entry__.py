@@ -1637,6 +1637,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list each round): they verify ahead of everything except
 # never-driver-verified queries, regardless of when they last had a
 # driver row.
+def q_hll_host_cardinality(spark, sf_dir):
+    """Per-host distinct-URL cardinality via a mergeable HyperLogLog
+    sketch (operators/sketches, Flajolet et al. 2007): m=64 one-byte
+    registers per host answer "how many distinct URLs has this host
+    contributed?" without ever re-scanning the URL strings — the
+    frontier-monitoring signal a 10^10-URL seen-set (bloom/cuckoo)
+    cannot provide. Engine-exact: integer hashing/rank/max/sums plus
+    ONE committed-constant IEEE double division, so DuckDB hash-matches
+    the estimate bit-for-bit; the exact distinct count rides alongside
+    as the verification column. Items are deterministic URL-ids
+    synthesized from events (event_id mod 2600 under 8 hosts — ~4x
+    duplication, the regime where sketch vs exact diverges)."""
+    from inform_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    it = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("u"), (F.col("event_id") % 2600).cast("string")).alias(
+            "item"
+        ),
+    )
+    return hll_cardinality(it, "item", ["host"], p=6)
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Positional inverted index over the corpus
+    (operators/invindex.inverted_postings): per term, EXACT df/cf plus
+    a canonical 'doc:tf:pos.pos'-string posting list capped at the 32
+    lowest doc_ids with the truncation surfaced in n_dropped_docs —
+    the capped+audited heavy-hitter discipline (stopwords are the
+    skew). One posexplode + two map-side-combine groupBys; the
+    per-term cap rank is the only per-bucket sort."""
+    from inform_spark.operators.invindex import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir), max_docs_per_term=32)
+
+
+def q_link_trustrank(spark, sf_dir):
+    """Fixed-point TrustRank (Gyongyi et al., VLDB 2004) over the same
+    deterministic synthetic link graph as link_pagerank: teleport mass
+    restricted to a hash-designated ~12.5% trusted seed set, so trust
+    decays with link distance from seeds — the spam-aware frontier
+    priority, and (pagerank - trust) is the classic spam-mass signal.
+    Same integer arithmetic as pagerank: associative sums + integer
+    division = partitioning/engine independent."""
+    from inform_spark.operators.linkgraph import synthetic_edges, trustrank
+    from inform_spark.operators.textops import _h60
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    seeded = nodes.withColumn(
+        "is_seed",
+        F.pmod(
+            _h60(F.concat(F.lit("trust"), F.col("id").cast("string"))),
+            F.lit(8),
+        )
+        == 0,
+    )
+    return trustrank(synthetic_edges(nodes), seeded, iterations=3).select(
+        F.col("id").alias("doc_id"), "trust", "is_seed"
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1744,6 +1810,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "curated_publish_manifest": q_curated_publish_manifest,
         "sitemap_recrawl_overlay": q_sitemap_recrawl_overlay,
+        "hll_host_cardinality": q_hll_host_cardinality,
+        "inverted_postings": q_inverted_postings,
+        "link_trustrank": q_link_trustrank,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2757,6 +2826,92 @@ def oracle_sql() -> dict[str, str]:
         "where len(w) >= 2) "
         "select x.doc_id as a, y.doc_id as b, x.suf as boundary "
         "from b x join b y on x.suf = y.pre and x.doc_id != y.doc_id"
+    )
+    # HLL: identical committed constants on both sides — the alpha*m^2*2^55
+    # double literal and the integer linear-counting table come from ONE
+    # Python computation (operators/sketches), so no engine evaluates ln or
+    # non-integer math beyond a single IEEE-deterministic division
+    from inform_spark.operators.sketches import _c_literal, _lc_milli_table
+
+    _hll_c = repr(_c_literal(64, 6))
+    _hll_lc = ", ".join(str(x) for x in _lc_milli_table(64))
+    d["hll_host_cardinality"] = (
+        "with it as (select 'h' || cast(user_id % 8 as varchar) as host, "
+        "'u' || cast(event_id % 2600 as varchar) as item from events), "
+        "h as (select host, item, "
+        "cast('0x'||substr(md5('hll'||item),1,15) as bigint) as hv from it), "
+        "r as (select host, hv % 64 as bucket, "
+        "case when hv // 64 > 0 then 54 - (length(printf('%b', hv // 64)) - 1) "
+        "else 55 end as rank from h), "
+        "regs as (select host, bucket, max(rank) as register "
+        "from r group by host, bucket), "
+        "agg as (select host, count(*) as present, "
+        "sum(cast(1 as bigint) << (55 - register)) as psum "
+        "from regs group by host), "
+        "est as (select host, cast(64 - present as bigint) as n_zero_registers, "
+        "cast(psum + cast(64 - present as bigint) * (cast(1 as bigint) << 55) "
+        "as bigint) as sum_scaled from agg), "
+        "ex as (select host, cast(count(distinct item) as bigint) "
+        "as exact_distinct from it group by host) "
+        "select ex.host, exact_distinct, n_zero_registers, sum_scaled, "
+        f"case when cast(floor({_hll_c} / cast(sum_scaled as double) * 1000.0) "
+        "as bigint) <= 160000 and n_zero_registers > 0 "
+        f"then cast(list_extract([{_hll_lc}], "
+        "greatest(1, cast(n_zero_registers as int))) as bigint) "
+        f"else cast(floor({_hll_c} / cast(sum_scaled as double) * 1000.0) "
+        "as bigint) end as est_milli "
+        "from ex join est using (host)"
+    )
+    d["inverted_postings"] = (
+        "with toks as (select doc_id, t.s.term as term, t.s.idx as idx from "
+        "(select cast(doc_id as bigint) as doc_id, "
+        "list_transform(string_split(lower(text), ' '), "
+        "(x, i) -> {'term': x, 'idx': i - 1}) as ws from documents), "
+        "unnest(ws) as t(s) where len(t.s.term) > 0), "
+        "pd as (select term, doc_id, cast(count(*) as bigint) as tf, "
+        "string_agg(cast(idx as varchar), '.' order by idx) as poss "
+        "from toks group by term, doc_id), "
+        "rk as (select *, row_number() over (partition by term "
+        "order by doc_id) as rn from pd), "
+        "agg as (select term, cast(count(*) as bigint) as df, "
+        "cast(sum(tf) as bigint) as cf, "
+        "string_agg(case when rn <= 32 then cast(doc_id as varchar)||':'||"
+        "cast(tf as varchar)||':'||poss end, ';' order by doc_id) as postings "
+        "from rk group by term) "
+        "select term, df, cf, cast(df - least(df, 32) as bigint) "
+        "as n_dropped_docs, postings from agg"
+    )
+    # TrustRank: the pagerank oracle's unrolled 3 iterations with the
+    # teleport mass gated on the hash-designated seed set
+    _tr_edges = (
+        "nodes as (select cast(doc_id as bigint) as id from documents), "
+        "cnt as (select count(*) as n from nodes), "
+        "e0 as (select id as src, k from nodes, "
+        "unnest(range(1 + id % 3)) as t(k)), "
+        "edges as (select src, "
+        "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
+        "||cast(k as varchar)),1,15) as bigint) "
+        "% (select n from cnt) as dst from e0), "
+        "deg as (select src, count(*) as deg from edges group by src), "
+        "seeds as (select id, (cast('0x'||substr(md5('trust'||"
+        "cast(id as varchar)),1,15) as bigint) % 8) = 0 as is_seed "
+        "from nodes)"
+    )
+    _tr_step = (
+        "c{i} as (select e.dst as id, sum(r.trust // d.deg) as s "
+        "from edges e join deg d using(src) join r{p} r on r.id = e.src "
+        "group by e.dst), "
+        "r{i} as (select n.id, n.is_seed, "
+        "cast((case when n.is_seed then 150000 else 0 end) "
+        "+ (85 * coalesce(c.s, 0)) // 100 as bigint) as trust "
+        "from seeds n left join c{i} c using(id))"
+    )
+    d["link_trustrank"] = (
+        f"with {_tr_edges}, "
+        "r0 as (select id, is_seed, cast(case when is_seed then 1000000 "
+        "else 0 end as bigint) as trust from seeds), "
+        + ", ".join(_tr_step.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + " select id as doc_id, trust, is_seed from r3"
     )
     return d
 

@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "corpus_publish_manifest",
     "script_profile",
     "decontaminate_fraction",
+    # round-4 third wave
+    "hll_host_cardinality",
+    "inverted_postings",
+    "link_trustrank",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

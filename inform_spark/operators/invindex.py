@@ -1,0 +1,142 @@
+"""Positional inverted-index build — the serving-side companion to
+``operators/relevance.bm25_relevance``.
+
+A curated corpus is usually consumed twice: once by training, once by
+retrieval (decontamination audits, RAG serving, quality debugging all
+query "which documents contain X, where?"). This module builds the
+classic positional postings table: per term, the document frequency,
+collection frequency, and an ordered postings list of
+``doc_id:tf:pos.pos...`` entries. BM25 (relevance.py) scores a fixed
+query online; this materializes the reusable index those scores —
+and phrase queries, via the positions — are computed from.
+
+Postings are rendered as a CANONICAL STRING (entries ';'-joined in
+ascending doc_id order, positions '.'-joined ascending) rather than
+nested structs: the string is engine-portable (the DuckDB oracle
+rebuilds it byte-for-byte with ``string_agg(... order by ...)``),
+stable under the repo's order-insensitive row hashing, and is exactly
+the delta-encodable flat form a real index shard stores.
+
+Scale design:
+- ONE posexplode of the corpus (narrow; text itself never shuffles —
+  only (term, doc_id, idx) triples);
+- groupBy (term, doc_id) with map-side combine collapses each
+  document's repeated terms before the shuffle;
+- groupBy (term) assembles postings with an associative
+  min/collect+array_sort — no window, no global sort;
+- STOPWORD HEAVY HITTERS are the known skew: ``max_docs_per_term``
+  caps each posting list to the lowest-doc_id entries via a per-term
+  window rank (per-bucket sort only — spillable, same shape as
+  ``textops.pairs_from_bands_capped``) and the truncation is NEVER
+  silent: dropped doc-counts surface in the ``n_dropped_docs`` audit
+  column, following the repo's capped+audited discipline. df/cf remain
+  EXACT under the cap (counted before truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inform_spark.operators.textops import words_col
+
+
+def _term_doc_postings(docs: DataFrame, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, poss) — poss is '.'-joined ascending 0-based
+    token positions within the document."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(words_col(text_col)).alias("idx", "term"),
+    ).filter(F.length("term") > 0)
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.concat_ws(
+            ".",
+            F.transform(
+                F.array_sort(F.collect_list("idx")),
+                lambda i: i.cast("string"),
+            ),
+        ).alias("poss"),
+    )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_docs_per_term: int | None = None,
+) -> DataFrame:
+    """(term, df, cf, n_dropped_docs, postings): document frequency,
+    collection frequency (both EXACT, computed before any cap), the
+    count of doc entries truncated from the postings string by
+    ``max_docs_per_term`` (0 when uncapped), and the canonical postings
+    string ``doc:tf:p.p.p;doc:tf:p...`` ascending by doc_id (capped
+    lists keep the LOWEST doc_ids — deterministic, and in a
+    monotonically-assigned id space the oldest/first-crawled docs)."""
+    per_doc = _term_doc_postings(docs, text_col)
+    entry = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("tf").cast("string"), F.col("poss")
+    )
+    if max_docs_per_term is not None:
+        # exact df/cf from the uncapped relation; the rank only gates
+        # which entries reach the postings string
+        ranked = per_doc.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        kept = F.when(F.col("__rn") <= max_docs_per_term, entry)
+        return (
+            ranked.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+                F.concat_ws(
+                    ";",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rn") <= max_docs_per_term,
+                                    F.struct(
+                                        F.col("doc_id").alias("d"),
+                                        entry.alias("e"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["e"],
+                    ),
+                ).alias("postings"),
+            )
+            .select(
+                "term",
+                "df",
+                "cf",
+                (F.col("df") - F.least(F.col("df"), F.lit(max_docs_per_term)))
+                .cast("long")
+                .alias("n_dropped_docs"),
+                "postings",
+            )
+        )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id").alias("d"), entry.alias("e"))
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+            ).alias("postings"),
+        )
+        .select(
+            "term", "df", "cf", F.lit(0).cast("long").alias("n_dropped_docs"), "postings"
+        )
+    )

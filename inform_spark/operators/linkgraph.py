@@ -201,3 +201,70 @@ def anchor_text_agg(edges: DataFrame, anchor_col: str = "anchor") -> DataFrame:
             (-F.col("_top.neg_cnt")).cast("long").alias("top_anchor_cnt"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+    seed_col: str = "is_seed",
+) -> DataFrame:
+    """Fixed-point TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB
+    2004): PageRank with the teleport mass restricted to a hand- or
+    heuristically-labeled TRUSTED seed set, so trust decays with link
+    distance from the seeds and link-farm neighborhoods that inflate
+    vanilla PageRank stay near zero. In this engine it is the
+    spam-aware counterpart to :func:`pagerank` for frontier
+    prioritization: `priority_from_rank` accepts its output unchanged,
+    and the difference (high pagerank, low trust) is the classic
+    spam-mass signal.
+
+    ``nodes`` must carry ``id`` and a boolean ``seed_col``. Returns
+    (id, trust, is_seed) with trust a LONG in 1/scale units; seeds
+    start at ``scale``, non-seeds at 0, and each iteration applies
+    ``trust = seed*(1-d)*scale + d * sum(in-contribs)`` in the same
+    integer arithmetic as :func:`pagerank` — associative sums, integer
+    division, so the result is partitioning- and engine-independent
+    (the DuckDB oracle hash-matches it exactly).
+
+    Scale design is identical to :func:`pagerank`: the edge⋈out-degree
+    relation is built once and persisted, each iteration is two
+    shuffles (ranks→src join + contribution groupBy(dst) with map-side
+    combine absorbing hub skew), no collect in the loop."""
+    base = (damping_den - damping_num) * scale // damping_den
+    ed = edges.join(out_degrees(edges), "src").persist()
+    seeds = nodes.select("id", F.col(seed_col).cast("boolean").alias("__seed"))
+    trust = seeds.select(
+        "id",
+        "__seed",
+        F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(trust, ed["src"] == trust["id"])
+            .select(ed["dst"], F.expr("trust div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        trust = (
+            seeds.join(contrib, seeds["id"] == contrib["dst"], "left")
+            .select(
+                seeds["id"],
+                seeds["__seed"],
+                (
+                    F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"{damping_num} * coalesce(s, 0) div {damping_den}"
+                    )
+                ).cast("long").alias("trust"),
+            )
+        )
+    # ed stays persisted (as in pagerank): no action runs inside the
+    # loop, so the cache materializes at the caller's first action and
+    # is shared by every iteration's join within that one plan
+    return trust.select("id", "trust", F.col("__seed").alias("is_seed"))

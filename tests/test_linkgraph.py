@@ -96,3 +96,53 @@ def test_anchor_text_agg_modal_tiebreak(spark):
     # scale property: plan is pure aggregation — no window/sort/cartesian
     plan = anchor_text_agg(edges)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_trustrank_unreachable_is_zero(spark):
+    """Trust flows only FROM seeds: a node with no path from the seed
+    set holds exactly zero trust, however high its in-degree — the
+    anti-spam property vanilla pagerank lacks."""
+    from inform_spark.operators.linkgraph import trustrank
+
+    # 0 -> 1 -> 2 (seeded chain), 3 -> 2 heavily (spam farm into 2),
+    # 4 isolated, 3 unlinked-from-seeds
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 2), (3, 2), (3, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i, i == 0) for i in range(5)], "id long, is_seed boolean"
+    )
+    t = {r["id"]: r["trust"] for r in trustrank(edges, nodes, 3).collect()}
+    assert t[3] == 0 and t[4] == 0  # no path from seed 0
+    assert t[0] > 0 and t[1] > 0 and t[2] > 0
+    # trust decays with distance from the seed
+    assert t[0] > t[1] > t[2]
+
+
+def test_trustrank_partitioning_independent(spark, graph):
+    """Same fixed-point claim as pagerank: identical longs no matter
+    the physical layout."""
+    from inform_spark.operators.linkgraph import trustrank
+    from inform_spark.operators.textops import _h60
+
+    nodes, edges = graph
+    seeded = nodes.withColumn(
+        "is_seed",
+        F.pmod(
+            _h60(F.concat(F.lit("trust"), F.col("id").cast("string"))),
+            F.lit(8),
+        )
+        == 0,
+    )
+    a = {r["id"]: r["trust"] for r in trustrank(edges, seeded, 3).collect()}
+    b = {
+        r["id"]: r["trust"]
+        for r in trustrank(
+            edges.repartition(11), seeded.repartition(7), 3
+        ).collect()
+    }
+    assert a == b
+    # seeds hold the teleport floor; at least one non-seed earned trust
+    seeds = {r["id"] for r in seeded.filter("is_seed").collect()}
+    assert all(a[s] >= 150_000 for s in seeds)
+    assert any(v > 0 for k, v in a.items() if k not in seeds)

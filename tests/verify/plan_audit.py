@@ -287,6 +287,27 @@ AUDITS = {
         "forbid": ["Window", "CartesianProduct"],
         "absent_in_readschema": ["source", "lang", "n_chars"],
     },
+    # HLL sketch: two hash aggs (register build + estimate), no window,
+    # no sort; the events scan reads only event_id/user_id
+    "hll_host_cardinality": {
+        "require": ["HashAggregate"],
+        "forbid": ["Window", "CartesianProduct", "Sort "],
+        "absent_in_readschema": ["props", "value", "event_type"],
+    },
+    # positional postings: two-phase agg; the ONLY sort/window allowed
+    # is the per-term cap rank (partitioned, spillable) — a global
+    # rangepartitioning would mean the build regressed to a total sort
+    "inverted_postings": {
+        "require": ["HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # fixed-point trustrank: aggregation-based like pagerank
+    "link_trustrank": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct"],
+        "absent_in_readschema": ["text", "source", "lang", "n_chars"],
+    },
 }
 
 
