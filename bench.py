@@ -9,7 +9,7 @@ LAST on stdout::
      "queries": {"crawl": sec, "q...": sec, ...}, "sf": 0.1,
      "crawl_pages_per_sec": ..., "scaling": {summary}, ...}
 
-The headline is deliberately small (< ~1800 chars): the driver records
+The headline is deliberately small (< ~1900 chars): the driver records
 only the TAIL of stdout, and round 3's full-detail line (2.8k chars) was
 decapitated into an unparseable artifact. Everything beyond the headline
 — growth curves, dedup/lang-id quality tables, per-leg scaling detail,
@@ -768,7 +768,10 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)
-    if len(line) > 1800:  # defensive: the driver captures a 2000-char tail
+    # defensive: the driver captures a 2000-char stdout TAIL and the
+    # headline is the last line, so anything <= ~1950 survives intact;
+    # 1900 leaves margin while keeping all ~53 per-query timings visible
+    if len(line) > 1900:
         headline["queries"] = {
             k: round(v, 1) for k, v in sorted(
                 timings.items(), key=lambda kv: -kv[1]

@@ -73,3 +73,54 @@ def test_partitioning_independent(spark, corpus):
         for r in inverted_postings(corpus.repartition(9)).collect()
     )
     assert a == b
+
+
+def test_invertibility_random_sweep(spark):
+    """120 seeded-random docs (messy whitespace included): the postings
+    table must reconstruct every document's exact token->positions map,
+    and df/cf must equal pure-Python recounts — the index loses
+    nothing and invents nothing."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(120):
+        n = rng.randrange(0, 12)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(toks)
+        # inject a double space (empty token) into some docs
+        if toks and rng.random() < 0.3:
+            cut = rng.randrange(len(text) + 1)
+            text = text[:cut] + " " + text[cut:]
+        rows.append((d, text))
+
+    # pure-Python reference: position = raw split offset, empty tokens
+    # occupy positions but are not terms (the module contract)
+    ref_positions: dict[str, dict[int, list[int]]] = {}
+    for d, text in rows:
+        for i, t in enumerate(text.lower().split(" ")):
+            if t:
+                ref_positions.setdefault(t, {}).setdefault(d, []).append(i)
+
+    got = inverted_postings(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    seen_terms = set()
+    for r in got:
+        term = r["term"]
+        seen_terms.add(term)
+        ref = ref_positions[term]
+        assert r["df"] == len(ref)
+        assert r["cf"] == sum(len(v) for v in ref.values())
+        assert r["n_dropped_docs"] == 0
+        # decode the canonical string back
+        decoded = {}
+        for entry in r["postings"].split(";"):
+            doc_s, tf_s, poss = entry.split(":")
+            decoded[int(doc_s)] = [int(x) for x in poss.split(".")]
+            assert int(tf_s) == len(decoded[int(doc_s)])
+        assert decoded == ref
+        # doc order ascending in the string
+        assert list(decoded) == sorted(decoded)
+    assert seen_terms == set(ref_positions)

@@ -116,3 +116,65 @@ def test_register_bounds(spark, items):
     regs = hll_registers(items, "item", ["key"], p=6).collect()
     assert all(1 <= r["register"] <= 55 for r in regs)
     assert all(0 <= r["bucket"] < 64 for r in regs)
+
+
+def test_cross_implementation_random_sweep(spark):
+    """500 seeded-random (key, item) pairs: the Spark sketch must equal
+    an INDEPENDENT pure-Python HLL (same published algorithm, separate
+    code path) on every column — a third implementation alongside the
+    DuckDB oracle."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260819)
+    rows = [
+        (
+            f"k{rng.randrange(3)}",
+            "i" + str(rng.randrange(1, 10 ** rng.randrange(1, 5))),
+        )
+        for _ in range(500)
+    ]
+
+    def py_hll(pairs, p=6, salt="hll"):
+        m = 1 << p
+        sh = 61 - p
+        regs: dict[tuple[str, int], int] = {}
+        exact: dict[str, set] = {}
+        for k, it in pairs:
+            exact.setdefault(k, set()).add(it)
+            h = int(hashlib.md5((salt + it).encode()).hexdigest()[:15], 16)
+            b = h % m
+            w = h // m
+            rank = (60 - p) - (w.bit_length() - 1) if w > 0 else 61 - p
+            regs[(k, b)] = max(regs.get((k, b), 0), rank)
+        import math as _math
+
+        from inform_spark.operators.sketches import _c_literal
+
+        out = {}
+        c = _c_literal(m, p)
+        lc = _lc_milli_table(m)
+        for k in exact:
+            present = [r for (kk, _), r in regs.items() if kk == k]
+            v = m - len(present)
+            s = sum(1 << (sh - r) for r in present) + v * (1 << sh)
+            raw = _math.floor(c / float(s) * 1000.0)
+            est = lc[v - 1] if (raw <= 2500 * m and v > 0) else raw
+            out[k] = (len(exact[k]), v, s, est)
+        return out
+
+    expected = py_hll(rows)
+    got = {
+        r["key"]: (
+            r["exact_distinct"],
+            r["n_zero_registers"],
+            r["sum_scaled"],
+            r["est_milli"],
+        )
+        for r in hll_cardinality(
+            spark.createDataFrame(rows, "key string, item string"),
+            "item",
+            ["key"],
+        ).collect()
+    }
+    assert got == expected
