@@ -77,48 +77,23 @@ def inverted_postings(
         ":", F.col("doc_id").cast("string"), F.col("tf").cast("string"), F.col("poss")
     )
     if max_docs_per_term is not None:
-        # exact df/cf from the uncapped relation; the rank only gates
-        # which entries reach the postings string
-        ranked = per_doc.withColumn(
+        # the rank only gates which entries reach the postings string;
+        # df/cf are aggregated over the uncapped relation either way
+        per_doc = per_doc.withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("term").orderBy(F.col("doc_id").asc())
             ),
         )
-        kept = F.when(F.col("__rn") <= max_docs_per_term, entry)
-        return (
-            ranked.groupBy("term")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
-                F.concat_ws(
-                    ";",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__rn") <= max_docs_per_term,
-                                    F.struct(
-                                        F.col("doc_id").alias("d"),
-                                        entry.alias("e"),
-                                    ),
-                                )
-                            )
-                        ),
-                        lambda s: s["e"],
-                    ),
-                ).alias("postings"),
-            )
-            .select(
-                "term",
-                "df",
-                "cf",
-                (F.col("df") - F.least(F.col("df"), F.lit(max_docs_per_term)))
-                .cast("long")
-                .alias("n_dropped_docs"),
-                "postings",
-            )
-        )
+        kept_pred = F.col("__rn") <= max_docs_per_term
+        dropped = (
+            F.col("df") - F.least(F.col("df"), F.lit(max_docs_per_term))
+        ).cast("long")
+    else:
+        kept_pred = F.lit(True)
+        dropped = F.lit(0).cast("long")
+    # ONE agg shape for both paths: collect_list skips the NULL the
+    # un-kept rows' when() yields, array_sort orders by (d, e) = doc_id
     return (
         per_doc.groupBy("term")
         .agg(
@@ -129,14 +104,18 @@ def inverted_postings(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(F.col("doc_id").alias("d"), entry.alias("e"))
+                            F.when(
+                                kept_pred,
+                                F.struct(
+                                    F.col("doc_id").alias("d"),
+                                    entry.alias("e"),
+                                ),
+                            )
                         )
                     ),
                     lambda s: s["e"],
                 ),
             ).alias("postings"),
         )
-        .select(
-            "term", "df", "cf", F.lit(0).cast("long").alias("n_dropped_docs"), "postings"
-        )
+        .select("term", "df", "cf", dropped.alias("n_dropped_docs"), "postings")
     )

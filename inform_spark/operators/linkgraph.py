@@ -45,6 +45,52 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
 
+# the one edge⋈degree cache a ranker call may pin: each new call
+# releases the previous call's (blocking=False), bounding a long
+# session's accumulation to a single cached relation — the pin-forever
+# class an earlier review pass removed from sitemap expansion
+_ACTIVE_EDGE_CACHE: list[DataFrame] = []
+
+
+def _fixed_point_ranks(
+    edges: DataFrame,
+    seeded: DataFrame,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """Shared teleport-weighted power-iteration kernel: ``seeded`` must
+    carry (id, init, base) LONG columns — per-node initial mass and
+    per-node teleport mass. PageRank is the all-nodes-uniform special
+    case, TrustRank the seed-gated one; both inherit the same integer
+    arithmetic (associative sums + integer division), so results are
+    partitioning- and engine-independent and any fix to the loop
+    (join pattern, skew handling, cache discipline) lands in both."""
+    while _ACTIVE_EDGE_CACHE:
+        _ACTIVE_EDGE_CACHE.pop().unpersist(blocking=False)
+    ed = edges.join(out_degrees(edges), "src").persist()
+    _ACTIVE_EDGE_CACHE.append(ed)
+    ranks = seeded.select("id", F.col("init").cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .select(ed["dst"], F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            seeded.join(contrib, seeded["id"] == contrib["dst"], "left")
+            .select(
+                seeded["id"],
+                (
+                    F.col("base")
+                    + F.expr(f"{damping_num} * coalesce(s, 0) div {damping_den}")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -59,26 +105,14 @@ def pagerank(
     (deterministically) — ranks are a priority signal, not a
     probability distribution."""
     base = (damping_den - damping_num) * scale // damping_den
-    ed = edges.join(out_degrees(edges), "src").persist()
-    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["id"])
-            .select(ed["dst"], F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
-            .select(
-                nodes["id"],
-                (
-                    F.lit(base)
-                    + F.expr(f"{damping_num} * coalesce(s, 0) div {damping_den}")
-                ).cast("long").alias("rank"),
-            )
-        )
-    return ranks
+    seeded = nodes.select(
+        "id",
+        F.lit(scale).cast("long").alias("init"),
+        F.lit(base).cast("long").alias("base"),
+    )
+    return _fixed_point_ranks(
+        edges, seeded, iterations, damping_num, damping_den
+    )
 
 
 def priority_from_rank(
@@ -230,41 +264,31 @@ def trustrank(
     division, so the result is partitioning- and engine-independent
     (the DuckDB oracle hash-matches it exactly).
 
-    Scale design is identical to :func:`pagerank`: the edge⋈out-degree
-    relation is built once and persisted, each iteration is two
-    shuffles (ranks→src join + contribution groupBy(dst) with map-side
-    combine absorbing hub skew), no collect in the loop."""
+    Scale design is :func:`pagerank`'s — both run the shared
+    :func:`_fixed_point_ranks` kernel (the edge⋈out-degree relation
+    built once and cached, two shuffles per iteration with map-side
+    combine absorbing hub skew, no collect in the loop); trustrank is
+    just the seed-gated (init, base) vector."""
     base = (damping_den - damping_num) * scale // damping_den
-    ed = edges.join(out_degrees(edges), "src").persist()
-    seeds = nodes.select("id", F.col(seed_col).cast("boolean").alias("__seed"))
-    trust = seeds.select(
-        "id",
-        "__seed",
-        F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0))
-        .cast("long")
-        .alias("trust"),
+    seeds = nodes.select(
+        "id", F.col(seed_col).cast("boolean").alias("__seed")
     )
-    for _ in range(iterations):
-        contrib = (
-            ed.join(trust, ed["src"] == trust["id"])
-            .select(ed["dst"], F.expr("trust div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        trust = (
-            seeds.join(contrib, seeds["id"] == contrib["dst"], "left")
-            .select(
-                seeds["id"],
-                seeds["__seed"],
-                (
-                    F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
-                    + F.expr(
-                        f"{damping_num} * coalesce(s, 0) div {damping_den}"
-                    )
-                ).cast("long").alias("trust"),
-            )
-        )
-    # ed stays persisted (as in pagerank): no action runs inside the
-    # loop, so the cache materializes at the caller's first action and
-    # is shared by every iteration's join within that one plan
-    return trust.select("id", "trust", F.col("__seed").alias("is_seed"))
+    seeded = seeds.select(
+        "id",
+        F.when(F.col("__seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("init"),
+        F.when(F.col("__seed"), F.lit(base))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("base"),
+    )
+    ranks = _fixed_point_ranks(
+        edges, seeded, iterations, damping_num, damping_den
+    )
+    return ranks.join(seeds, "id").select(
+        "id",
+        F.col("rank").alias("trust"),
+        F.col("__seed").alias("is_seed"),
+    )

@@ -99,6 +99,10 @@ def hll_registers(
         raise ValueError(f"p={p} outside the int64-safe range [4, 14]")
     m = 1 << p
     h = _h60(F.concat(F.lit(salt), F.col(item_col).cast("string")))
+    # a NULL item would hash to a NULL bucket whose rank falls through
+    # when() to the 61-p maximum — a phantom register countDistinct
+    # would never see; NULL means "no item observed", so drop it
+    df = df.filter(F.col(item_col).isNotNull())
     staged = df.select(*key_cols, h.alias("__h")).select(
         *key_cols,
         F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("bucket"),
@@ -134,6 +138,20 @@ def hll_estimate(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {sh} - register)")).alias(
             "__psum"
         ),
+    )
+    # fail loudly instead of estimating garbage when the register table
+    # was built with a LARGER p than this estimate assumes (more than m
+    # distinct buckets for a key is impossible under matching p).
+    # assert_true returns NULL on success, so the filter keeps every
+    # row — but unlike a dropped column it cannot be pruned away
+    agg = agg.filter(
+        F.assert_true(
+            F.col("__present") <= F.lit(m),
+            F.lit(
+                f"register table has >{m} buckets for a key: built with "
+                f"a larger p than the p={p} passed to hll_estimate"
+            ),
+        ).isNull()
     )
     v = (F.lit(m) - F.col("__present")).cast("long")
     sum_scaled = (

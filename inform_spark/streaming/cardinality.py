@@ -24,6 +24,14 @@ mergeable, so no read-modify-append cycle exists at all):
 - compaction is optional and harmless: replacing all partitions with
   their merged MAX changes nothing downstream (same law).
 
+The precision ``p`` is PERSISTED with every register row and validated
+on read: registers built at different p are not mergeable (different
+bucket spaces), and estimating at the wrong p silently produces
+garbage — so ``merged_registers``/``estimates`` derive p from the
+table, raise on a mixed-p table, and raise if a caller-passed p
+contradicts the stored one. Reading a table no batch has created yet
+returns ZERO rows (monitors may poll before the first data arrives).
+
 State size: <= m rows per (key, batch) before compaction, m rows per
 key after — never proportional to items seen. Keys are a single
 ``key`` string column; callers with composite keys concat them
@@ -35,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-REGS_SCHEMA = "key string, bucket int, register int, batch_id long"
+REGS_SCHEMA = "key string, bucket int, register int, p int, batch_id long"
 
 
 def process_batch(
@@ -55,35 +63,73 @@ def process_batch(
 
     if batch_df.isEmpty():
         return  # a zero-row first batch must not leave a schema-less dir
-    regs = hll_registers(
-        batch_df.select(F.col(key_col).alias("key"), F.col(item_col)),
-        item_col,
-        ["key"],
-        p=p,
-        salt=salt,
-    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+    regs = (
+        hll_registers(
+            batch_df.select(F.col(key_col).alias("key"), F.col(item_col)),
+            item_col,
+            ["key"],
+            p=p,
+            salt=salt,
+        )
+        .withColumn("p", F.lit(p).cast("int"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
     regs.write.mode("overwrite").partitionBy("batch_id").option(
         "partitionOverwriteMode", "dynamic"
     ).parquet(regs_dir)
+
+
+def _read_regs(spark: SparkSession, regs_dir: str) -> DataFrame:
+    """The raw register table; ZERO rows if no batch has created it
+    yet (a monitor may poll estimates before the first data lands)."""
+    try:
+        return spark.read.schema(REGS_SCHEMA).parquet(regs_dir)
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], REGS_SCHEMA)
+        raise
+
+
+def table_p(spark: SparkSession, regs_dir: str, expected: int | None = None) -> int | None:
+    """The single precision the table was built at (None if the table
+    is empty). Raises on a mixed-p table — registers at different p
+    occupy different bucket spaces and must never be max-merged — and
+    on a caller expectation that contradicts the stored value."""
+    ps = sorted(
+        r["p"] for r in _read_regs(spark, regs_dir).select("p").distinct().collect()
+    )
+    if len(ps) > 1:
+        raise ValueError(f"register table {regs_dir} mixes precisions {ps}")
+    stored = ps[0] if ps else None
+    if expected is not None and stored is not None and stored != expected:
+        raise ValueError(
+            f"register table {regs_dir} was built at p={stored}, "
+            f"caller expected p={expected}"
+        )
+    return stored
 
 
 def merged_registers(spark: SparkSession, regs_dir: str) -> DataFrame:
     """(key, bucket, register) — the MAX-merge of every batch's
     registers; identical to a whole-history single build."""
     return (
-        spark.read.schema(REGS_SCHEMA)
-        .parquet(regs_dir)
+        _read_regs(spark, regs_dir)
         .groupBy("key", "bucket")
         .agg(F.max("register").alias("register"))
     )
 
 
-def estimates(spark: SparkSession, regs_dir: str, p: int = 6) -> DataFrame:
+def estimates(
+    spark: SparkSession, regs_dir: str, p: int | None = None
+) -> DataFrame:
     """(key, n_zero_registers, sum_scaled, est_milli) over everything
-    ingested so far."""
+    ingested so far; p is read from the table (pass it only to assert
+    an expectation). Zero rows before the first batch lands."""
     from inform_spark.operators.sketches import hll_estimate
 
-    return hll_estimate(merged_registers(spark, regs_dir), ["key"], p=p)
+    stored = table_p(spark, regs_dir, expected=p)
+    eff = stored if stored is not None else (p if p is not None else 6)
+    return hll_estimate(merged_registers(spark, regs_dir), ["key"], p=eff)
 
 
 def compact(spark: SparkSession, regs_dir: str, out_dir: str) -> None:
@@ -94,9 +140,12 @@ def compact(spark: SparkSession, regs_dir: str, out_dir: str) -> None:
     ``out_dir`` for ``regs_dir`` is the caller's catalog-level rename
     (at scale: an Iceberg rewrite_data_files commit), never a
     driver-side copy."""
+    stored = table_p(spark, regs_dir)
     merged_registers(spark, regs_dir).withColumn(
-        "batch_id", F.lit(-1).cast("long")
-    ).write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+        "p", F.lit(stored).cast("int")
+    ).withColumn("batch_id", F.lit(-1).cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(out_dir)
 
 
 def cardinality_stream(

@@ -178,3 +178,28 @@ def test_cross_implementation_random_sweep(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_null_items_ignored(spark):
+    """NULL item = no observation: it must not create a phantom
+    max-rank register, keeping the sketch consistent with
+    countDistinct (which ignores NULLs)."""
+    with_null = spark.createDataFrame(
+        [("k", "a"), ("k", "b"), ("k", None)], "key string, item string"
+    )
+    without = spark.createDataFrame(
+        [("k", "a"), ("k", "b")], "key string, item string"
+    )
+    a = [tuple(r) for r in hll_cardinality(with_null, "item", ["key"]).collect()]
+    b = [tuple(r) for r in hll_cardinality(without, "item", ["key"]).collect()]
+    assert a == b
+
+
+def test_estimate_p_guard(spark, items):
+    """Estimating a table built at a larger p must raise (impossible
+    bucket count), not return garbage."""
+    from pyspark.errors import SparkRuntimeException
+
+    regs8 = hll_registers(items, "item", ["key"], p=8)
+    with pytest.raises(SparkRuntimeException, match="larger p"):
+        hll_estimate(regs8, ["key"], p=6).collect()

@@ -106,8 +106,9 @@ def test_compact_preserves_estimates(spark, tmp_path):
     # compacted table holds exactly the merged registers, one partition
     c = spark.read.parquet(out_dir)
     assert c.select("batch_id").distinct().count() == 1
+    assert c.select("p").distinct().collect()[0]["p"] == 6  # p preserved
     assert (
-        sorted(tuple(r) for r in c.drop("batch_id").collect())
+        sorted(tuple(r) for r in c.drop("batch_id", "p").collect())
         == sorted(
             tuple(r) for r in merged_registers(spark, regs_dir).collect()
         )
@@ -120,3 +121,27 @@ def test_empty_batch_is_noop(spark, tmp_path):
         spark.createDataFrame([], SCHEMA), 0, regs_dir
     )
     assert not os.path.exists(regs_dir)
+    # a monitor polling before the first batch gets ZERO rows, not a
+    # PATH_NOT_FOUND crash
+    assert estimates(spark, regs_dir).count() == 0
+
+
+def test_p_mismatch_raises(spark, tmp_path):
+    """Registers at different p occupy different bucket spaces: a
+    caller expectation that contradicts the stored p, or a mixed-p
+    table, must raise instead of estimating garbage."""
+    import pytest as _pytest
+
+    regs_dir = os.path.join(str(tmp_path), "regs")
+    process_batch(
+        spark.createDataFrame(_rows(0, 300), SCHEMA), 0, regs_dir, p=8
+    )
+    assert estimates(spark, regs_dir).count() == 2  # p derived: fine
+    with _pytest.raises(ValueError, match="p=8"):
+        estimates(spark, regs_dir, p=6)
+    # mixing precisions in one table is refused too
+    process_batch(
+        spark.createDataFrame(_rows(300, 600), SCHEMA), 1, regs_dir, p=6
+    )
+    with _pytest.raises(ValueError, match="mixes precisions"):
+        estimates(spark, regs_dir)
