@@ -1703,6 +1703,85 @@ def q_link_trustrank(spark, sf_dir):
     )
 
 
+def q_link_hits(spark, sf_dir):
+    """Fixed-point HITS (Kleinberg 1999) over the same deterministic
+    synthetic link graph as link_pagerank
+    (operators/linkgraph.hits, 2 iterations): hub and authority scores
+    as longs, max-normalized each half-step with integer division —
+    associative sums + one 1-row max aggregate per half-step, so the
+    result is partitioning/engine independent and DuckDB hash-matches
+    the unrolled iteration."""
+    from inform_spark.operators.linkgraph import hits, synthetic_edges
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    return hits(synthetic_edges(nodes), nodes, iterations=2).select(
+        F.col("id").alias("doc_id"), "hub", "auth"
+    )
+
+
+def q_degree_stats(spark, sf_dir):
+    """Per-node link-graph degree profile over the synthetic graph
+    (operators/linkgraph.degree_stats): distinct out/in degree plus
+    reciprocal-edge count — the classic web-graph spam features (Becchetti
+    et al. 2008 use degree/reciprocity ratios as link-spam signals).
+    Three equi-shuffles on edge keys, map-side combine, no window."""
+    from inform_spark.operators.linkgraph import degree_stats, synthetic_edges
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    return degree_stats(synthetic_edges(nodes), nodes).select(
+        F.col("id").alias("doc_id"), "out_deg", "in_deg", "n_reciprocal"
+    )
+
+
+def q_kmeans_train(spark, sf_dir):
+    """Distributed fixed-point k-means (operators/clustering.kmeans_train,
+    8 cells, 2 Lloyd iterations) over the embeddings table — the centroid
+    TRAINER the IVF/SemDeDup cell families broadcast. Every quantity is
+    integer (micro-unit quantization, exact long squared-L2, toward-zero
+    division), so the trained centroids are partitioning-independent and
+    DuckDB reproduces the whole training run, not a float approximation."""
+    from inform_spark.operators.clustering import kmeans_train
+
+    return kmeans_train(
+        _t(spark, sf_dir, "embeddings"), n_cells=8, iterations=2
+    )
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE merge training (Sennrich et al. 2016; operators/subword.
+    bpe_train, 8 merges) over the corpus: the vocabulary-induction step
+    that closes the loop vocab_topk (corpus stats) -> bpe_train (merge
+    table) -> subword walk (tokenization). Pair counts are associative
+    long sums over the DISTINCT word table (Zipf shortcut); each round
+    is one shuffle + a 1-row argmax; the merge application is an
+    anchored-replace scan byte-identical in Spark and DuckDB, so the
+    oracle replays all 8 training rounds exactly."""
+    from inform_spark.operators.subword import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Corpus tokenization under the corpus's OWN trained BPE merges
+    (operators/subword.bpe_segment after bpe_train, 8 merges):
+    per-doc subword-token and word counts — training-real token
+    accounting where the tokenizer itself was induced from the data,
+    the end-to-end form of the subword family. The walk runs over the
+    distinct word table and joins counts back (Zipf shortcut)."""
+    from inform_spark.operators.subword import bpe_segment, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["round"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in bpe_train(docs, n_merges=8).collect()
+    ]
+    return bpe_segment(docs, merges)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1813,6 +1892,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_cardinality": q_hll_host_cardinality,
         "inverted_postings": q_inverted_postings,
         "link_trustrank": q_link_trustrank,
+        "link_hits": q_link_hits,
+        "degree_stats": q_degree_stats,
+        "kmeans_train": q_kmeans_train,
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -2912,6 +2996,157 @@ def oracle_sql() -> dict[str, str]:
         "else 0 end as bigint) as trust from seeds), "
         + ", ".join(_tr_step.format(i=i, p=i - 1) for i in (1, 2, 3))
         + " select id as doc_id, trust, is_seed from r3"
+    )
+    # the synthetic-link-graph CTE shared by the pagerank/trustrank/HITS/
+    # degree oracles (DuckDB mirror of linkgraph.synthetic_edges)
+    _lg_edges = (
+        "nodes as (select cast(doc_id as bigint) as id from documents), "
+        "cnt as (select count(*) as n from nodes), "
+        "e0 as (select id as src, k from nodes, "
+        "unnest(range(1 + id % 3)) as t(k)), "
+        "edges as (select src, "
+        "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
+        "||cast(k as varchar)),1,15) as bigint) "
+        "% (select n from cnt) as dst from e0)"
+    )
+    # HITS: 2 unrolled iterations, L-infinity (max) normalization with
+    # integer division each half-step — exactly linkgraph.hits
+    _hits_step = (
+        "ar{i} as (select n.id, coalesce(t.s, 0) as s from nodes n "
+        "left join (select e.dst as id, sum(h.hub) as s from edges e "
+        "join h{p} h on h.id = e.src group by e.dst) t using (id)), "
+        "a{i} as (select id, cast(s * 1000000 // "
+        "greatest((select max(s) from ar{i}), 1) as bigint) as auth "
+        "from ar{i}), "
+        "hr{i} as (select n.id, coalesce(t.s, 0) as s from nodes n "
+        "left join (select e.src as id, sum(a.auth) as s from edges e "
+        "join a{i} a on a.id = e.dst group by e.src) t using (id)), "
+        "h{i} as (select id, cast(s * 1000000 // "
+        "greatest((select max(s) from hr{i}), 1) as bigint) as hub "
+        "from hr{i})"
+    )
+    d["link_hits"] = (
+        f"with {_lg_edges}, "
+        "h0 as (select id, cast(1000000 as bigint) as hub from nodes), "
+        + ", ".join(_hits_step.format(i=i, p=i - 1) for i in (1, 2))
+        + " select h2.id as doc_id, h2.hub, a2.auth "
+        "from h2 join a2 using (id)"
+    )
+    d["degree_stats"] = (
+        f"with {_lg_edges}, "
+        "de as (select distinct src, dst from edges), "
+        "outd as (select src as id, cast(count(*) as bigint) as out_deg "
+        "from de group by src), "
+        "ind as (select dst as id, cast(count(*) as bigint) as in_deg "
+        "from de group by dst), "
+        # (src,dst) is distinct, so the reverse-edge inner join matches
+        # at most once per edge — an EXISTS expressed as a join
+        "recip as (select d.src as id, cast(count(*) as bigint) "
+        "as n_reciprocal from de d join de r "
+        "on r.src = d.dst and r.dst = d.src group by d.src) "
+        "select n.id as doc_id, "
+        "cast(coalesce(o.out_deg, 0) as bigint) as out_deg, "
+        "cast(coalesce(i.in_deg, 0) as bigint) as in_deg, "
+        "cast(coalesce(r.n_reciprocal, 0) as bigint) as n_reciprocal "
+        "from nodes n left join outd o using (id) "
+        "left join ind i using (id) left join recip r using (id)"
+    )
+    # k-means: 2 unrolled Lloyd iterations with the identical integer
+    # arithmetic as operators/clustering (micro-quantize, exact long
+    # squared-L2, (d2, cid) argmin, toward-zero division, empty-cell keep)
+    _km_d2 = (
+        "cast(list_sum(list_transform(range(1, len(q.qv)+1), "
+        "j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) as bigint)"
+    )
+    _km_step = (
+        "s{i} as (select vid, qv, cid, d2, row_number() over "
+        "(partition by vid order by d2, cid) as rn from "
+        f"(select q.vid, q.qv, c.cid, {_km_d2} as d2 "
+        "from q cross join c{p} c)), "
+        "a{i} as (select vid, qv, cid, d2 from s{i} where rn = 1), "
+        "u{i} as (select cid, t.p.i as i, "
+        "cast(sum(t.p.v) as bigint) as s, "
+        "cast(count(*) as bigint) as n from "
+        "(select cid, list_transform(qv, (x, j) -> {{'i': j, 'v': x}}) "
+        "as ps from a{i}), unnest(ps) as t(p) group by cid, t.p.i), "
+        "nc{i} as (select cid, list(cast(case when s < 0 "
+        "then -((-s) // n) else s // n end as bigint) order by i) "
+        "as ncv from u{i} group by cid), "
+        "c{i} as (select c.cid, coalesce(n.ncv, c.cv) as cv "
+        "from c{p} c left join nc{i} n using (cid))"
+    )
+    d["kmeans_train"] = (
+        "with q as (select cast(vec_id as bigint) as vid, "
+        "list_transform(embedding, x -> cast(round(cast(x as double) "
+        "* 1000000) as bigint)) as qv from embeddings), "
+        "c0 as (select vid as cid, qv as cv from q where vid < 8), "
+        + ", ".join(_km_step.format(i=i, p=i - 1) for i in (1, 2))
+        + ", fs as (select vid, cid, d2, row_number() over "
+        "(partition by vid order by d2, cid) as rn from "
+        f"(select q.vid, c.cid, {_km_d2} as d2 from q cross join c2 c)), "
+        "roll as (select cid, cast(count(*) as bigint) as n_assigned, "
+        "cast(sum(d2) as bigint) as inertia from fs where rn = 1 "
+        "group by cid) "
+        "select c.cid, cast(coalesce(r.n_assigned, 0) as bigint) "
+        "as n_assigned, cast(coalesce(r.inertia, 0) as bigint) as inertia, "
+        "array_to_string(list_transform(c.cv, x -> cast(x as varchar)), "
+        "',') as centroid from c2 c left join roll r using (cid)"
+    )
+    # BPE training: 8 unrolled merge rounds — pair counts over the
+    # distinct word table, (cnt desc, a, b) argmax, anchored-replace
+    # merge scan; DuckDB's replace() has the same left-to-right
+    # non-rescanning semantics as Spark's, so the oracle replays the
+    # whole training run
+    _bpe_words = (
+        "pw as (select cast(doc_id as bigint) as doc_id, w from "
+        "(select doc_id, unnest(string_split(lower(text), ' ')) as w "
+        "from documents) where len(w) > 0), "
+        "w0 as (select w, cast(count(*) as bigint) as freq "
+        "from pw group by w), "
+        "s0 as (select freq, array_to_string(list_transform("
+        "range(1, len(w)+1), i -> substr(w, i, 1)), '  ') as seq from w0)"
+    )
+    _bpe_round = (
+        "p{i} as (select t.p[1] as a, t.p[2] as b, "
+        "cast(sum(freq) as bigint) as cnt from "
+        "(select freq, list_zip(syms[1:len(syms)-1], syms[2:len(syms)]) "
+        "as ps from (select freq, string_split(seq, '  ') as syms "
+        "from s{p})), unnest(ps) as t(p) group by a, b), "
+        "b{i} as (select a, b, cnt, a||b as merged, "
+        "' '||a||'  '||b||' ' as pat, ' '||a||b||' ' as rep "
+        "from p{i} order by cnt desc, a, b limit 1), "
+        "s{i} as (select freq, trim(replace(' '||seq||' ', "
+        "(select pat from b{i}), (select rep from b{i}))) as seq "
+        "from s{p})"
+    )
+    _bpe_ctes = f"{_bpe_words}, " + ", ".join(
+        _bpe_round.format(i=i, p=i - 1) for i in range(1, 9)
+    )
+    d["bpe_train"] = (
+        f"with {_bpe_ctes} "
+        + " union all ".join(
+            f"select cast({i} as int) as round, a, b, merged, cnt "
+            f"from b{i}"
+            for i in range(1, 9)
+        )
+    )
+    _bpe_seq = (
+        "array_to_string(list_transform(range(1, len(w)+1), "
+        "i -> substr(w, i, 1)), '  ')"
+    )
+    for i in range(1, 9):
+        _bpe_seq = (
+            f"trim(replace(' '||{_bpe_seq}||' ', "
+            f"(select pat from b{i}), (select rep from b{i})))"
+        )
+    d["bpe_token_counts"] = (
+        f"with {_bpe_ctes}, "
+        "dw as (select distinct w from pw), "
+        f"tk as (select w, cast(len(string_split({_bpe_seq}, '  ')) "
+        "as bigint) as n_toks from dw) "
+        "select pw.doc_id, cast(sum(tk.n_toks) as bigint) "
+        "as n_subword_tokens, cast(count(*) as bigint) as n_words "
+        "from pw join tk using (w) group by pw.doc_id"
     )
     return d
 

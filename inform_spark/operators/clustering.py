@@ -1,0 +1,184 @@
+"""Distributed fixed-point k-means — the centroid TRAINER the ANN/IVF
+family references.
+
+``similarity.ivf_topk`` and ``similarity.semdedup`` partition the
+corpus into Voronoi cells around centroid vectors and document that at
+100 TB "you train centroids on a sample once and broadcast them"; this
+module is that trainer. Lloyd's algorithm, deterministic init (the
+first ``n_cells`` vectors by id), a fixed iteration count — the
+offline batch job whose output is the small broadcast dimension every
+downstream assignment joins against.
+
+Determinism is the design constraint, exactly as in
+``linkgraph.pagerank``: every quantity is INTEGER. Vector components
+are quantized once to micro-units (``round(x * 1e6)`` as long);
+distances are exact long sums of squared integer differences
+(dim 64 x (2e6)^2 = 2.6e14 << 2^63); centroid updates are associative
+long sums followed by an explicitly toward-zero integer division
+(negative sums spelled out as ``-((-s) div n)`` so Spark's ``div``
+and DuckDB's ``//`` cannot disagree). The result is independent of
+partitioning and execution order, which is what lets the DuckDB
+oracle hash-match the trained centroids exactly — float k-means
+never would.
+
+Scale design (100 TB corpus, n_cells up to ~2^16):
+- centroids are a tiny dimension: broadcast into every assignment
+  join, so assignment is map-side — zero shuffle on the corpus;
+- per-point argmin is an associative ``min(struct(d2, cid, qv))``
+  groupBy — no window over the corpus, a cell attracting the whole
+  corpus costs nothing extra;
+- the update step shuffles only (cid, dim_index, component) triples:
+  map-side combine collapses each partition to at most
+  n_cells x dim rows before the exchange, regardless of corpus size;
+- empty cells deterministically KEEP their previous centroid (left
+  join + coalesce) — the standard Lloyd fallback, never a
+  data-dependent reseed;
+- each iteration's centroid relation is persisted and the previous
+  one released, so a 20-iteration run pins one n_cells-row relation,
+  not a 20-deep recompute chain.
+
+Distance is squared Euclidean (classic Lloyd objective); on the
+L2-normalized embeddings the ANN family consumes, L2 ordering and
+cosine ordering agree, so these centroids drop straight into
+``ivf_topk``-style cosine cell assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+# bounded cache discipline (same pattern as linkgraph): each train call
+# releases the previous call's pinned centroid relations
+_ACTIVE_CENT_CACHE: list[DataFrame] = []
+
+
+def quantize_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vid, qv): components as micro-unit longs — the one float->int
+    boundary; everything downstream is exact integer arithmetic."""
+    return emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * MICRO).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _d2(a, b):
+    """Exact squared L2 distance between two long-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, qv, cid, d2): each quantized point's nearest centroid by
+    exact integer squared-L2, ties broken on cid ascending. ``cents``
+    is (cid, cv) and is broadcast — assignment is map-side (the
+    n_cells-way compare) plus ONE associative min(struct) groupBy."""
+    scored = q.join(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("qv"), F.col("cv"))
+    )
+    best = scored.groupBy("vid").agg(
+        F.min(F.struct("d2", "cid", "qv")).alias("b")
+    )
+    return best.select(
+        "vid",
+        F.col("b.qv").alias("qv"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
+    )
+
+
+def _train(q: DataFrame, n_cells: int, iterations: int) -> DataFrame:
+    """The Lloyd loop over quantized points: returns the trained
+    (cid, cv) centroid relation, persisted."""
+    while _ACTIVE_CENT_CACHE:
+        _ACTIVE_CENT_CACHE.pop().unpersist(blocking=False)
+    cents = q.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("cv")
+    )
+    for _ in range(iterations):
+        assigned = assign_cells(q, cents)
+        upd = (
+            assigned.select("cid", F.posexplode("qv").alias("i", "v"))
+            .groupBy("cid", "i")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                "cid",
+                "i",
+                # toward-zero integer division, negative sums included
+                F.when(F.col("s") < 0, -F.expr("(-s) div n"))
+                .otherwise(F.expr("s div n"))
+                .cast("long")
+                .alias("comp"),
+            )
+        )
+        newc = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda st: st["comp"],
+            ).alias("ncv")
+        )
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .persist()
+        )
+        _ACTIVE_CENT_CACHE.append(cents)
+    return cents
+
+
+def kmeans_train(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train ``n_cells`` centroids with ``iterations`` Lloyd rounds and
+    return the per-cell rollup under the FINAL assignment:
+    (cid, n_assigned, inertia, centroid) — inertia the exact long sum
+    of squared distances within the cell, centroid the comma-joined
+    micro-unit components (the canonical engine-portable string form,
+    as in ``invindex`` postings). Cells that attracted no points keep
+    their init vector and report n_assigned = 0."""
+    q = quantize_vectors(emb, id_col, vec_col)
+    cents = _train(q, n_cells, iterations)
+    roll = assign_cells(q, cents).groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    return cents.join(roll, "cid", "left").select(
+        "cid",
+        F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+        F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+        F.concat_ws(
+            ",", F.transform(F.col("cv"), lambda x: x.cast("string"))
+        ).alias("centroid"),
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cid, d2): the final per-point assignment under the same
+    training run — the relation ``ivf_topk``-style consumers join the
+    corpus against."""
+    q = quantize_vectors(emb, id_col, vec_col)
+    cents = _train(q, n_cells, iterations)
+    return assign_cells(q, cents).select("vid", "cid", "d2")

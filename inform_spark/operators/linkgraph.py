@@ -292,3 +292,101 @@ def trustrank(
         F.col("rank").alias("trust"),
         F.col("__seed").alias("is_seed"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 2,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999): returns (id, hub, auth) with
+    both scores LONGS in units of ``1/scale``, max-normalized to
+    exactly ``scale`` each half-step. The classic companion signal to
+    :func:`pagerank` for crawl prioritization: authorities are the
+    pages worth fetching, hubs the pages worth re-scanning for links.
+
+    Determinism: the usual L2 normalization is replaced by L-infinity
+    (divide by the global max, integer ``div``) — associative long
+    sums, one scalar aggregate per half-step, no floats anywhere, so
+    the result is partitioning-independent and the DuckDB oracle
+    hash-matches it. Rank ORDER under max-norm equals L2-norm order
+    (normalization is a positive scalar either way).
+
+    Scale: per half-step, one shuffle (groupBy on the receiving side,
+    map-side combine absorbing hub skew) plus a 1-row max aggregate
+    broadcast back — never a driver-side collect. Sums bound:
+    scale * max_degree = 1e6 * 1e8 << 2^63 even for a 10^8-degree
+    hub."""
+    hubs = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
+    auths = nodes.select("id", F.lit(scale).cast("long").alias("auth"))
+    for _ in range(iterations):
+        araw = (
+            nodes.join(
+                edges.join(hubs, edges["src"] == hubs["id"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("s")),
+                nodes["id"] == F.col("dst"),
+                "left",
+            )
+            .select(nodes["id"], F.coalesce("s", F.lit(0)).alias("s"))
+        )
+        amax = araw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        auths = araw.join(F.broadcast(amax)).select(
+            "id", F.expr(f"s * {scale} div m").cast("long").alias("auth")
+        )
+        hraw = (
+            nodes.join(
+                edges.join(auths, edges["dst"] == auths["id"])
+                .groupBy("src")
+                .agg(F.sum("auth").alias("s")),
+                nodes["id"] == F.col("src"),
+                "left",
+            )
+            .select(nodes["id"], F.coalesce("s", F.lit(0)).alias("s"))
+        )
+        hmax = hraw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        hubs = hraw.join(F.broadcast(hmax)).select(
+            "id", F.expr(f"s * {scale} div m").cast("long").alias("hub")
+        )
+    return hubs.join(auths, "id").select("id", "hub", "auth")
+
+
+def degree_stats(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node link-graph profile: (id, out_deg, in_deg,
+    n_reciprocal) — reciprocal = this node's out-edges whose reverse
+    edge also exists (multi-edges collapsed first; self-loops count as
+    their own reverse, the standard digraph-reciprocity convention).
+
+    Scale: distinct-edge dedup + two degree groupBys + one self-join
+    on the reversed key — all equi-shuffles on (src, dst) pairs,
+    map-side combine on the degree counts; no window, no collect."""
+    de = edges.select("src", "dst").distinct()
+    rev = de.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        de.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+        .select(F.col("src").alias("__rid"), "n_reciprocal")
+    )
+    outd = de.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    ).select(F.col("src").alias("__oid"), "out_deg")
+    ind = de.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    ).select(F.col("dst").alias("__iid"), "in_deg")
+    return (
+        nodes.join(outd, nodes["id"] == F.col("__oid"), "left")
+        .join(ind, nodes["id"] == F.col("__iid"), "left")
+        .join(recip, nodes["id"] == F.col("__rid"), "left")
+        .select(
+            nodes["id"],
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+    )

@@ -167,3 +167,154 @@ def subword_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.coalesce("n_unk_words", F.lit(0)).cast("long").alias("n_unk_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — learning the vocabulary the wordpiece walk consumes
+# ---------------------------------------------------------------------------
+
+
+def _apply_merge(seq, a, b):
+    """One greedy left-to-right BPE merge pass over a symbol-sequence
+    string, as a single ``replace``: the pattern ' a  b ' consumes one
+    space of each neighboring double separator and the replacement
+    ' ab ' re-emits them, so CONSECUTIVE occurrences all merge in one
+    pass while OVERLAPPING ones don't re-merge — exactly the classic
+    BPE tokenizer's scan (Sennrich et al. 2016), and byte-identical in
+    Spark and DuckDB (both replace() scan left-to-right and never
+    rescan emitted text)."""
+    pat = F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" "))
+    rep = F.concat(F.lit(" "), a, b, F.lit(" "))
+    framed = F.concat(F.lit(" "), seq, F.lit(" "))
+    return F.trim(F.replace(framed, pat, rep))
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus (Sennrich et al.
+    2016): start from characters, repeatedly merge the most frequent
+    adjacent symbol pair (frequency-weighted by word count; ties broken
+    pair-ascending). Returns (round, a, b, merged, cnt) — the ordered
+    merge table :func:`subword_token_counts`-style tokenizers consume,
+    completing the loop ``vocab_topk`` (corpus stats) -> bpe_train
+    (vocabulary induction) -> wordpiece walk (tokenization).
+
+    Engine-exactness: pair counts are associative long sums over the
+    distinct-word table; the argmax is an order-by-(cnt desc, a, b)
+    head; the merge application is the anchored-``replace`` scan of
+    :func:`_apply_merge` — all three byte-identical in DuckDB, so the
+    oracle reproduces the whole training run, not just one round.
+
+    Scale design (100 TB): training runs on the DISTINCT word table
+    (Zipf: ~10^7 rows against ~10^13 running tokens), built with one
+    map-side-combined groupBy. Each round is one pair-count shuffle
+    (map-side combine absorbs the Zipf head) plus a ONE-ROW argmax
+    aggregate collected to the driver — the provably-small scalar
+    class (same as the crawl's 1-row Observation reads); the reshaped
+    word table is persisted and the previous round released, so
+    lineage stays one round deep regardless of n_merges."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(words_col(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    cur = words.select(
+        "freq",
+        F.concat_ws(
+            "  ",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+        ).alias("seq"),
+    ).persist()
+    merges: list[tuple] = []
+    try:
+        for rnd in range(1, n_merges + 1):
+            syms = F.split("seq", "  ")
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.struct(
+                                a.alias("a"), b.alias("b")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        "a",
+                        "b",
+                        "cnt",
+                    )
+                ).alias("m")
+            ).collect()[0]["m"]
+            if best is None:
+                break  # corpus fully merged: no adjacent pairs remain
+            merges.append((rnd, best["a"], best["b"],
+                           best["a"] + best["b"], best["cnt"]))
+            nxt = cur.select(
+                "freq",
+                _apply_merge(
+                    F.col("seq"), F.lit(best["a"]), F.lit(best["b"])
+                ).alias("seq"),
+            ).persist()
+            cur.unpersist(blocking=False)
+            cur = nxt
+    finally:
+        cur.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, merged string, cnt long"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus under a trained merge list: (doc_id,
+    n_subword_tokens, n_words). ``merges`` is the collected
+    (round, a, b, merged, cnt) rows of :func:`bpe_train`, applied in
+    round order — the standard BPE inference rule. The walk runs over
+    the DISTINCT word table and joins counts back, same Zipf shortcut
+    as ``subword_token_counts``."""
+    per_word = (
+        docs.select(
+            F.col("doc_id"), F.explode(words_col(text_col)).alias("w")
+        )
+        .filter(F.length("w") > 0)
+    )
+    dict_ = per_word.select("w").distinct()
+    seq = F.concat_ws(
+        "  ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    )
+    for m in sorted(merges, key=lambda t: t[0]):
+        seq = _apply_merge(seq, F.lit(m[1]), F.lit(m[2]))
+    toks = dict_.select(
+        "w", F.size(F.split(seq, "  ")).cast("long").alias("n_toks")
+    )
+    return (
+        per_word.join(toks, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_subword_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )

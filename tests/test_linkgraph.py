@@ -146,3 +146,78 @@ def test_trustrank_partitioning_independent(spark, graph):
     seeds = {r["id"] for r in seeded.filter("is_seed").collect()}
     assert all(a[s] >= 150_000 for s in seeds)
     assert any(v > 0 for k, v in a.items() if k not in seeds)
+
+
+# ---------------------------------------------------------------------------
+# HITS + degree stats
+# ---------------------------------------------------------------------------
+
+
+def _ref_hits(edge_list, node_ids, iterations=2, scale=1_000_000):
+    """Sequential reference with the same integer arithmetic."""
+    hub = {n: scale for n in node_ids}
+    auth = {n: scale for n in node_ids}
+    for _ in range(iterations):
+        araw = {n: 0 for n in node_ids}
+        for s, d in edge_list:
+            araw[d] += hub[s]
+        m = max(max(araw.values()), 1)
+        auth = {n: v * scale // m for n, v in araw.items()}
+        hraw = {n: 0 for n in node_ids}
+        for s, d in edge_list:
+            hraw[s] += auth[d]
+        m = max(max(hraw.values()), 1)
+        hub = {n: v * scale // m for n, v in hraw.items()}
+    return {n: (hub[n], auth[n]) for n in node_ids}
+
+
+def test_hits_matches_reference(spark):
+    from inform_spark.operators.linkgraph import hits
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(edges, nodes, iterations=2).collect()
+    }
+    assert got == _ref_hits(edge_list, range(5))
+
+
+def test_hits_partitioning_invariant(spark):
+    from inform_spark.operators.linkgraph import hits, synthetic_edges
+
+    nodes = spark.range(60).select(F.col("id"))
+    edges = synthetic_edges(nodes)
+    a = sorted(tuple(r) for r in hits(edges, nodes, 2).collect())
+    b = sorted(
+        tuple(r)
+        for r in hits(edges.repartition(7, "dst"), nodes.repartition(3), 2).collect()
+    )
+    assert a == b
+    # top authority is a low-id hub (synthetic graph skews in-degree low)
+    top_auth = max(a, key=lambda r: r[2])
+    assert top_auth[2] == 1_000_000  # max-normalized: the argmax IS scale
+
+
+def test_degree_stats(spark):
+    from inform_spark.operators.linkgraph import degree_stats
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 2), (2, 2), (3, 0)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {
+        r["id"]: (r["out_deg"], r["in_deg"], r["n_reciprocal"])
+        for r in degree_stats(edges, nodes).collect()
+    }
+    assert got == {
+        # multi-edge 0->2 collapsed; 0<->1 reciprocal both sides;
+        # 2->2 self-loop is its own reverse; node 4 isolated
+        0: (2, 2, 1),
+        1: (1, 1, 1),
+        2: (1, 2, 1),
+        3: (1, 0, 0),
+        4: (0, 0, 0),
+    }
