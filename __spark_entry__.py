@@ -3096,26 +3096,29 @@ def oracle_sql() -> dict[str, str]:
     # distinct word table, (cnt desc, a, b) argmax, anchored-replace
     # merge scan; DuckDB's replace() has the same left-to-right
     # non-rescanning semantics as Spark's, so the oracle replays the
-    # whole training run
+    # whole training run. Every CTE is MATERIALIZED: each round
+    # references its predecessor 2-3 times, so DuckDB's default CTE
+    # inlining turns the 8-round chain into ~3^8 expansions of the
+    # corpus scan (measured: >9 min inlined, 0.2 s materialized).
     _bpe_words = (
-        "pw as (select cast(doc_id as bigint) as doc_id, w from "
+        "pw as materialized (select cast(doc_id as bigint) as doc_id, w from "
         "(select doc_id, unnest(string_split(lower(text), ' ')) as w "
         "from documents) where len(w) > 0), "
-        "w0 as (select w, cast(count(*) as bigint) as freq "
+        "w0 as materialized (select w, cast(count(*) as bigint) as freq "
         "from pw group by w), "
-        "s0 as (select freq, array_to_string(list_transform("
+        "s0 as materialized (select freq, array_to_string(list_transform("
         "range(1, len(w)+1), i -> substr(w, i, 1)), '  ') as seq from w0)"
     )
     _bpe_round = (
-        "p{i} as (select t.p[1] as a, t.p[2] as b, "
+        "p{i} as materialized (select t.p[1] as a, t.p[2] as b, "
         "cast(sum(freq) as bigint) as cnt from "
         "(select freq, list_zip(syms[1:len(syms)-1], syms[2:len(syms)]) "
         "as ps from (select freq, string_split(seq, '  ') as syms "
         "from s{p})), unnest(ps) as t(p) group by a, b), "
-        "b{i} as (select a, b, cnt, a||b as merged, "
+        "b{i} as materialized (select a, b, cnt, a||b as merged, "
         "' '||a||'  '||b||' ' as pat, ' '||a||b||' ' as rep "
         "from p{i} order by cnt desc, a, b limit 1), "
-        "s{i} as (select freq, trim(replace(' '||seq||' ', "
+        "s{i} as materialized (select freq, trim(replace(' '||seq||' ', "
         "(select pat from b{i}), (select rep from b{i}))) as seq "
         "from s{p})"
     )

@@ -115,6 +115,12 @@ BENCH_QUERIES = [
     "hll_host_cardinality",
     "inverted_postings",
     "link_trustrank",
+    # round-4 fourth wave
+    "link_hits",
+    "degree_stats",
+    "kmeans_train",
+    "bpe_train",
+    "bpe_token_counts",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

@@ -36,6 +36,43 @@ SKIP_EXTENSIONS = (
 SKIP_EXTENSIONS_RLIKE = r"\.(pdf|docx?|xlsx?|pptx?|jpe?g|png|gif|svg|webp|mp4|avi|mov|mp3|wav|zip|tar|gz|exe|dmg|css|js|xml|json)$"
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, on the PATH alone. This
+    can't be delegated to urljoin: a path beginning '//' reads to the
+    stdlib as a network-path reference (its own authority), which both
+    mangles the host and SKIPS dot-segment removal — 'http://h//0/.'
+    must canonicalize to 'http://h//0/', as WHATWG's new URL() does."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
 def normalize_url(url: str) -> str:
     """Canonical absolute form: lowercase scheme+host, strip default port,
     strip fragment, empty path -> '/'. Mirrors `urlObj.hash=''; urlObj.href`
@@ -52,13 +89,12 @@ def normalize_url(url: str) -> str:
     if not path:
         path = "/"
     elif "/." in path:
-        # RFC 3986 dot-segment removal, via the stdlib resolver (the
-        # exact code path relative resolution already uses). urljoin
-        # BYPASSES removal for absolute hrefs, so without this a link
-        # like http://h/docs/../admin would dedup as distinct from its
-        # canonical form, escape base-path scoping, and carry '..' into
-        # generated file paths.
-        path = urlsplit(urljoin(f"{scheme}://{netloc}", path)).path or "/"
+        # RFC 3986 dot-segment removal, so a link like
+        # http://h/docs/../admin dedups as its canonical form, can't
+        # escape base-path scoping, and carries no '..' into generated
+        # file paths. Gate is sound: an absolute path's '.'/'..'
+        # segments always appear as a '/.' substring.
+        path = _remove_dot_segments(path) or "/"
     return urlunsplit((scheme, netloc, path, query, ""))
 
 

@@ -123,6 +123,12 @@ def test_dot_segments_removed_and_traversal_safe():
     )
     # doc_ids can never traverse out of the output dir
     assert ".." not in generate_filepath("http://s/a/../../../tmp/evil")
+    # a path starting '//' must NOT be re-read as a network-path
+    # reference during removal (hypothesis-found: http://0.0//0/. came
+    # back as http://0.0/. — dot kept, host nearly swallowed)
+    assert normalize_url("http://h//0/.") == "http://h//0/"
+    assert normalize_url("http://h//a/../b") == "http://h//b"
+    assert resolve_url("http://0.0//0/.", "http://0.0") == "http://0.0//0/"
 
 
 def test_backslash_hrefs_whatwg():
