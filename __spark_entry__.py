@@ -1782,6 +1782,33 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_segment(docs, merges)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al., TPAMI 2011;
+    operators/clustering.pq_codes, m=4 subspaces x k=8 codes, 2 Lloyd
+    rounds): the corpus compressed to per-subspace centroid ids plus
+    exact long quantization error — the memory-bound ANN scale path
+    (4 B/vector vs 256 B of floats). All-integer training (same
+    contract as kmeans_train) keyed by (sub, cid), so ONE shuffled
+    aggregation trains all 4 codebooks at once and DuckDB reproduces
+    both the codebook and every code."""
+    from inform_spark.operators.clustering import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"), m=4, k=8, iterations=2)
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k under the trained PQ codebook
+    (operators/clustering.pq_adc_topk, query vid=0, k=10): distance =
+    sum over subspaces of a broadcast m*k lookup table — the corpus
+    never re-reads its float vectors. Ties broken vid-ascending;
+    TakeOrdered, no global sort."""
+    from inform_spark.operators.clustering import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_vid=0, topk=10
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1897,6 +1924,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3091,6 +3120,70 @@ def oracle_sql() -> dict[str, str]:
         "as n_assigned, cast(coalesce(r.inertia, 0) as bigint) as inertia, "
         "array_to_string(list_transform(c.cv, x -> cast(x as varchar)), "
         "',') as centroid from c2 c left join roll r using (cid)"
+    )
+    # Product quantization: 2 unrolled Lloyd iterations over all 4
+    # subspaces at once, keyed (sub, cid) — identical integer arithmetic
+    # to the kmeans oracle. CTEs MATERIALIZED (iterative chains inline
+    # exponentially in DuckDB otherwise, as with the BPE oracle).
+    _pq_d2 = (
+        "cast(list_sum(list_transform(range(1, len(s.sv)+1), "
+        "j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) as bigint)"
+    )
+    _pq_step = (
+        "s{i} as materialized (select vid, sub, cid, d2, sv, "
+        "row_number() over (partition by vid, sub order by d2, cid) "
+        "as rn from "
+        f"(select s.vid, s.sub, c.cid, {_pq_d2} as d2, s.sv "
+        "from sv s join c{p} c using (sub))), "
+        "a{i} as materialized (select vid, sub, cid, d2, sv from s{i} "
+        "where rn = 1), "
+        "u{i} as materialized (select sub, cid, t.p.i as i, "
+        "cast(sum(t.p.v) as bigint) as s, "
+        "cast(count(*) as bigint) as n from "
+        "(select sub, cid, list_transform(sv, (x, j) -> {{'i': j, 'v': x}}) "
+        "as ps from a{i}), unnest(ps) as t(p) group by sub, cid, t.p.i), "
+        "nc{i} as materialized (select sub, cid, "
+        "list(cast(case when s < 0 "
+        "then -((-s) // n) else s // n end as bigint) order by i) "
+        "as ncv from u{i} group by sub, cid), "
+        "c{i} as materialized (select c.sub, c.cid, "
+        "coalesce(n.ncv, c.cv) as cv from c{p} c "
+        "left join nc{i} n on n.sub = c.sub and n.cid = c.cid)"
+    )
+    _pq_ctes = (
+        "q as materialized (select cast(vec_id as bigint) as vid, "
+        "list_transform(embedding, x -> cast(round(cast(x as double) "
+        "* 1000000) as bigint)) as qv from embeddings), "
+        "sv as materialized (select vid, sub, "
+        "list_slice(qv, sub * (len(qv) // 4) + 1, "
+        "(sub + 1) * (len(qv) // 4)) as sv "
+        "from q, unnest(range(4)) as t(sub)), "
+        "c0 as materialized (select sub, vid as cid, sv as cv "
+        "from sv where vid < 8), "
+        + ", ".join(_pq_step.format(i=i, p=i - 1) for i in (1, 2))
+        + ", fs as materialized (select vid, sub, cid, d2, "
+        "row_number() over (partition by vid, sub order by d2, cid) "
+        "as rn from "
+        f"(select s.vid, s.sub, c.cid, {_pq_d2} as d2, s.sv "
+        "from sv s join c2 c using (sub))), "
+        "fa as materialized (select vid, sub, cid, d2 from fs "
+        "where rn = 1)"
+    )
+    d["pq_codes"] = (
+        f"with {_pq_ctes} "
+        "select vid, string_agg(cast(cid as varchar), ',' order by sub) "
+        "as codes, cast(sum(d2) as bigint) as qerr from fa group by vid"
+    )
+    d["pq_adc_topk"] = (
+        f"with {_pq_ctes}, "
+        "qsv as (select sub, sv as qsv from sv where vid = 0), "
+        "lut as materialized (select c.sub, c.cid, "
+        "cast(list_sum(list_transform(range(1, len(q2.qsv)+1), "
+        "j -> (q2.qsv[j] - c.cv[j]) * (q2.qsv[j] - c.cv[j]))) as bigint) "
+        "as ld2 from c2 c join qsv q2 using (sub)) "
+        "select fa.vid, cast(sum(l.ld2) as bigint) as ad2 from fa "
+        "join lut l on l.sub = fa.sub and l.cid = fa.cid "
+        "where fa.vid <> 0 group by fa.vid order by ad2, vid limit 10"
     )
     # BPE training: 8 unrolled merge rounds — pair counts over the
     # distinct word table, (cnt desc, a, b) argmax, anchored-replace

@@ -182,3 +182,175 @@ def kmeans_assignments(
     q = quantize_vectors(emb, id_col, vec_col)
     cents = _train(q, n_cells, iterations)
     return assign_cells(q, cents).select("vid", "cid", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011) — the memory-bound ANN
+# scale path: vectors compressed to m byte codes, distances computed
+# against a per-query lookup table instead of the raw floats.
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the brute/LSH/IVF family still materializes float vectors
+# (256 B/vec at dim 64); PQ stores m codes (4 B at m=4) plus one tiny
+# (m x k x subdim) codebook — a 64x corpus-memory reduction that turns a
+# disk-bound scan into an in-memory one. Training reuses the integer
+# Lloyd arithmetic of ``kmeans_train`` verbatim, just keyed by
+# (subspace, cid): the m per-subspace problems are disjoint, so ONE
+# shuffled aggregation trains all m codebooks at once — never m
+# sequential jobs. Encoding and ADC scoring are broadcast map-side
+# joins (the codebook/LUT is m*k rows), zero corpus shuffle.
+
+
+def _sub_table(q: DataFrame, m: int) -> DataFrame:
+    """(vid, sub, sv): each quantized vector split into ``m`` contiguous
+    equal subvectors. Dims are data-derived (size(qv) div m) so the
+    operator never reads the corpus driver-side; a dim not divisible by
+    m silently truncates the tail, as the classic PQ construction
+    pads/crops to a multiple of m."""
+    return q.select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qv",
+    ).select(
+        "vid",
+        "sub",
+        F.expr(
+            f"slice(qv, sub * (size(qv) div {m}) + 1, size(qv) div {m})"
+        ).alias("sv"),
+    )
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, sub, cid, d2, sv): nearest codebook entry per subvector,
+    ties broken cid-ascending — broadcast join + one min(struct)
+    groupBy, same shape as :func:`assign_cells`."""
+    scored = sv.join(F.broadcast(cents), "sub").withColumn(
+        "d2", _d2(F.col("sv"), F.col("cv"))
+    )
+    best = scored.groupBy("vid", "sub").agg(
+        F.min(F.struct("d2", "cid", "sv")).alias("b")
+    )
+    return best.select(
+        "vid",
+        "sub",
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
+        F.col("b.sv").alias("sv"),
+    )
+
+
+def _pq_train(q: DataFrame, m: int, k: int, iterations: int) -> DataFrame:
+    """Lloyd loop over all m subspaces at once, keyed (sub, cid):
+    returns the trained (sub, cid, cv) codebook, persisted. Identical
+    integer contract to :func:`_train` (micro-quantized inputs, exact
+    long squared-L2, toward-zero division, empty-entry keep)."""
+    sv = _sub_table(q, m)
+    cents = sv.filter(F.col("vid") < k).select(
+        "sub", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(iterations):
+        assigned = _pq_assign(sv, cents)
+        upd = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("i", "v"))
+            .groupBy("sub", "cid", "i")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                "sub",
+                "cid",
+                "i",
+                F.when(F.col("s") < 0, -F.expr("(-s) div n"))
+                .otherwise(F.expr("s div n"))
+                .cast("long")
+                .alias("comp"),
+            )
+        )
+        newc = upd.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda st: st["comp"],
+            ).alias("ncv")
+        )
+        cents = (
+            cents.join(newc, ["sub", "cid"], "left")
+            .select("sub", "cid", F.coalesce("ncv", "cv").alias("cv"))
+            .persist()
+        )
+        _ACTIVE_CENT_CACHE.append(cents)
+    return cents
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an (m x k) product-quantization codebook and encode the
+    corpus under it: (vid, codes, qerr) — ``codes`` the comma-joined
+    per-subspace centroid ids in subspace order (the engine-portable
+    string form, 4 B/vector at m=4 in a binary layout), ``qerr`` the
+    exact long total quantization error (the reconstruction-quality
+    audit column). All-integer end to end, so the oracle reproduces
+    the trained codebook AND every code assignment."""
+    q = quantize_vectors(emb, id_col, vec_col)
+    cents = _pq_train(q, m, k, iterations)
+    a = _pq_assign(_sub_table(q, m), cents)
+    return a.groupBy("vid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", F.col("cid")))
+                ),
+                lambda st: st["cid"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum("d2").cast("long").alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vid: int = 0,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k (ADC, Jégou et al. 2011 §IV): the
+    query stays a full vector, the corpus stays codes; distance =
+    sum over subspaces of LUT[sub][code], where the LUT is the m*k
+    table of exact squared-L2 distances from the query's subvectors to
+    the codebook. Returns (vid, ad2) for the ``topk`` nearest non-query
+    vectors, ties broken vid-ascending.
+
+    Scale: the LUT is m*k rows — broadcast; scoring is one map-side
+    join on the encoded corpus + a groupBy(vid) sum + TakeOrdered
+    (no global sort materialization). The corpus never re-reads its
+    float vectors: this is the plan that survives when the vectors
+    no longer fit the cluster's memory."""
+    q = quantize_vectors(emb, id_col, vec_col)
+    cents = _pq_train(q, m, k, iterations)
+    a = _pq_assign(_sub_table(q, m), cents)
+    qsv = _sub_table(q.filter(F.col("vid") == query_vid), m).select(
+        "sub", F.col("sv").alias("qsv")
+    )
+    lut = cents.join(F.broadcast(qsv), "sub").select(
+        "sub", "cid", _d2(F.col("qsv"), F.col("cv")).alias("ld2")
+    )
+    return (
+        a.select("vid", "sub", "cid")
+        .filter(F.col("vid") != query_vid)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vid")
+        .agg(F.sum("ld2").cast("long").alias("ad2"))
+        .orderBy("ad2", "vid")
+        .limit(topk)
+    )

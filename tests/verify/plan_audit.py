@@ -308,6 +308,39 @@ AUDITS = {
         "forbid": ["CartesianProduct"],
         "absent_in_readschema": ["text", "source", "lang", "n_chars"],
     },
+    # fixed-point HITS: aggregation half-steps + broadcast 1-row max;
+    # no window over the graph
+    "link_hits": {
+        "require": ["HashAggregate", "BroadcastExchange"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["text", "source", "lang", "n_chars"],
+    },
+    # degree/reciprocity: equi-shuffled aggs + one semi join; never a
+    # window over the edge set
+    "degree_stats": {
+        "require": ["HashAggregate", "LeftSemi"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["text", "source", "lang", "n_chars"],
+    },
+    # k-means: centroids broadcast into the assignment (the n_cells-way
+    # compare is a broadcast nested-loop by design — NEVER a shuffled
+    # CartesianProduct of the corpus), argmin via min(struct) agg
+    "kmeans_train": {
+        "require": ["HashAggregate", "BroadcastExchange"],
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    # PQ encode: codebook broadcast-joined on the subspace key; argmin
+    # via min(struct) agg, no window over the corpus
+    "pq_codes": {
+        "require": ["HashAggregate", "BroadcastExchange"],
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    # PQ ADC: LUT broadcast; global top-k as TakeOrdered, never a
+    # rangepartitioned total sort of the scored corpus
+    "pq_adc_topk": {
+        "require": ["TakeOrderedAndProject", "BroadcastExchange"],
+        "forbid": ["CartesianProduct", "rangepartitioning"],
+    },
 }
 
 
