@@ -1809,6 +1809,21 @@ def q_pq_adc_topk(spark, sf_dir):
     )
 
 
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage PQ serving for query vid=0
+    (operators/clustering.pq_rerank_batch, ADC shortlist of 50 over the
+    4-byte codes, exact integer squared-L2 rerank to top-10) — the
+    production IVFADC+rerank layout: full-precision reads bounded by
+    the shortlist, never the corpus. Measured recall@10 vs brute
+    force: 0.25 raw ADC -> 0.72 reranked (bench ann_quality leg)."""
+    from inform_spark.operators.clustering import pq_rerank_batch
+
+    return pq_rerank_batch(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=1, topk=10, n_candidates=50,
+    ).select("vid", "d2", "rank")
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1926,6 +1941,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_rerank": q_pq_rerank,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3184,6 +3200,26 @@ def oracle_sql() -> dict[str, str]:
         "select fa.vid, cast(sum(l.ld2) as bigint) as ad2 from fa "
         "join lut l on l.sub = fa.sub and l.cid = fa.cid "
         "where fa.vid <> 0 group by fa.vid order by ad2, vid limit 10"
+    )
+    d["pq_rerank"] = (
+        f"with {_pq_ctes}, "
+        "qsv as (select sub, sv as qsv from sv where vid = 0), "
+        "lut as materialized (select c.sub, c.cid, "
+        "cast(list_sum(list_transform(range(1, len(q2.qsv)+1), "
+        "j -> (q2.qsv[j] - c.cv[j]) * (q2.qsv[j] - c.cv[j]))) as bigint) "
+        "as ld2 from c2 c join qsv q2 using (sub)), "
+        "cand as materialized (select fa.vid, "
+        "cast(sum(l.ld2) as bigint) as ad2 from fa "
+        "join lut l on l.sub = fa.sub and l.cid = fa.cid "
+        "where fa.vid <> 0 group by fa.vid order by ad2, vid limit 50), "
+        "q0 as (select qv as q0v from q where vid = 0), "
+        "ex as (select c.vid, "
+        "cast(list_sum(list_transform(range(1, len(q.qv)+1), "
+        "j -> (q.qv[j] - q0.q0v[j]) * (q.qv[j] - q0.q0v[j]))) as bigint) "
+        "as d2 from cand c join q on q.vid = c.vid cross join q0) "
+        "select vid, d2, rank from (select vid, d2, "
+        "cast(row_number() over (order by d2, vid) as int) as rank "
+        "from ex) where rank <= 10"
     )
     # BPE training: 8 unrolled merge rounds — pair counts over the
     # distinct word table, (cnt desc, a, b) argmax, anchored-replace

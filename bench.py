@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "kmeans_train",
     "bpe_train",
     "bpe_token_counts",
+    "pq_codes",
+    "pq_rerank",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
@@ -507,6 +509,67 @@ def run_langid_quality(spark) -> dict:
     }
 
 
+def run_ann_quality(spark) -> dict:
+    """Recall@k of each approximate-NN path against the exact brute-force
+    cosine ranking on the same embeddings — the accuracy/cost trade the
+    ANN family exists to make. Ground truth is cosine_topk (exact);
+    candidates are hyperplane-LSH buckets, IVF cells, and PQ asymmetric
+    distance over 4-byte codes. Unit-norm embeddings make PQ's L2
+    ranking comparable to the cosine truth."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators import similarity
+    from inform_spark.operators.clustering import pq_adc_batch, pq_rerank_batch
+
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).localCheckpoint()
+    nq, k = 10, 10
+
+    def pairs(df, qc, nc):
+        out = {}
+        for r in df.select(F.col(qc).alias("q"), F.col(nc).alias("n")).collect():
+            out.setdefault(r["q"], set()).add(r["n"])
+        return out
+
+    truth = pairs(similarity.cosine_topk(emb, n_queries=nq, k=k), "q", "neighbor")
+
+    def recall(cand):
+        per_q = [
+            len(cand.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        return round(sum(per_q) / len(per_q), 3)
+
+    return {
+        "k": k,
+        "n_queries": nq,
+        "recall_lsh": recall(
+            pairs(similarity.lsh_bucketed_topk(emb, n_queries=nq, k=k),
+                  "q", "neighbor")
+        ),
+        "recall_ivf": recall(
+            pairs(similarity.ivf_topk(emb, n_queries=nq, k=k),
+                  "q", "neighbor")
+        ),
+        # coarse codebook (m=4 x k=8: 4096 distinct codes) — the oracle
+        # query's setting; raw ADC recall is the compression floor
+        "recall_pq_adc_m4k8": recall(
+            pairs(pq_adc_batch(emb, n_queries=nq, topk=k), "q", "vid")
+        ),
+        # finer codebook (m=8 x k=16) — the codebook-size knob
+        "recall_pq_adc_m8k16": recall(
+            pairs(pq_adc_batch(emb, n_queries=nq, topk=k, m=8, k=16),
+                  "q", "vid")
+        ),
+        # production layout: ADC shortlist of 50 + exact rerank
+        "recall_pq_rerank50_m8k16": recall(
+            pairs(pq_rerank_batch(emb, n_queries=nq, topk=k,
+                                  n_candidates=50, m=8, k=16),
+                  "q", "vid")
+        ),
+    }
+
+
 def run_crawl_ab(ref: str) -> dict:
     """Round-over-round crawl regression guard: the identical --crawl-only
     leg on the CURRENT tree vs the pinned ``ref`` commit (materialized in
@@ -688,6 +751,14 @@ def main() -> None:
         except Exception as e:
             langid_quality = {"error": f"{type(e).__name__}: {e}"}
 
+    # ANN recall@k vs the exact brute-force cosine ranking
+    ann_quality = None
+    if os.environ.get("BENCH_SKIP_ANN_QUALITY") != "1":
+        try:
+            ann_quality = run_ann_quality(spark)
+        except Exception as e:
+            ann_quality = {"error": f"{type(e).__name__}: {e}"}
+
     # north_rule scaling evidence (summary goes in the headline, per-leg
     # detail in the detail file): headline levels under machine capacity
     # (amended protocol, rationale in BASELINE.md), big fixture
@@ -727,6 +798,7 @@ def main() -> None:
         "dedup_quality": dedup_quality,
         "frontier_scale": frontier_scale,
         "langid_quality": langid_quality,
+        "ann_quality": ann_quality,
         "scaling": scaling,
         "crawl_ab": crawl_ab,
         "queries": timings,

@@ -354,3 +354,85 @@ def pq_adc_topk(
         .orderBy("ad2", "vid")
         .limit(topk)
     )
+
+
+def pq_adc_batch(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ADC: (q, vid, ad2, rank) for every query vid < n_queries —
+    the form recall measurement and batch serving use. The LUT is
+    n_queries * m * k rows (still a broadcast dimension); scoring is
+    one map-side join on the encoded corpus + a (q, vid) sum + a
+    per-query rank window bounded by n_queries * corpus rows, the same
+    shape as the other ANN batch scorers."""
+    from pyspark.sql import Window
+
+    q = quantize_vectors(emb, id_col, vec_col)
+    cents = _pq_train(q, m, k, iterations)
+    a = _pq_assign(_sub_table(q, m), cents)
+    qsv = _sub_table(q.filter(F.col("vid") < n_queries), m).select(
+        F.col("vid").alias("q"), "sub", F.col("sv").alias("qsv")
+    )
+    lut = cents.join(F.broadcast(qsv), "sub").select(
+        "q", "sub", "cid", _d2(F.col("qsv"), F.col("cv")).alias("ld2")
+    )
+    scored = (
+        a.select("vid", "sub", "cid")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vid") != F.col("q"))
+        .groupBy("q", "vid")
+        .agg(F.sum("ld2").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("q").orderBy("ad2", "vid")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
+
+
+def pq_rerank_batch(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_candidates: int = 50,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving (the production IVFADC+rerank layout,
+    Jégou et al. 2011 §V): stage 1 shortlists ``n_candidates`` per
+    query by ADC over the 4-byte codes (no float reads), stage 2
+    re-scores ONLY the shortlist against the full quantized vectors
+    with exact integer squared-L2 and returns the top ``topk``.
+    Returns (q, vid, d2, rank), ties broken vid-ascending.
+
+    Scale: stage 2 touches n_queries * n_candidates vectors total —
+    the full-precision reads are bounded by the shortlist, never the
+    corpus, which is what lets the corpus stay as codes on disk."""
+    from pyspark.sql import Window
+
+    q = quantize_vectors(emb, id_col, vec_col)
+    cand = pq_adc_batch(
+        emb, n_queries=n_queries, topk=n_candidates,
+        m=m, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+    ).select("q", "vid")
+    qv = q.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("q"), F.col("qv").alias("query_qv")
+    )
+    exact = (
+        cand.join(q, "vid")
+        .join(F.broadcast(qv), "q")
+        .select("q", "vid", _d2(F.col("qv"), F.col("query_qv")).alias("d2"))
+    )
+    w = Window.partitionBy("q").orderBy("d2", "vid")
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )

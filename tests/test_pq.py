@@ -176,3 +176,54 @@ def test_codes_shape_and_qerr_positive(spark):
         assert len(parts) == 4
         assert all(0 <= int(p) < 4 for p in parts)
         assert r["qerr"] >= 0
+
+
+def test_adc_batch_consistent_with_single_query(spark):
+    """The batch scorer restricted to q=0 must equal pq_adc_topk."""
+    from inform_spark.operators.clustering import pq_adc_batch
+
+    rows = _vecs()
+    df = spark.createDataFrame(rows, SCHEMA)
+    single = [
+        (r["vid"], r["ad2"])
+        for r in pq_adc_topk(df, query_vid=0, topk=6, m=2, k=3).collect()
+    ]
+    batch = [
+        (r["vid"], r["ad2"])
+        for r in pq_adc_batch(df, n_queries=1, topk=6, m=2, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch == single
+
+
+def test_rerank_is_exact_order_of_candidates(spark):
+    """Rerank output must equal the exact integer-L2 ranking of the ADC
+    shortlist — and with the shortlist covering the whole corpus, the
+    exact brute-force top-k."""
+    from inform_spark.operators.clustering import (
+        pq_rerank_batch,
+        quantize_vectors,
+    )
+
+    rows = _vecs()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        (r["vid"], r["d2"])
+        for r in pq_rerank_batch(
+            df, n_queries=1, topk=5, n_candidates=len(rows), m=4, k=4
+        ).orderBy("rank").collect()
+    ]
+    pts = {
+        r["vid"]: r["qv"]
+        for r in quantize_vectors(df).collect()
+    }
+    exact = sorted(
+        (
+            (vid, sum((a - b) * (a - b) for a, b in zip(v, pts[0])))
+            for vid, v in pts.items()
+            if vid != 0
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:5]
+    assert got == exact
