@@ -2678,6 +2678,22 @@ _CCNET_NORM_SQL = (
 )
 
 
+# the synthetic-link-graph CTE (DuckDB mirror of
+# linkgraph.synthetic_edges) — the ONE definition every link-graph
+# oracle builds on: pagerank, trustrank, HITS, degree stats, and
+# anchor_text_agg. A change to synthetic_edges lands here once.
+_LG_EDGES_SQL = (
+    "nodes as (select cast(doc_id as bigint) as id from documents), "
+    "cnt as (select count(*) as n from nodes), "
+    "e0 as (select id as src, k from nodes, "
+    "unnest(range(1 + id % 3)) as t(k)), "
+    "edges as (select src, "
+    "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
+    "||cast(k as varchar)),1,15) as bigint) "
+    "% (select n from cnt) as dst from e0)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_base()
     # curation_verdicts composes the STAGE ORACLES as subqueries — the
@@ -3013,14 +3029,7 @@ def oracle_sql() -> dict[str, str]:
     # TrustRank: the pagerank oracle's unrolled 3 iterations with the
     # teleport mass gated on the hash-designated seed set
     _tr_edges = (
-        "nodes as (select cast(doc_id as bigint) as id from documents), "
-        "cnt as (select count(*) as n from nodes), "
-        "e0 as (select id as src, k from nodes, "
-        "unnest(range(1 + id % 3)) as t(k)), "
-        "edges as (select src, "
-        "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
-        "||cast(k as varchar)),1,15) as bigint) "
-        "% (select n from cnt) as dst from e0), "
+        f"{_LG_EDGES_SQL}, "
         "deg as (select src, count(*) as deg from edges group by src), "
         "seeds as (select id, (cast('0x'||substr(md5('trust'||"
         "cast(id as varchar)),1,15) as bigint) % 8) = 0 as is_seed "
@@ -3042,43 +3051,31 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_tr_step.format(i=i, p=i - 1) for i in (1, 2, 3))
         + " select id as doc_id, trust, is_seed from r3"
     )
-    # the synthetic-link-graph CTE shared by the pagerank/trustrank/HITS/
-    # degree oracles (DuckDB mirror of linkgraph.synthetic_edges)
-    _lg_edges = (
-        "nodes as (select cast(doc_id as bigint) as id from documents), "
-        "cnt as (select count(*) as n from nodes), "
-        "e0 as (select id as src, k from nodes, "
-        "unnest(range(1 + id % 3)) as t(k)), "
-        "edges as (select src, "
-        "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
-        "||cast(k as varchar)),1,15) as bigint) "
-        "% (select n from cnt) as dst from e0)"
-    )
     # HITS: 2 unrolled iterations, L-infinity (max) normalization with
     # integer division each half-step — exactly linkgraph.hits
     _hits_step = (
         "ar{i} as (select n.id, coalesce(t.s, 0) as s from nodes n "
         "left join (select e.dst as id, sum(h.hub) as s from edges e "
         "join h{p} h on h.id = e.src group by e.dst) t using (id)), "
-        "a{i} as (select id, cast(s * 1000000 // "
+        "a{i} as (select id, cast((s::hugeint * 1000000) // "
         "greatest((select max(s) from ar{i}), 1) as bigint) as auth "
         "from ar{i}), "
         "hr{i} as (select n.id, coalesce(t.s, 0) as s from nodes n "
         "left join (select e.src as id, sum(a.auth) as s from edges e "
         "join a{i} a on a.id = e.dst group by e.src) t using (id)), "
-        "h{i} as (select id, cast(s * 1000000 // "
+        "h{i} as (select id, cast((s::hugeint * 1000000) // "
         "greatest((select max(s) from hr{i}), 1) as bigint) as hub "
         "from hr{i})"
     )
     d["link_hits"] = (
-        f"with {_lg_edges}, "
+        f"with {_LG_EDGES_SQL}, "
         "h0 as (select id, cast(1000000 as bigint) as hub from nodes), "
         + ", ".join(_hits_step.format(i=i, p=i - 1) for i in (1, 2))
         + " select h2.id as doc_id, h2.hub, a2.auth "
         "from h2 join a2 using (id)"
     )
     d["degree_stats"] = (
-        f"with {_lg_edges}, "
+        f"with {_LG_EDGES_SQL}, "
         "de as (select distinct src, dst from edges), "
         "outd as (select src as id, cast(count(*) as bigint) as out_deg "
         "from de group by src), "
@@ -3235,7 +3232,8 @@ def oracle_sql() -> dict[str, str]:
         "from documents) where len(w) > 0), "
         "w0 as materialized (select w, cast(count(*) as bigint) as freq "
         "from pw group by w), "
-        "s0 as materialized (select freq, array_to_string(list_transform("
+        "s0 as materialized (select w, freq, "
+        "array_to_string(list_transform("
         "range(1, len(w)+1), i -> substr(w, i, 1)), '  ') as seq from w0)"
     )
     _bpe_round = (
@@ -3247,8 +3245,14 @@ def oracle_sql() -> dict[str, str]:
         "b{i} as materialized (select a, b, cnt, a||b as merged, "
         "' '||a||'  '||b||' ' as pat, ' '||a||b||' ' as rep "
         "from p{i} order by cnt desc, a, b limit 1), "
-        "s{i} as materialized (select freq, trim(replace(' '||seq||' ', "
-        "(select pat from b{i}), (select rep from b{i}))) as seq "
+        # CASE guard: when training exhausts early b{i} is empty and the
+        # scalar subqueries are NULL — replace(seq, NULL, NULL) would
+        # NULL-poison every word; Spark's bpe_train breaks the loop
+        # instead, so an exhausted round must be a no-op here too
+        "s{i} as materialized (select w, freq, case when "
+        "(select pat from b{i}) is null then seq else "
+        "trim(replace(' '||seq||' ', "
+        "(select pat from b{i}), (select rep from b{i}))) end as seq "
         "from s{p})"
     )
     _bpe_ctes = f"{_bpe_words}, " + ", ".join(
@@ -3262,20 +3266,13 @@ def oracle_sql() -> dict[str, str]:
             for i in range(1, 9)
         )
     )
-    _bpe_seq = (
-        "array_to_string(list_transform(range(1, len(w)+1), "
-        "i -> substr(w, i, 1)), '  ')"
-    )
-    for i in range(1, 9):
-        _bpe_seq = (
-            f"trim(replace(' '||{_bpe_seq}||' ', "
-            f"(select pat from b{i}), (select rep from b{i})))"
-        )
+    # token counts read straight off the s8 chain (which carries each
+    # distinct word through all 8 guarded merge rounds) — no second
+    # replay of the merge application
     d["bpe_token_counts"] = (
         f"with {_bpe_ctes}, "
-        "dw as (select distinct w from pw), "
-        f"tk as (select w, cast(len(string_split({_bpe_seq}, '  ')) "
-        "as bigint) as n_toks from dw) "
+        "tk as (select w, cast(len(string_split(seq, '  ')) "
+        "as bigint) as n_toks from s8) "
         "select pw.doc_id, cast(sum(tk.n_toks) as bigint) "
         "as n_subword_tokens, cast(count(*) as bigint) as n_words "
         "from pw join tk using (w) group by pw.doc_id"
@@ -3785,15 +3782,7 @@ def _oracle_base() -> dict[str, str]:
             "as next_due_ms from s"
         ),
         "link_pagerank": (
-            "with nodes as (select cast(doc_id as bigint) as id "
-            "from documents), "
-            "cnt as (select count(*) as n from nodes), "
-            "e0 as (select id as src, k from nodes, "
-            "unnest(range(1 + id % 3)) as t(k)), "
-            "edges as (select src, "
-            "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
-            "||cast(k as varchar)),1,15) as bigint) "
-            "% (select n from cnt) as dst from e0), "
+            f"with {_LG_EDGES_SQL}, "
             "deg as (select src, count(*) as deg from edges group by src), "
             "r0 as (select id, cast(1000000 as bigint) as rank from nodes), "
             "c1 as (select e.dst as id, sum(r.rank // d.deg) as s "
@@ -3814,15 +3803,7 @@ def _oracle_base() -> dict[str, str]:
             "select id as doc_id, rank from r3"
         ),
         "anchor_text_agg": (
-            "with nodes as (select cast(doc_id as bigint) as id "
-            "from documents), "
-            "cnt as (select count(*) as n from nodes), "
-            "e0 as (select id as src, k from nodes, "
-            "unnest(range(1 + id % 3)) as t(k)), "
-            "edges as (select src, "
-            "cast('0x'||substr(md5('edge'||cast(src as varchar)||'-'"
-            "||cast(k as varchar)),1,15) as bigint) "
-            "% (select n from cnt) as dst from e0), "
+            f"with {_LG_EDGES_SQL}, "
             "ea as (select dst, 'a' || cast("
             "cast('0x'||substr(md5('anchor'||cast(src as varchar)||'-'"
             "||cast(dst as varchar)),1,15) as bigint) % 5 as varchar) "

@@ -33,9 +33,17 @@ Scale design (100 TB corpus, n_cells up to ~2^16):
 - empty cells deterministically KEEP their previous centroid (left
   join + coalesce) — the standard Lloyd fallback, never a
   data-dependent reseed;
-- each iteration's centroid relation is persisted and the previous
-  one released, so a 20-iteration run pins one n_cells-row relation,
-  not a 20-deep recompute chain.
+- each iteration's centroid relation is persisted (so lineage stays
+  one iteration deep, never a 20-deep recompute chain); a train call
+  pins at most ``iterations`` n_cells-row relations, all released at
+  the next train call via the module cache.
+
+Centroid init convention: the vectors whose ids are 0..n_cells-1 (the
+deterministic convention shared with the ``similarity`` ANN family and
+every oracle). An id space that does not contain 0..n_cells-1 must be
+densified first — ids above the range train fewer (or zero) centroids
+rather than erroring, the same contract as ``cosine_topk``'s
+``id < n_queries`` query selection.
 
 Distance is squared Euclidean (classic Lloyd objective); on the
 L2-normalized embeddings the ANN family consumes, L2 ordering and
@@ -243,7 +251,11 @@ def _pq_train(q: DataFrame, m: int, k: int, iterations: int) -> DataFrame:
     """Lloyd loop over all m subspaces at once, keyed (sub, cid):
     returns the trained (sub, cid, cv) codebook, persisted. Identical
     integer contract to :func:`_train` (micro-quantized inputs, exact
-    long squared-L2, toward-zero division, empty-entry keep)."""
+    long squared-L2, toward-zero division, empty-entry keep), and the
+    same bounded-cache discipline: the previous train call's pinned
+    relations are released on entry."""
+    while _ACTIVE_CENT_CACHE:
+        _ACTIVE_CENT_CACHE.pop().unpersist(blocking=False)
     sv = _sub_table(q, m)
     cents = sv.filter(F.col("vid") < k).select(
         "sub", F.col("vid").alias("cid"), F.col("sv").alias("cv")

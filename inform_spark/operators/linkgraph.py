@@ -315,9 +315,22 @@ def hits(
 
     Scale: per half-step, one shuffle (groupBy on the receiving side,
     map-side combine absorbing hub skew) plus a 1-row max aggregate
-    broadcast back — never a driver-side collect. Sums bound:
-    scale * max_degree = 1e6 * 1e8 << 2^63 even for a 10^8-degree
-    hub."""
+    broadcast back — never a driver-side collect. The raw sums are
+    bounded by scale * max_degree = 1e6 * 1e8 < 2^63 for a
+    10^8-degree hub, but the normalization numerator s * scale is NOT
+    (it overflows long past in-degree ~9.2e6), so it runs in
+    decimal(38,0) — 38 digits covers scale^2 * degree up to 10^26 —
+    and the quotient (<= scale by construction, since s <= m) casts
+    back to long exactly. DuckDB mirrors it with hugeint. Each
+    half-step's scores persist (released on the next hits/pagerank
+    call via the module cache) so the twice-referenced score relation
+    costs one bounded recompute, never a chain that deepens with
+    ``iterations``."""
+    while _ACTIVE_EDGE_CACHE:
+        _ACTIVE_EDGE_CACHE.pop().unpersist(blocking=False)
+    norm = F.expr(
+        f"cast((cast(s as decimal(38,0)) * {scale}) div m as long)"
+    )
     hubs = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
     auths = nodes.select("id", F.lit(scale).cast("long").alias("auth"))
     for _ in range(iterations):
@@ -332,9 +345,12 @@ def hits(
             .select(nodes["id"], F.coalesce("s", F.lit(0)).alias("s"))
         )
         amax = araw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
-        auths = araw.join(F.broadcast(amax)).select(
-            "id", F.expr(f"s * {scale} div m").cast("long").alias("auth")
+        auths = (
+            araw.join(F.broadcast(amax))
+            .select("id", norm.alias("auth"))
+            .persist()
         )
+        _ACTIVE_EDGE_CACHE.append(auths)
         hraw = (
             nodes.join(
                 edges.join(auths, edges["dst"] == auths["id"])
@@ -346,9 +362,12 @@ def hits(
             .select(nodes["id"], F.coalesce("s", F.lit(0)).alias("s"))
         )
         hmax = hraw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
-        hubs = hraw.join(F.broadcast(hmax)).select(
-            "id", F.expr(f"s * {scale} div m").cast("long").alias("hub")
+        hubs = (
+            hraw.join(F.broadcast(hmax))
+            .select("id", norm.alias("hub"))
+            .persist()
         )
+        _ACTIVE_EDGE_CACHE.append(hubs)
     return hubs.join(auths, "id").select("id", "hub", "auth")
 
 

@@ -147,3 +147,33 @@ def test_bpe_train_exhausts_gracefully(spark):
     and returns an empty merge table instead of raising."""
     df = spark.createDataFrame([(0, "a b c a")], SCHEMA)
     assert bpe_train(df, n_merges=3).count() == 0
+
+
+def test_exhausted_corpus_oracle_agrees(spark, tmp_path):
+    """The DuckDB replay of bpe_token_counts must match Spark on a
+    corpus that exhausts before 8 merges (empty b{i} rounds must be
+    no-ops, not NULL-poisoned replaces)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [(0, "ab ab c d"), (1, "c d c")]  # one learnable merge
+    df = spark.createDataFrame(rows, SCHEMA)
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{pq}/*.parquet'")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(entry.oracle_sql()["bpe_token_counts"]).fetchall()
+    }
+    merges = [
+        (r["round"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in bpe_train(df, n_merges=8).collect()
+    ]
+    assert len(merges) < 8  # genuinely exhausted
+    got = {
+        r["doc_id"]: (r["n_subword_tokens"], r["n_words"])
+        for r in bpe_segment(df, merges).collect()
+    }
+    assert got == oracle
