@@ -311,6 +311,36 @@ def pq_codes(
     the trained codebook AND every code assignment."""
     q = quantize_vectors(emb, id_col, vec_col)
     cents = _pq_train(q, m, k, iterations)
+    return encode_with_codebook(emb, cents, m, id_col, vec_col)
+
+
+def train_codebook(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained (sub, cid, cv) codebook relation itself — the small
+    broadcast dimension a production deployment trains ONCE on a seed
+    sample, freezes, and ships to every encoder (batch or streaming).
+    ``cv`` components are micro-unit longs."""
+    return _pq_train(quantize_vectors(emb, id_col, vec_col), m, k, iterations)
+
+
+def encode_with_codebook(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes, qerr) under a FROZEN (sub, cid, cv) codebook —
+    pure map-side work (broadcast codebook join + min(struct) argmin +
+    per-vid rollup), no training, so it drops into a streaming
+    foreachBatch unchanged."""
+    q = quantize_vectors(emb, id_col, vec_col)
     a = _pq_assign(_sub_table(q, m), cents)
     return a.groupBy("vid").agg(
         F.concat_ws(
