@@ -605,9 +605,14 @@ def run_crawl_ab(ref: str) -> dict:
 
         # co-tenant bursts on this shared box last minutes — comparable to
         # a whole leg — so interleaving alone can't cancel them; wait
-        # (bounded) for a quiet-ish box before each leg, like run_scaling
+        # (bounded) for a quiet-ish box before each leg, like run_scaling.
+        # The A/B runs LAST in the full bench, right after the scaling
+        # legs whose load takes 2-3 min to decay, so its bound is longer
+        # than run_scaling's 90 s (measured: 90 s was not enough — both
+        # current legs of a full-suite run started at loadavg 5.7-9.3
+        # and read 0.65 where the standalone quiet re-run read 1.02)
         quiet_load = float(os.environ.get("BENCH_SCALING_QUIET_LOAD", "4"))
-        quiet_wait_s = float(os.environ.get("BENCH_SCALING_QUIET_WAIT_S", "90"))
+        quiet_wait_s = float(os.environ.get("BENCH_AB_QUIET_WAIT_S", "300"))
         legs: dict[str, list[dict]] = {"current": [], "ref": []}
         for _rep in range(reps):
             # alternate leg order each rep: with a fixed order, decaying
