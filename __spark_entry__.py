@@ -1115,6 +1115,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF over TRAINED cells: the k-means centroids
+    (clustering.kmeans_centroids, 8 cells, 2 integer Lloyd rounds)
+    converted back to float units and dropped into the identical
+    ivf_topk assignment/probe/rank dataflow — the composition the
+    trainer exists for. The oracle is the ann_ivf_topk SQL with only
+    its centroid CTE swapped for the trained chain."""
+    from inform_spark.operators.clustering import (
+        centroids_as_float,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = centroids_as_float(kmeans_centroids(emb, n_cells=8, iterations=2))
+    return similarity.ivf_topk(emb, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Crawl engine itself (non-SQL-expressible: iterative self-referential
 # dataflow — strong oracle lives in tests/test_crawl_e2e.py vs the
@@ -1942,6 +1959,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "pq_rerank": q_pq_rerank,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3117,13 +3135,18 @@ def oracle_sql() -> dict[str, str]:
         "c{i} as (select c.cid, coalesce(n.ncv, c.cv) as cv "
         "from c{p} c left join nc{i} n using (cid))"
     )
-    d["kmeans_train"] = (
-        "with q as (select cast(vec_id as bigint) as vid, "
+    # the trained-centroid chain (c2 = the final centroid relation),
+    # shared by kmeans_train and the trained-IVF variant
+    _km_chain = (
+        "q as (select cast(vec_id as bigint) as vid, "
         "list_transform(embedding, x -> cast(round(cast(x as double) "
         "* 1000000) as bigint)) as qv from embeddings), "
         "c0 as (select vid as cid, qv as cv from q where vid < 8), "
         + ", ".join(_km_step.format(i=i, p=i - 1) for i in (1, 2))
-        + ", fs as (select vid, cid, d2, row_number() over "
+    )
+    d["kmeans_train"] = (
+        f"with {_km_chain}"
+        ", fs as (select vid, cid, d2, row_number() over "
         "(partition by vid order by d2, cid) as rn from "
         f"(select q.vid, c.cid, {_km_d2} as d2 from q cross join c2 c)), "
         "roll as (select cid, cast(count(*) as bigint) as n_assigned, "
@@ -3133,6 +3156,21 @@ def oracle_sql() -> dict[str, str]:
         "as n_assigned, cast(coalesce(r.inertia, 0) as bigint) as inertia, "
         "array_to_string(list_transform(c.cv, x -> cast(x as varchar)), "
         "',') as centroid from c2 c left join roll r using (cid)"
+    )
+    # trained-IVF: the ann_ivf_topk oracle with its first-8-vectors
+    # centroid CTE swapped for the TRAINED chain (centroids back in
+    # float units via exact double division of the micro-longs) — the
+    # scoring body is byte-identical by construction
+    _ivf_cents_cte = (
+        "with cents as (select vec_id as cid, embedding as cv "
+        "from embeddings where vec_id < 8)"
+    )
+    assert _ivf_cents_cte in d["ann_ivf_topk"]
+    d["ann_ivf_trained_topk"] = d["ann_ivf_topk"].replace(
+        _ivf_cents_cte,
+        f"with {_km_chain}, "
+        "cents as (select cid, list_transform(cv, "
+        "x -> cast(x as double) / 1000000) as cv from c2)",
     )
     # Product quantization: 2 unrolled Lloyd iterations over all 4
     # subspaces at once, keyed (sub, cid) — identical integer arithmetic

@@ -519,7 +519,12 @@ def run_ann_quality(spark) -> dict:
     from pyspark.sql import functions as F
 
     from inform_spark.operators import similarity
-    from inform_spark.operators.clustering import pq_adc_batch, pq_rerank_batch
+    from inform_spark.operators.clustering import (
+        centroids_as_float,
+        kmeans_centroids,
+        pq_adc_batch,
+        pq_rerank_batch,
+    )
 
     emb = spark.read.parquet(
         os.path.join(SF_DIR, "embeddings.parquet")
@@ -550,6 +555,18 @@ def run_ann_quality(spark) -> dict:
         "recall_ivf": recall(
             pairs(similarity.ivf_topk(emb, n_queries=nq, k=k),
                   "q", "neighbor")
+        ),
+        # IVF over TRAINED k-means cells (vs the first-8-vectors cells)
+        "recall_ivf_trained": recall(
+            pairs(
+                similarity.ivf_topk(
+                    emb, n_queries=nq, k=k,
+                    centroids=centroids_as_float(
+                        kmeans_centroids(emb, n_cells=8, iterations=2)
+                    ),
+                ),
+                "q", "neighbor",
+            )
         ),
         # coarse codebook (m=4 x k=8: 4096 distinct codes) — the oracle
         # query's setting; raw ADC recall is the compression floor

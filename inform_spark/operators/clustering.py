@@ -478,3 +478,28 @@ def pq_rerank_batch(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The raw trained (cid, cv) centroid relation, cv in micro-unit
+    longs — the broadcast dimension downstream cell families consume."""
+    return _train(quantize_vectors(emb, id_col, vec_col), n_cells, iterations)
+
+
+def centroids_as_float(cents: DataFrame) -> DataFrame:
+    """(cid, cv) with components back in float units (micro-longs /
+    1e6 as double — exact IEEE division of an integer < 2^53, so Spark
+    and DuckDB produce bit-identical doubles): the form float-space
+    consumers like ``similarity.ivf_topk(centroids=...)`` take."""
+    return cents.select(
+        "cid",
+        F.transform(
+            F.col("cv"), lambda x: x.cast("double") / F.lit(1000000.0)
+        ).alias("cv"),
+    )

@@ -153,6 +153,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the other classic
     ANN scale path next to LSH: the corpus is partitioned into ``n_cells``
@@ -160,19 +161,26 @@ def ivf_topk(
     ``n_probe`` closest cells, so candidate count is O(corpus·probe/cells)
     instead of O(corpus).
 
-    Centroids here are the first ``n_cells`` corpus vectors — a
-    deterministic stand-in for an offline k-means (at 100 TB you train
-    centroids on a sample once and broadcast them; the assignment /
-    probe / rank dataflow below is identical either way, and determinism
-    is what lets DuckDB oracle-check the whole path exactly).
+    Default centroids are the first ``n_cells`` corpus vectors — a
+    deterministic stand-in for an offline k-means. Pass ``centroids``
+    (a (cid, cv) relation, e.g. ``clustering.kmeans_centroids`` run
+    through ``centroids_as_float``) to use TRAINED cells instead —
+    at 100 TB you train on a sample once and broadcast; the assignment /
+    probe / rank dataflow is identical either way, and determinism is
+    what lets DuckDB oracle-check both paths exactly.
 
     Plan shape: centroids broadcast twice (corpus assignment + query
     probing — both map-side), candidates form via an equi-join on cell id,
     per-query ranking window. No all-pairs shuffle anywhere."""
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("ctn"),
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cid", "cv", _norm(F.col("cv")).alias("ctn")
+        )
+    else:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("ctn"),
+        )
     corpus = emb.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("nv"),
         _norm(F.col(vec_col)).alias("nn"),

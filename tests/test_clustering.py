@@ -189,3 +189,27 @@ def test_identical_vector_skew(spark):
            kmeans_train(df, n_cells=2, iterations=2).collect()}
     assert sum(out.values()) == n
     assert out[1] == n - 1  # the identical mass lands in one cell
+
+
+def test_trained_centroids_drop_into_ivf(spark):
+    """ivf_topk(centroids=...) with trained cells must produce the
+    same-shaped result as the default first-n-cells variant, and with
+    n_probe = n_cells (every cell probed) it must equal exact brute
+    force regardless of which centroids are used."""
+    from inform_spark.operators import similarity
+    from inform_spark.operators.clustering import (
+        centroids_as_float,
+        kmeans_centroids,
+    )
+
+    rows = _vecs()
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = centroids_as_float(kmeans_centroids(df, n_cells=2, iterations=2))
+    got = similarity.ivf_topk(
+        df, n_queries=4, k=3, n_probe=2, centroids=cents
+    ).collect()
+    brute = similarity.cosine_topk(df, n_queries=4, k=3).collect()
+    key = lambda r: (r["q"], r["rank"])
+    assert sorted(
+        (r["q"], r["rank"], r["neighbor"]) for r in got
+    ) == sorted((r["q"], r["rank"], r["neighbor"]) for r in brute)
