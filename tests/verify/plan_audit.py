@@ -341,6 +341,12 @@ AUDITS = {
         "require": ["TakeOrderedAndProject", "BroadcastExchange"],
         "forbid": ["CartesianProduct", "rangepartitioning"],
     },
+    # trained-IVF: the training chain + the IVF probe must both stay
+    # broadcast-shaped; the only windows are the bounded per-key ranks
+    "ann_ivf_trained_topk": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
