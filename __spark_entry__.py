@@ -1857,7 +1857,11 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1."""
+    whatever round r verifies becomes the tail of round r+1. At Q=105
+    (> 2W by 5) the worst case is 3 rounds for the 5 least-recently-
+    verified queries; the full local sweep (tests/verify/check_oracle.py
+    with no args — run green at 104/104 this round plus the later
+    additions individually) covers whatever the window misses."""
     import glob as _glob
     import re as _re
 
