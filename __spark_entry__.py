@@ -1841,6 +1841,32 @@ def q_pq_rerank(spark, sf_dir):
     ).select("vid", "d2", "rank")
 
 
+def q_graph_components(spark, sf_dir):
+    """Connected components of the (undirected) synthetic link graph
+    (operators/components.connected_components — hash-min label
+    propagation + pointer jumping): the shared primitive the
+    minhash-cluster / SemDeDup / incremental-dedup families all build
+    on, given its own driver row. Component = min reachable node id (a
+    canonical engine-independent representative), so the oracle needs
+    no iteration parity — DuckDB computes true min-reachable via a
+    recursive transitive closure and the converged Spark labels must
+    match exactly. Isolated nodes are their own component."""
+    from inform_spark.operators.components import connected_components
+    from inform_spark.operators.linkgraph import synthetic_edges
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    und = synthetic_edges(nodes).filter(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    comp = connected_components(und, "a", "b")
+    return nodes.join(comp, nodes["id"] == comp["v"], "left").select(
+        nodes["id"].alias("doc_id"),
+        F.coalesce("component", nodes["id"]).cast("long").alias("component"),
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1857,7 +1883,7 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=105
+    whatever round r verifies becomes the tail of round r+1. At Q=106
     (> 2W by 5) the worst case is 3 rounds for the 5 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
     with no args — run green at 104/104 this round plus the later
@@ -1964,6 +1990,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "pq_rerank": q_pq_rerank,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "graph_components": q_graph_components,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3095,6 +3122,20 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_hits_step.format(i=i, p=i - 1) for i in (1, 2))
         + " select h2.id as doc_id, h2.hub, a2.auth "
         "from h2 join a2 using (id)"
+    )
+    # connected components: the oracle computes TRUE min-reachable via a
+    # recursive transitive closure (no iteration-count parity needed —
+    # the Spark side converges to the same canonical min-id labels)
+    d["graph_components"] = (
+        f"with recursive {_LG_EDGES_SQL}, "
+        "und as (select src as a, dst as b from edges where src <> dst "
+        "union select dst as a, src as b from edges where src <> dst), "
+        "reach(v, m) as (select id, id from nodes union "
+        "select u.b, r.m from reach r join und u on u.a = r.v) "
+        "select n.id as doc_id, "
+        "cast(coalesce(c.component, n.id) as bigint) as component "
+        "from nodes n left join (select v, min(m) as component "
+        "from reach group by v) c on c.v = n.id"
     )
     d["degree_stats"] = (
         f"with {_LG_EDGES_SQL}, "

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "pq_codes",
     "pq_rerank",
+    "graph_components",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

@@ -347,6 +347,15 @@ AUDITS = {
         "require": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct"],
     },
+    # connected components: the propagation rounds run behind
+    # localCheckpoint (bounded-lineage by design), so the FINAL plan is
+    # the nodes⋈labels join — what the audit can see is that the join
+    # is equi-shaped and there's no window/cartesian over the graph
+    "graph_components": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["text", "source", "lang", "n_chars"],
+    },
 }
 
 
