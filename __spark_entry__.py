@@ -1867,6 +1867,21 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Exact per-language doc-length percentiles
+    (operators/stats.value_quantiles): nearest-rank quantiles computed
+    over the VALUE HISTOGRAM — one map-side-combined aggregation plus
+    a cumulative window bounded by distinct-value cardinality, never a
+    per-group total sort of the corpus. Integer selection
+    (100*cum >= p*n), so DuckDB agrees exactly where
+    approx_percentile/t-digest never would."""
+    from inform_spark.operators.stats import value_quantiles
+
+    return value_quantiles(
+        _docs(spark, sf_dir), value_col="n_chars", group_col="lang"
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1883,7 +1898,7 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=106
+    whatever round r verifies becomes the tail of round r+1. At Q=107
     (> 2W by 5) the worst case is 3 rounds for the 5 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
     with no args — run green at 104/104 this round plus the later
@@ -1991,6 +2006,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank": q_pq_rerank,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "graph_components": q_graph_components,
+        "doclen_quantiles": q_doclen_quantiles,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3122,6 +3138,26 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_hits_step.format(i=i, p=i - 1) for i in (1, 2))
         + " select h2.id as doc_id, h2.hub, a2.auth "
         "from h2 join a2 using (id)"
+    )
+    # exact nearest-rank quantiles over the value histogram — identical
+    # integer selection rule as operators/stats.value_quantiles
+    d["doclen_quantiles"] = (
+        "with hist as (select lang, n_chars, "
+        "cast(count(*) as bigint) as cnt from documents "
+        "where n_chars is not null group by lang, n_chars), "
+        "cum as (select lang, n_chars, cnt, "
+        "sum(cnt) over (partition by lang order by n_chars "
+        "rows between unbounded preceding and current row) as cum "
+        "from hist), "
+        "tot as (select lang, cast(sum(cnt) as bigint) as n "
+        "from hist group by lang) "
+        "select c.lang, cast(max(t.n) as bigint) as n_rows, "
+        + ", ".join(
+            f"cast(min(case when c.cum * 100 >= {p} * t.n "
+            f"then c.n_chars end) as bigint) as p{p}"
+            for p in (25, 50, 75, 90, 99)
+        )
+        + " from cum c join tot t using (lang) group by c.lang"
     )
     # connected components: the oracle computes TRUE min-reachable via a
     # recursive transitive closure (no iteration-count parity needed —

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pq_codes",
     "pq_rerank",
     "graph_components",
+    "doclen_quantiles",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

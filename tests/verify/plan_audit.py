@@ -347,6 +347,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct"],
     },
+    # exact quantiles: the histogram agg comes FIRST, so the window runs
+    # over distinct values, never the corpus; the scan must not read text
+    "doclen_quantiles": {
+        "require": ["HashAggregate", "Window"],
+        "forbid": ["CartesianProduct"],
+        "absent_in_readschema": ["text", "source"],
+    },
     # connected components: the propagation rounds run behind
     # localCheckpoint (bounded-lineage by design), so the FINAL plan is
     # the nodes⋈labels join — what the audit can see is that the join
