@@ -1882,6 +1882,22 @@ def q_doclen_quantiles(spark, sf_dir):
     )
 
 
+def q_cms_user_frequency(spark, sf_dir):
+    """Count-Min frequency estimation (Cormode & Muthukrishnan 2005;
+    operators/sketches.cms_frequencies, depth=4 x width=32) over event
+    user ids: every user's exact event count next to its sketch
+    estimate — width 32 under ~100+ users forces real collisions, so
+    the overestimate-only property is exercised, not vacuous. The
+    hot-key companion to hll_host_cardinality: same tiny mergeable
+    integer state (union + SUM), one map-side-combined groupBy to
+    build, broadcast probe to read."""
+    from inform_spark.operators.sketches import cms_frequencies
+
+    return cms_frequencies(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=32
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -1898,7 +1914,7 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=107
+    whatever round r verifies becomes the tail of round r+1. At Q=108
     (> 2W by 5) the worst case is 3 rounds for the 5 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
     with no args — run green at 104/104 this round plus the later
@@ -2007,6 +2023,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "graph_components": q_graph_components,
         "doclen_quantiles": q_doclen_quantiles,
+        "cms_user_frequency": q_cms_user_frequency,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3138,6 +3155,29 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_hits_step.format(i=i, p=i - 1) for i in (1, 2))
         + " select h2.id as doc_id, h2.hub, a2.auth "
         "from h2 join a2 using (id)"
+    )
+    # Count-Min sketch: salted 60-bit md5 hashes, integer counter sums,
+    # min over depth probes — identical arithmetic to sketches.cms_*
+    d["cms_user_frequency"] = (
+        "with ev as (select cast(user_id as varchar) as item "
+        "from events), "
+        "er as (select item, r from ev, unnest(range(4)) as t(r)), "
+        "counters as (select r, "
+        "cast('0x'||substr(md5('cms'||cast(r as varchar)||'|'||item),"
+        "1,15) as bigint) % 32 as c, "
+        "cast(count(*) as bigint) as cnt from er group by r, c), "
+        "items as (select distinct item from ev), "
+        "pr as (select i.item, t.r, "
+        "cast('0x'||substr(md5('cms'||cast(t.r as varchar)||'|'||i.item),"
+        "1,15) as bigint) % 32 as c "
+        "from items i, unnest(range(4)) as t(r)), "
+        "est as (select p.item, cast(min(coalesce(k.cnt, 0)) as bigint) "
+        "as cms_est from pr p left join counters k "
+        "on k.r = p.r and k.c = p.c group by p.item), "
+        "tr as (select item, cast(count(*) as bigint) as true_cnt "
+        "from ev group by item) "
+        "select tr.item, tr.true_cnt, est.cms_est "
+        "from tr join est using (item)"
     )
     # exact nearest-rank quantiles over the value histogram — identical
     # integer selection rule as operators/stats.value_quantiles

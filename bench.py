@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "pq_rerank",
     "graph_components",
     "doclen_quantiles",
+    "cms_user_frequency",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

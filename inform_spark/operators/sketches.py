@@ -201,3 +201,122 @@ def hll_cardinality(
     return exact.join(est, key_cols).select(
         *key_cols, "exact_distinct", "n_zero_registers", "sum_scaled", "est_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation (Cormode & Muthukrishnan
+# 2005), the heavy-hitter companion to the HLL above: HLL answers "how many
+# DISTINCT items", CMS answers "how often does item x occur" from the same
+# kind of tiny, mergeable, integer state. A crawler reads it for hot-host /
+# hot-template detection (the skew signal that triggers salting or budget
+# clamps) without keeping a counter per key — depth*width longs total,
+# regardless of key cardinality.
+#
+# Engine-exactness: everything is integer — the salted 60-bit md5 hash,
+# the modulo bucketing, the associative counter sums, and the min over
+# depth rows — so the sketch AND every estimate are partitioning/engine
+# independent. Overestimate-only by construction (collisions only ADD),
+# with error <= 2N/width at ~98% confidence for depth=4.
+#
+# Scale: the build is ONE groupBy over (row, col) keys — map-side combine
+# collapses each partition to <= depth*width rows before the shuffle, the
+# same shape as the HLL register build; shard merges are union + SUM
+# (a commutative monoid), never a rebuild.
+
+
+def cms_counters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(r, c, cnt): the depth x width counter matrix. Each item lands in
+    one column per row via a salted hash; absent (r, c) cells are
+    implicit zeros (the estimate side coalesces)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    return (
+        rows.select(
+            "r",
+            (
+                _h60(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                        F.lit("|"),
+                        F.col("item"),
+                    )
+                )
+                % width
+            ).alias("c"),
+            "w",
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """(item, cms_est): point estimates for the candidate items —
+    min over the depth probed counters. The counter table is tiny
+    (<= depth*width rows) and broadcasts; probing is map-side."""
+    probes = items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).distinct().select(
+        "item",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        "item",
+        "r",
+        (
+            _h60(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("item"),
+                )
+            )
+            % width
+        ).alias("c"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "c"], "left")
+        .select("item", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+
+
+def cms_frequencies(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """(item, true_cnt, cms_est): every distinct item's exact count next
+    to its sketch estimate — the verification shape (est >= true always;
+    equality when the item's columns are collision-free)."""
+    counters = cms_counters(df, item_col, depth, width)
+    true_cnt = (
+        df.select(F.col(item_col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = cms_estimate(counters, df.select(item_col), item_col, depth, width)
+    return true_cnt.join(est, "item").select("item", "true_cnt", "cms_est")

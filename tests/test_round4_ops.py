@@ -438,7 +438,7 @@ def test_verification_order_real_repo_state():
     import __spark_entry__ as e
 
     order = list(e.queries())
-    assert len(order) == len(set(order)) == 107
+    assert len(order) == len(set(order)) == 108
     r_all = set()
     import glob as g
     import json as j

@@ -203,3 +203,84 @@ def test_estimate_p_guard(spark, items):
     regs8 = hll_registers(items, "item", ["key"], p=8)
     with pytest.raises(SparkRuntimeException, match="larger p"):
         hll_estimate(regs8, ["key"], p=6).collect()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_rows(spark, rows):
+    return spark.createDataFrame(rows, "item string")
+
+
+def test_cms_overestimates_never_under(spark):
+    """est >= true for EVERY item, by construction (collisions only add).
+    width=8 under 40 distinct items guarantees real collisions."""
+    from inform_spark.operators.sketches import cms_frequencies
+
+    rows = [(f"k{i % 40}",) for i in range(400)]
+    out = cms_frequencies(
+        _cms_rows(spark, rows), "item", depth=4, width=8
+    ).collect()
+    assert len(out) == 40
+    assert all(r["cms_est"] >= r["true_cnt"] for r in out)
+    assert any(r["cms_est"] > r["true_cnt"] for r in out)  # collisions real
+
+
+def test_cms_exact_when_collision_free(spark):
+    """With width >> distinct items, every estimate is exact."""
+    from inform_spark.operators.sketches import cms_frequencies
+
+    rows = [(f"k{i % 5}",) for i in range(50)]
+    out = cms_frequencies(
+        _cms_rows(spark, rows), "item", depth=4, width=4096
+    ).collect()
+    assert all(r["cms_est"] == r["true_cnt"] == 10 for r in out)
+
+
+def test_cms_shard_merge_equals_whole_build(spark):
+    """Counters are a commutative monoid: building per shard and
+    SUM-merging must equal the whole-corpus build row-for-row."""
+    from inform_spark.operators.sketches import cms_counters
+
+    rows = [(f"k{i % 13}",) for i in range(130)]
+    whole = cms_counters(_cms_rows(spark, rows), "item", 4, 16)
+    a = cms_counters(_cms_rows(spark, rows[:70]), "item", 4, 16)
+    b = cms_counters(_cms_rows(spark, rows[70:]), "item", 4, 16)
+    merged = (
+        a.unionByName(b)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(tuple(x) for x in whole.collect()) == sorted(
+        tuple(x) for x in merged.collect()
+    )
+
+
+def test_cms_partitioning_invariant(spark):
+    from inform_spark.operators.sketches import cms_frequencies
+
+    rows = [(f"k{i % 21}",) for i in range(210)]
+    df = _cms_rows(spark, rows)
+    a = sorted(tuple(r) for r in cms_frequencies(df, "item", 4, 16).collect())
+    b = sorted(
+        tuple(r)
+        for r in cms_frequencies(df.repartition(9), "item", 4, 16).collect()
+    )
+    assert a == b
+
+
+def test_cms_error_bound(spark):
+    """Standard CMS guarantee: est - true <= 2N/width for all items with
+    probability ~1-(1/2)^depth; with depth=4 over this deterministic
+    hash family, assert the bound holds outright."""
+    from inform_spark.operators.sketches import cms_frequencies
+
+    n = 600
+    rows = [(f"k{i % 60}",) for i in range(n)]
+    out = cms_frequencies(
+        _cms_rows(spark, rows), "item", depth=4, width=32
+    ).collect()
+    bound = 2 * n / 32
+    assert all(r["cms_est"] - r["true_cnt"] <= bound for r in out)

@@ -347,6 +347,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct"],
     },
+    # CMS: counter build + probe are hash aggs; the counter table
+    # broadcasts into the probe; no window anywhere
+    "cms_user_frequency": {
+        "require": ["HashAggregate", "BroadcastExchange"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["props", "value", "event_type"],
+    },
     # exact quantiles: the histogram agg comes FIRST, so the window runs
     # over distinct values, never the corpus; the scan must not read text
     "doclen_quantiles": {
