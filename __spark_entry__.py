@@ -1898,6 +1898,61 @@ def q_cms_user_frequency(spark, sf_dir):
     )
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host/domain reputation gating (RefinedWeb §3.1 URL/host filtering
+    shape; operators/reputation.host_reputation): per-host rollup of
+    integer-exact doc quality (mean, low-quality fraction, distinct-text
+    ratio), host verdict fanned back to every document via a broadcast
+    dim join. The domain-level filter a 100 TB crawl applies BEFORE
+    per-document gates — #hosts << #docs, so blocking a spam host here
+    is the cheapest quality lever in the pipeline. The mean-quality bar
+    here (650) is calibrated to the synthetic corpus's own distribution
+    so BOTH verdict branches are exercised at sf0.01 (a few tail hosts
+    block); production would calibrate against a held-out audit set."""
+    from inform_spark.operators.reputation import host_reputation
+
+    return host_reputation(_docs(spark, sf_dir), min_mean_quality_milli=650)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-proportional weighted Bernoulli sampling
+    (operators/sampling.weighted_hash_sample composed over the
+    integer-exact quality_milli score): each doc's acceptance rate is
+    base_ppm * quality_milli / 1000, decided by the cross-engine
+    content hash — deterministic, partitioning-independent, monotone in
+    the base rate. The doc-granularity reweighting step of mixture
+    construction (DSIR/DoReMi shape)."""
+    from inform_spark.operators.reputation import quality_milli_col
+    from inform_spark.operators.sampling import weighted_hash_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        quality_milli_col(),
+    )
+    return weighted_hash_sample(
+        docs, "doc_id", "quality_milli", base_ppm=800_000, salt="r4"
+    )
+
+
+def q_tfidf_cosine_topk(spark, sf_dir):
+    """Top-20 doc pairs by tf-idf cosine as a sparse all-pairs
+    similarity join (Bayardo et al. WWW'07;
+    operators/invindex.tfidf_cosine_topk): floor-log2 fixed-point idf
+    makes every accumulation an exact long AND prunes stop-terms by
+    construction (df > N/2 => zero weight), so the self-join is bounded
+    by mid-frequency terms — the property that keeps all-pairs
+    similarity sub-quadratic at corpus scale. Composed AFTER exact
+    dedup (min-doc_id survivor per text, the dedup_exact rule) — the
+    production order: byte-identical copies would saturate any top-k at
+    cos 1.0, so similarity search always runs on the deduped corpus."""
+    from inform_spark.operators.invindex import tfidf_cosine_topk
+
+    docs = _docs(spark, sf_dir)
+    surv = docs.groupBy("text").agg(F.min(F.col("doc_id").cast("long")).alias("doc_id"))
+    return tfidf_cosine_topk(surv, topk=20)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2024,6 +2079,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "doclen_quantiles": q_doclen_quantiles,
         "cms_user_frequency": q_cms_user_frequency,
+        "host_reputation": q_host_reputation,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_cosine_topk": q_tfidf_cosine_topk,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3435,6 +3493,81 @@ def oracle_sql() -> dict[str, str]:
         "select pw.doc_id, cast(sum(tk.n_toks) as bigint) "
         "as n_subword_tokens, cast(count(*) as bigint) as n_words "
         "from pw join tk using (w) group by pw.doc_id"
+    )
+    # integer-exact doc quality (reputation.quality_milli_col): length
+    # credit + mean-word-length band + stopword credit, all bigint
+    _QM_SQL = (
+        "qb as (select cast(doc_id as bigint) as doc_id, source, text, "
+        "string_split(lower(text),' ') as words, "
+        "cast(length(text) as bigint) as n_chars from documents), "
+        "qm as (select doc_id, source, text, cast("
+        "least(500, len(words)*5) "
+        "+ (case when (n_chars - (len(words)-1)) "
+        "between 3*len(words) and 10*len(words) then 300 else 0 end) "
+        "+ least(200, (2000*len(list_filter(words, w -> "
+        "list_contains(['the','a','of','and','to'], w)))) // len(words)) "
+        "as bigint) as quality_milli from qb)"
+    )
+    d["host_reputation"] = (
+        f"with {_QM_SQL}, "
+        "th as (select doc_id, source, quality_milli, "
+        "cast('0x'||substr(md5(text),1,15) as bigint) as th from qm), "
+        "dim as (select source, cast(count(*) as bigint) as host_docs, "
+        "cast(sum(quality_milli) // count(*) as bigint) "
+        "as host_mean_quality_milli, "
+        "cast((sum(case when quality_milli < 300 then 1 else 0 end) "
+        "* 1000000) // count(*) as bigint) as host_low_frac_ppm, "
+        "cast((count(distinct th) * 1000000) // count(*) as bigint) "
+        "as host_distinct_ppm from th group by source), "
+        "dd as (select *, (host_mean_quality_milli < 650 "
+        "or host_low_frac_ppm > 600000 "
+        "or host_distinct_ppm < 500000) as host_blocked from dim) "
+        "select t.doc_id, t.source, t.quality_milli, d.host_docs, "
+        "d.host_mean_quality_milli, d.host_low_frac_ppm, "
+        "d.host_distinct_ppm, d.host_blocked, "
+        "not d.host_blocked as kept from th t join dd d using (source)"
+    )
+    d["weighted_sample"] = (
+        f"with {_QM_SQL}, "
+        "p as (select doc_id, source, quality_milli, "
+        "cast(greatest(0, least(1000000, "
+        "(800000 * quality_milli) // 1000)) as bigint) as p_micro "
+        "from qm) "
+        "select doc_id, source, quality_milli, p_micro, "
+        "(cast('0x'||substr(md5('wr4'||cast(doc_id as varchar)),1,15) "
+        "as bigint) % 1000000) < p_micro as accepted from p"
+    )
+    # sparse tf-idf all-pairs cosine: floor-log2 fixed-point idf (the
+    # shared printf('%b') idiom), exact-long dot/norms, one rounded
+    # double division per pair — mirrors invindex.tfidf_cosine_topk
+    d["tfidf_cosine_topk"] = (
+        "with surv as (select cast(min(doc_id) as bigint) as doc_id, "
+        "text from documents group by text), "
+        "dw as (select doc_id, string_split(lower(text),' ') as w "
+        "from surv), "
+        "sh as (select doc_id, array_to_string(w[i:i+2], ' ') as term "
+        "from dw, unnest(range(1, greatest(len(w)-2, 1)+1)) as t(i)), "
+        "tdf as (select doc_id, term, cast(count(*) as bigint) as tf "
+        "from sh where length(term) > 0 group by doc_id, term), "
+        "n as (select cast(count(distinct doc_id) as bigint) as nn "
+        "from surv), "
+        "idf as (select term, cast(length(printf('%b', "
+        "(nn*nn) // (df*df))) - 1 as bigint) as idf_bits from "
+        "(select term, cast(count(*) as bigint) as df from tdf "
+        "group by term), n), "
+        "wt as (select t.doc_id, t.term, t.tf * i.idf_bits as w "
+        "from tdf t join idf i using (term) where i.idf_bits >= 1), "
+        "norms as (select doc_id, cast(sum(w*w) as bigint) as n2 "
+        "from wt group by doc_id), "
+        "ex as (select wt.doc_id, wt.term, wt.w, norms.n2 "
+        "from wt join norms using (doc_id)), "
+        "pairs as (select l.doc_id as a, r.doc_id as b, "
+        "cast(sum(l.w * r.w) as bigint) as dot, "
+        "min(l.n2) as na2, min(r.n2) as nb2 "
+        "from ex l join ex r on l.term = r.term "
+        "and l.doc_id < r.doc_id group by l.doc_id, r.doc_id) "
+        "select a, b, dot, round(dot / sqrt(cast(na2 * nb2 as double)), "
+        "6) as cos6 from pairs order by cos6 desc, a, b limit 20"
     )
     return d
 

@@ -119,3 +119,101 @@ def inverted_postings(
         )
         .select("term", "df", "cf", dropped.alias("n_dropped_docs"), "postings")
     )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame, topk: int = 20, text_col: str = "text", w: int = 3
+) -> DataFrame:
+    """Top-k most similar document pairs by tf-idf cosine over w-word
+    shingle terms, computed as a sparse set-similarity join over the
+    inverted index (the Bayardo et al. WWW'07 all-pairs shape): explode
+    (term, doc, tf), weight by idf, equi-join on the term, and
+    accumulate the dot product per pair — a pair is materialized ONLY
+    if it shares a surviving term. Shingles (``w=3``) rather than
+    unigrams are the term unit for the same reason the minhash family
+    uses them: unigram df saturates (every doc contains "the"), while
+    shingle df spreads, which BOTH discriminates near-dups and keeps
+    the self-join sparse. ``w=1`` degrades to classic unigram tf-idf.
+
+    Fixed-point idf keeps every sum an exact long (engine- and
+    partition-order-independent, the repo's float-sum rule):
+    ``idf_hb = floor(2 * log2(N / df)) = floor_log2(N^2 div df^2)``
+    via the shared binary-string idiom (textops.floor_log2) — half-bit
+    log resolution in pure integer arithmetic (exact because
+    floor(log2(floor(y))) = floor(log2(y)) for y >= 1; N^2 stays in
+    int64 for corpora to ~3e9 docs — beyond that, compute in
+    decimal(38,0)). Per-term weight ``w = tf * idf_hb``. Terms with
+    ``df = 1`` cannot form a pair and terms with ``df > N/sqrt(2)``
+    have idf_hb = 0 (zero weight) — BOTH are pruned before the
+    self-join, which is what bounds it: the quadratic blowup of
+    stop-terms is eliminated by the weighting scheme itself rather
+    than by a tuning knob. Remaining work is sum(df^2) over
+    mid-frequency terms.
+
+    Only the final cosine divides: ``cos = dot / sqrt(na2 * nb2)`` with
+    exact-long inputs and one correctly-rounded double op per pair,
+    rounded to 6 — cross-engine identical. Deterministic tie-break
+    (cos desc, a, b); top-k is a TakeOrdered, never a global sort.
+
+    Returns ``(a, b, dot, cos6)``."""
+    words = words_col(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
+    )
+    tdf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(shingles).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.countDistinct(F.col("doc_id")).cast("long").alias("__n")
+    )
+    idf = (
+        tdf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.length(F.conv(F.expr("(__n * __n) div (df * df)"), 10, 2)) - 1)
+            .cast("long")
+            .alias("idf_bits"),
+        )
+        .filter(F.col("idf_bits") >= 1)
+    )
+    weighted = tdf.join(idf, "term").select(
+        "term",
+        "doc_id",
+        (F.col("tf") * F.col("idf_bits")).alias("w"),
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    ex = weighted.join(norms, "doc_id")
+    l, r = ex.alias("l"), ex.alias("r")
+    pairs = (
+        l.hint("shuffle_hash")
+        .join(r.hint("shuffle_hash"), "term")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(
+            F.sum(F.col("l.w") * F.col("r.w")).cast("long").alias("dot"),
+            # every row of a pair group carries the same norms: first() is exact
+            F.first("l.n2").alias("na2"),
+            F.first("r.n2").alias("nb2"),
+        )
+    )
+    scored = pairs.select(
+        "a",
+        "b",
+        "dot",
+        F.round(
+            F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+            6,
+        ).alias("cos6"),
+    )
+    return scored.orderBy(F.desc("cos6"), "a", "b").limit(topk)

@@ -149,6 +149,47 @@ def per_source_cap(
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_milli_col: str,
+    base_ppm: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sample — each row's acceptance rate is
+    its own weight times a base rate: ``p_micro = clamp(base_ppm *
+    weight_milli div 1000, 0, 1e6)``, accepted iff
+    ``H60('w' || salt || key) % 1e6 < p_micro``.
+
+    This is the quality-proportional upsampling step of mixture
+    construction (DSIR / DoReMi reweighting at document granularity —
+    Xie et al. 2023): a weight_milli of 1000 samples at the base rate,
+    2000 at double (capped at certainty), 0 never. Like every sampler
+    in this module the decision is keyed on the content hash, so it is
+    exact, reproducible, and identical under any partitioning or
+    engine; raising ``base_ppm`` only ever ADDS rows (monotone per
+    salt), which makes staged corpus growth lineage-stable.
+
+    Scale: completely narrow — integer arithmetic on two columns, no
+    shuffle, pushdown-friendly. Returns the input plus
+    ``(p_micro, accepted)`` — verdict columns, not a filter, so callers
+    can audit acceptance mass per stratum before dropping rows."""
+    p = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(_DENOM).cast("long"),
+            F.expr(f"({base_ppm} * {weight_milli_col}) div 1000"),
+        ),
+    )
+    bucket = F.pmod(
+        h60(F.concat(F.lit(f"w{salt}"), F.col(key_col).cast("string"))),
+        F.lit(_DENOM),
+    )
+    return df.withColumn("p_micro", p).withColumn(
+        "accepted", bucket < F.col("p_micro")
+    )
+
+
 def corpus_mix_sample(
     docs: DataFrame,
     weights: dict[str, int],

@@ -370,6 +370,29 @@ AUDITS = {
         "forbid": ["Window", "CartesianProduct"],
         "absent_in_readschema": ["text", "source", "lang", "n_chars"],
     },
+    # host reputation: ONE host rollup (map-side combined) fanned back
+    # with an explicit broadcast dim join — a SortMergeJoin here means
+    # the #hosts<<#docs design regressed to shuffling the corpus twice
+    "host_reputation": {
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # weighted sampling: strictly narrow integer arithmetic — any
+    # exchange means the hash-keyed decision regressed to a shuffle
+    "weighted_sample": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
+    # sparse tf-idf all-pairs: shuffled-hash self-join on the term with
+    # a TakeOrdered top-k — a global Sort or cartesian means the
+    # sparse-join design regressed to all-pairs scoring
+    "tfidf_cosine_topk": {
+        "require": ["ShuffledHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars", "source"],
+    },
 }
 
 
