@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "graph_components",
     "doclen_quantiles",
     "cms_user_frequency",
+    # round-4 fifth wave
+    "host_reputation",
+    "weighted_sample",
+    "tfidf_cosine_topk",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
