@@ -161,6 +161,13 @@ def tfidf_cosine_topk(
         F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
     )
+    # pin the postings: tdf feeds BOTH the idf aggregate and the weighted
+    # join, and weighted feeds the norms aggregate plus BOTH sides of the
+    # pair self-join — unpinned, the shingle explode + first groupBy
+    # lineage re-executes 4-6x (measured: 94 exchanges / 24 scans in the
+    # unpinned plan). localCheckpoint is the module family's pinning
+    # idiom (components.minhash_survivors); at 100 TB the production
+    # shape is materializing `weighted` to a term-bucketed table instead.
     tdf = (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -169,6 +176,7 @@ def tfidf_cosine_topk(
         .filter(F.length("term") > 0)
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     n_docs = docs.select(
         F.countDistinct(F.col("doc_id")).cast("long").alias("__n")
@@ -185,10 +193,14 @@ def tfidf_cosine_topk(
         )
         .filter(F.col("idf_bits") >= 1)
     )
-    weighted = tdf.join(idf, "term").select(
-        "term",
-        "doc_id",
-        (F.col("tf") * F.col("idf_bits")).alias("w"),
+    weighted = (
+        tdf.join(idf, "term")
+        .select(
+            "term",
+            "doc_id",
+            (F.col("tf") * F.col("idf_bits")).alias("w"),
+        )
+        .localCheckpoint()
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
