@@ -438,7 +438,10 @@ def test_verification_order_real_repo_state():
     import __spark_entry__ as e
 
     order = list(e.queries())
-    assert len(order) == len(set(order)) == 108
+    # registry size is not hardcoded (it grows every wave); the invariant
+    # is that the rotation is a permutation of the registry
+    assert len(order) == len(set(order)) == len(e._query_registry())
+    assert len(order) == len(e.oracle_sql())
     r_all = set()
     import glob as g
     import json as j
