@@ -3566,8 +3566,9 @@ def oracle_sql() -> dict[str, str]:
         "min(l.n2) as na2, min(r.n2) as nb2 "
         "from ex l join ex r on l.term = r.term "
         "and l.doc_id < r.doc_id group by l.doc_id, r.doc_id) "
-        "select a, b, dot, round(dot / sqrt(cast(na2 * nb2 as double)), "
-        "6) as cos6 from pairs order by cos6 desc, a, b limit 20"
+        "select a, b, dot, round(dot / sqrt(cast(na2 as double) * "
+        "cast(nb2 as double)), 6) as cos6 from pairs "
+        "order by cos6 desc, a, b limit 20"
     )
     return d
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import words_col
+from inform_spark.operators.textops import floor_log2, words_col
 
 
 def _term_doc_postings(docs: DataFrame, text_col: str) -> DataFrame:
@@ -187,9 +187,10 @@ def tfidf_cosine_topk(
         .join(F.broadcast(n_docs))
         .select(
             "term",
-            (F.length(F.conv(F.expr("(__n * __n) div (df * df)"), 10, 2)) - 1)
-            .cast("long")
-            .alias("idf_bits"),
+            "df",
+            floor_log2(F.expr("(__n * __n) div (df * df)")).alias(
+                "idf_bits"
+            ),
         )
         .filter(F.col("idf_bits") >= 1)
     )
@@ -198,6 +199,7 @@ def tfidf_cosine_topk(
         .select(
             "term",
             "doc_id",
+            "df",
             (F.col("tf") * F.col("idf_bits")).alias("w"),
         )
         .localCheckpoint()
@@ -205,7 +207,12 @@ def tfidf_cosine_topk(
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
-    ex = weighted.join(norms, "doc_id")
+    # norms cover EVERY surviving term (they are the vector length), but
+    # a df=1 term can only ever self-pair — prune it from BOTH join
+    # sides: at corpus scale most shingles are singletons, and shuffling
+    # them twice to discard every row at the l.doc_id < r.doc_id filter
+    # would dominate the join input for zero output
+    ex = weighted.filter(F.col("df") >= 2).drop("df").join(norms, "doc_id")
     l, r = ex.alias("l"), ex.alias("r")
     pairs = (
         l.hint("shuffle_hash")
@@ -223,8 +230,15 @@ def tfidf_cosine_topk(
         "a",
         "b",
         "dot",
+        # cast EACH norm to double before multiplying: the int64 product
+        # na2*nb2 wraps once each norm passes ~3e9 (long documents),
+        # turning sqrt into NaN which would float to the top-k; the
+        # double product is the same correctly-rounded op in DuckDB
         F.round(
-            F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+            F.col("dot")
+            / F.sqrt(
+                F.col("na2").cast("double") * F.col("nb2").cast("double")
+            ),
             6,
         ).alias("cos6"),
     )

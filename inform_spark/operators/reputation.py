@@ -57,10 +57,15 @@ def quality_milli_col(text_col: str = "text") -> Column:
         (n_chars_nosp >= 3 * n_words) & (n_chars_nosp <= 10 * n_words),
         F.lit(300),
     ).otherwise(F.lit(0)).cast("long")
+    # floor((2000*n_stops)/n_words) is exact here: the double division's
+    # rounding error can only cross an integer boundary when
+    # n_words * quotient approaches 2^53, and quotient <= 2000 with
+    # realistic n_words keeps the product far below it — matching the
+    # DuckDB oracle's integer `//` bit-for-bit
     stop_credit = F.least(
         F.lit(200).cast("long"),
-        (2000 * n_stops - F.pmod(2000 * n_stops, n_words)) / n_words,
-    ).cast("long")
+        F.floor((2000 * n_stops) / n_words).cast("long"),
+    )
     return (length_credit + mwl_credit + stop_credit).alias("quality_milli")
 
 

@@ -115,16 +115,25 @@ def process_batch(
         .collect()[0]["oov_bits"]
     )
 
-    # at-least-once sources can repeat a doc inside one micro-batch;
-    # without this the four gate frames inner-join into a row cross
-    # product per duplicated id
+    # at-least-once sources can repeat a doc inside one micro-batch —
+    # possibly with DIFFERENT payloads; without collapsing, the four
+    # gate frames inner-join into a row cross product per duplicated
+    # id. The survivor must be DETERMINISTIC (min by (text[, source])):
+    # dropDuplicates picks by partition order, so a replayed batch
+    # could gate/hash a different payload than the original attempt and
+    # append a second text_hash for the same doc to the index
+    payload = ["text"] + (
+        ["source"] if "source" in batch_df.columns else []
+    )
     d = (
         batch_df.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "text",
-            *(["source"] if "source" in batch_df.columns else []),
+            F.col("doc_id").cast("long").alias("doc_id"), *payload
         )
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.min(F.struct(*payload)).alias("__s"))
+        .select(
+            "doc_id", *[F.col(f"__s.{c}").alias(c) for c in payload]
+        )
         .persist()
     )
 

@@ -81,6 +81,11 @@ def process_batch(
     pairs_dir = os.path.join(state_dir, "pairs")
     stats_dir = os.path.join(state_dir, "stats")
 
+    # at-least-once sources can repeat a doc_id inside one micro-batch,
+    # possibly with DIFFERENT payloads; the survivor must be
+    # DETERMINISTIC (min by (text_hash, source)) — dropDuplicates picks
+    # by partition order, which would let a replay rebuild different
+    # pairs/stats rows and corrupt the accreting state
     d = (
         batch_df.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -88,7 +93,18 @@ def process_batch(
             quality_milli_col(),
             _h60(F.col("text")).alias("text_hash"),
         )
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct("text_hash", "source", "quality_milli")
+            ).alias("__s")
+        )
+        .select(
+            "doc_id",
+            F.col("__s.source").alias("source"),
+            F.col("__s.quality_milli").alias("quality_milli"),
+            F.col("__s.text_hash").alias("text_hash"),
+        )
         .persist()
     )
 

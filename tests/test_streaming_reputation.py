@@ -97,6 +97,44 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert pairs.count() == pairs.dropDuplicates(["source", "text_hash"]).count()
 
 
+def test_duplicate_ids_with_different_payloads_are_deterministic(
+    spark, tmp_path
+):
+    """An at-least-once source can deliver the same doc_id twice with
+    DIFFERENT payloads in one batch; the survivor must be deterministic
+    (min by (text_hash, source)) or a replay could rebuild different
+    pairs/stats rows than the original attempt."""
+    from inform_spark.operators.textops import _h60
+
+    tmp = str(tmp_path)
+    texts = [GOOD + " variant alpha", GOOD + " variant beta"]
+    rows = [
+        (7, "dup.example", texts[0]),
+        (7, "dup.example", texts[1]),
+    ]
+    # which text wins under the contract? the one with the smaller H60
+    want_hash = min(
+        r["h"]
+        for r in spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(_h60(F.col("text")).alias("h"))
+        .collect()
+    )
+    for attempt in range(2):
+        state = os.path.join(tmp, f"st{attempt}")
+        verdicts = os.path.join(tmp, f"v{attempt}")
+        init_state(spark, state)
+        # vary partitioning between attempts — the survivor must not
+        # depend on partition order (dropDuplicates would)
+        df = spark.createDataFrame(rows, SCHEMA).repartition(
+            1 if attempt == 0 else 7
+        )
+        process_batch(df, 0, state, verdicts)
+        pairs = spark.read.parquet(os.path.join(state, "pairs")).collect()
+        assert len(pairs) == 1 and pairs[0]["text_hash"] == want_hash
+        got = _read_verdicts(spark, verdicts).collect()
+        assert len(got) == 1 and got[0]["host_docs"] == 1
+
+
 def test_streaming_query_end_to_end(spark, tmp_path):
     tmp = str(tmp_path)
     state, verdicts = os.path.join(tmp, "st"), os.path.join(tmp, "v")
