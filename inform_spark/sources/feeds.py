@@ -677,8 +677,27 @@ def render_items(items_df: DataFrame) -> DataFrame:
 
 def dedup_items(items_df: DataFrame, seen_ids_df: DataFrame | None = None) -> DataFrame:
     """S10 feed dedup sink: drop in-batch dupes, anti-join already-written
-    ids (src/sources/write.js:155-177)."""
-    out = items_df.dropDuplicates(["id"])
+    ids (src/sources/write.js:155-177). The in-batch survivor is
+    DETERMINISTIC — min by the full remaining payload struct — where
+    dropDuplicates would keep an arbitrary partition's row: a feed that
+    repeats an id with identical payloads (the overwhelmingly common
+    case) is unaffected, and differing payloads get a stable pick
+    instead of a partitioning-dependent one (the reference keeps the
+    first occurrence in feed order, which the exploded item rows no
+    longer carry)."""
+    from pyspark.sql import functions as F
+
+    rest = [c for c in items_df.columns if c != "id"]
+    out = (
+        items_df.groupBy("id")
+        .agg(F.min(F.struct(*rest)).alias("__s"))
+        .select(
+            *[
+                F.col("id") if c == "id" else F.col(f"__s.{c}").alias(c)
+                for c in items_df.columns
+            ]
+        )
+    )
     if seen_ids_df is not None:
         out = out.join(seen_ids_df.select("id"), "id", "left_anti")
     return out
