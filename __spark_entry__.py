@@ -2788,7 +2788,7 @@ def _url_canon_sql() -> str:
         "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) as host0, "
         "regexp_extract(url, "
         "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path0, "
-        "regexp_extract(url, '\\?([^#]*)', 1) as q from ev), "
+        "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) as q from ev), "
         "y as (select url, scheme, "
         "case when scheme = 'http' and host0 like '%:80' "
         "then substr(host0, 1, length(host0)-3) "
@@ -2906,7 +2906,7 @@ def oracle_sql() -> dict[str, str]:
     )
     d["domain_crawl_budget"] = (
         "with s as (select source, md5(text) as h, "
-        "cast(len(string_split(lower(text), ' ')) as bigint) as tok "
+        "cast(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) as bigint) as tok "
         "from documents), "
         "g as (select source, cast(count(*) as bigint) as n_docs, "
         "cast(count(distinct h) as bigint) as n_unique_docs, "
@@ -2938,7 +2938,7 @@ def oracle_sql() -> dict[str, str]:
     _wm_rows = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
     d["corpus_mix_sample"] = (
         "with b as (select cast(doc_id as bigint) as doc_id, source, "
-        "cast(len(string_split(lower(text), ' ')) as bigint) as n_tokens "
+        "cast(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) as bigint) as n_tokens "
         "from documents), "
         f"wm(source, w) as (values {_wm_rows}), "
         "ps as (select source, cast(sum(n_tokens) as bigint) as tokens_s, "

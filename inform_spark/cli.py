@@ -307,8 +307,16 @@ def run_git(args, opts, spark) -> int:
 
     files.foreachPartition(write_partition)
     s = eng.summary
-    s.files_failed = files.filter("fetch_failed").count()
-    s.files_downloaded = files.count() - s.files_failed
+    # one aggregation job over the persisted relation instead of two
+    # separate count() scans
+    from pyspark.sql import functions as F
+
+    counts = files.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fetch_failed").cast("long")).alias("nf"),
+    ).collect()[0]
+    s.files_failed = int(counts["nf"] or 0)
+    s.files_downloaded = int(counts["n"]) - s.files_failed
     files.unpersist()
     if not args.quiet:
         print(f"Download complete: {s.files_downloaded} files, "

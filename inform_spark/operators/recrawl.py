@@ -137,7 +137,14 @@ def domain_crawl_budget(
         docs.select(
             F.col(source_col).alias("source"),
             F.md5("text").alias("__h"),
-            F.size(F.split(F.lower("text"), " ")).cast("long").alias("__tok"),
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), " "),
+                    lambda w: F.length(w) > 0,
+                )
+            ).cast("long").alias("__tok"),  # empty tokens excluded — the
+            # shared words_col + non-empty idiom, so n_tokens agrees with
+            # publish_manifest / bigram_surprisal over the same corpus
         )
         .groupBy("source")
         .agg(

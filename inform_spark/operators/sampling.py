@@ -228,9 +228,14 @@ def corpus_mix_sample(
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(source_col).alias("source"),
-        F.size(F.split(F.lower(F.col(text_col)), " "))
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda w: F.length(w) > 0,
+            )
+        )
         .cast("long")
-        .alias("n_tokens"),
+        .alias("n_tokens"),  # empty tokens excluded (shared idiom)
     ).withColumn("w", wmap[F.col("source")].cast("long"))
     per_source = base.filter(F.col("w").isNotNull()).groupBy("source").agg(
         F.sum("n_tokens").alias("tokens_s"), F.first("w").alias("w_s")

@@ -198,8 +198,22 @@ def hll_cardinality(
     exact = df.groupBy(*key_cols).agg(
         F.countDistinct(item_col).alias("exact_distinct")
     )
-    return exact.join(est, key_cols).select(
-        *key_cols, "exact_distinct", "n_zero_registers", "sum_scaled", "est_milli"
+    # LEFT join: a key whose items are all NULL has no registers (the
+    # build drops NULLs) but countDistinct reports 0 for it — an inner
+    # join would silently drop the key from the output. Fill with what
+    # an empty register table means: every register zero, est 0.
+    m = 1 << p
+    sh = 61 - p
+    return exact.join(est, key_cols, "left").select(
+        *key_cols,
+        "exact_distinct",
+        F.coalesce("n_zero_registers", F.lit(m).cast("long")).alias(
+            "n_zero_registers"
+        ),
+        F.coalesce("sum_scaled", F.lit(m * (1 << sh)).cast("long")).alias(
+            "sum_scaled"
+        ),
+        F.coalesce("est_milli", F.lit(0).cast("long")).alias("est_milli"),
     )
 
 
@@ -239,7 +253,10 @@ def cms_counters(
         if weight_col
         else F.lit(1).cast("long")
     )
-    rows = df.select(
+    # NULL means "no item observed" (the HLL build's rule): a NULL item
+    # would hash to a NULL cell that no probe's null-unsafe join could
+    # ever read back — count it nowhere rather than into a ghost cell
+    rows = df.filter(F.col(item_col).isNotNull()).select(
         F.col(item_col).cast("string").alias("item"),
         w.alias("w"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
@@ -275,7 +292,7 @@ def cms_estimate(
     """(item, cms_est): point estimates for the candidate items —
     min over the depth probed counters. The counter table is tiny
     (<= depth*width rows) and broadcasts; probing is map-side."""
-    probes = items.select(
+    probes = items.filter(F.col(item_col).isNotNull()).select(
         F.col(item_col).cast("string").alias("item")
     ).distinct().select(
         "item",
@@ -309,12 +326,16 @@ def cms_frequencies(
     depth: int = 4,
     width: int = 64,
 ) -> DataFrame:
-    """(item, true_cnt, cms_est): every distinct item's exact count next
-    to its sketch estimate — the verification shape (est >= true always;
-    equality when the item's columns are collision-free)."""
+    """(item, true_cnt, cms_est): every distinct NON-NULL item's exact
+    count next to its sketch estimate — the verification shape (est >=
+    true always; equality when the item's columns are collision-free).
+    NULL rows are not items (the sketch family's shared rule): they are
+    excluded from the sketch, the probes, and this exact side alike, so
+    the invariant holds over exactly the counted universe."""
     counters = cms_counters(df, item_col, depth, width)
     true_cnt = (
-        df.select(F.col(item_col).cast("string").alias("item"))
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).cast("string").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
     )

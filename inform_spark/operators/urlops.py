@@ -47,7 +47,10 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the '?' must precede any '#': a bare '\?' would match a '?' inside
+    # the fragment ('…/p#a?b=1') and leak fragment content into the
+    # canonical query instead of dropping it
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     # prefix match covers both 'utm_x=1' and bare 'gclid'
     keep = F.filter(
         F.split(query, "&"),

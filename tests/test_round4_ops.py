@@ -171,6 +171,10 @@ def test_url_canonical_rules_exact(spark):
         ("http://h.test/p?utm_source=a&utm_medium=b", "http://h.test/p"),
         ("http://h.test:8080/p", "http://h.test:8080/p"),  # non-default kept
         ("http://h.test/p//", "http://h.test/p"),
+        # a '?' INSIDE the fragment is not a query — fragment content
+        # must not leak into the canonical form (SPA-style '#/route?x=1')
+        ("http://h.test/p#a?b=1", "http://h.test/p"),
+        ("http://h.test/p?a=1#frag?b=2", "http://h.test/p?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {

@@ -284,3 +284,22 @@ def test_cms_error_bound(spark):
     ).collect()
     bound = 2 * n / 32
     assert all(r["cms_est"] - r["true_cnt"] <= bound for r in out)
+
+
+def test_cms_and_hll_null_items_are_not_items(spark):
+    """NULL means 'no item observed' — excluded from sketch, probes, and
+    the exact side alike; an all-NULL key still appears in the HLL
+    verification output with exact_distinct=0 / est 0 instead of being
+    dropped by a null-unsafe inner join."""
+    from inform_spark.operators.sketches import cms_frequencies, hll_cardinality
+
+    rows = [("h1", "a"), ("h1", None), ("h2", None), ("h2", None)]
+    df = spark.createDataFrame(rows, "host string, item string")
+    out = {r["host"]: r for r in hll_cardinality(df, "item", ["host"]).collect()}
+    assert set(out) == {"h1", "h2"}
+    assert out["h2"]["exact_distinct"] == 0 and out["h2"]["est_milli"] == 0
+    assert out["h1"]["exact_distinct"] == 1
+
+    cms = cms_frequencies(df, "item").collect()
+    assert {r["item"] for r in cms} == {"a"}
+    assert all(r["cms_est"] >= r["true_cnt"] for r in cms)
