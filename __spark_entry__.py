@@ -1953,11 +1953,88 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     return tfidf_cosine_topk(surv, topk=20)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking redundancy stats (operators/chunking
+    .cdc_chunks; LBFS/FastCDC family): rolling-window boundary rule over
+    the token stream, chunk hashes counted corpus-wide, per-doc
+    duplicate-chunk token fractions. The storage/delta-dedup layer
+    between exact doc dedup and exact_substring_dedup's span surgery —
+    measures what a content-addressed store saves on re-crawls and
+    mirrors. Tiny w/divisor so ~30-token synthetic docs chunk; the
+    boundary/hash/count dataflow is scale-real (in-row HOFs, one
+    chunk-hash shuffle)."""
+    from inform_spark.operators.chunking import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), w=4, divisor=8)
+
+
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.soft404_detect; Bar-Yossef
+    et al. WWW'04): status-200 pages flagged by (a) an error-phrase
+    regexp, in-row, and (b) the per-host identical-content-template
+    signal — many distinct URLs on one host serving one content hash.
+    Pages synthesized from events: 20 hosts, ~1/13 of URLs serve a
+    shared per-host "not found" template (both signals), another ~1/13
+    a wording-free maintenance template (template signal only), another
+    ~1/13 a unique "does not exist" body (phrase signal only), and
+    1/17 carry real 404 statuses that must NOT be flagged."""
+    from inform_spark.operators.soft404 import soft404_detect
+
+    ev = _t(spark, sf_dir, "events")
+    host = (F.col("user_id") % 20).cast("string")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"), host, F.lit(".test/"), F.col("event_type"),
+            F.lit("/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("event_id") % 17 == 0, 404).otherwise(200).alias("status"),
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.concat(F.lit("error page not found on h"), host),
+        )
+        .when(
+            F.col("event_id") % 13 == 7,
+            F.concat(F.lit("maintenance window h"), host, F.lit(" please retry")),
+        )
+        .when(
+            F.col("event_id") % 13 == 3,
+            F.concat(
+                F.lit("post "), F.col("event_id").cast("string"),
+                F.lit(" does not exist anymore"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("content "), F.col("event_id").cast("string"), F.lit(" "),
+                F.col("event_type"), F.lit(" on h"), host,
+            )
+        )
+        .alias("text"),
+    )
+    return soft404_detect(pages, min_template_urls=5)
+
+
+def q_curriculum_shards(spark, sf_dir):
+    """Curriculum sharding (operators/curriculum.curriculum_shards;
+    Bengio et al. ICML'09): corpus ordered by integer-exact
+    quality_milli and cut into 8 contiguous shards via the distributed
+    rank kernel — the scale-safe replacement for the global-window
+    NTILE a naive implementation would use. Shard formula
+    (rank-1)*n div total is an exact closed form, reproducible in any
+    engine."""
+    from inform_spark.operators.curriculum import curriculum_shards
+
+    return curriculum_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
     "badword_filter",     # word-only gate without a source column
     "curation_verdicts",  # composes badword_filter
+    "cdc_chunks",         # new this round
+    "soft404_detect",     # new this round
+    "curriculum_shards",  # new this round
 ]
 
 
@@ -2082,6 +2159,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "weighted_sample": q_weighted_sample,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
+        "cdc_chunks": q_cdc_chunks,
+        "soft404_detect": q_soft404_detect,
+        "curriculum_shards": q_curriculum_shards,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3569,6 +3649,67 @@ def oracle_sql() -> dict[str, str]:
         "select a, b, dot, round(dot / sqrt(cast(na2 as double) * "
         "cast(nb2 as double)), 6) as cos6 from pairs "
         "order by cos6 desc, a, b limit 20"
+    )
+    d["cdc_chunks"] = (
+        "with t as (select cast(doc_id as bigint) as doc_id, "
+        "string_split(lower(text),' ') as toks, "
+        "len(string_split(lower(text),' ')) as n from documents), "
+        "e as (select doc_id, toks, n, [j+3 for j in "
+        "generate_series(0, n-4) if cast('0x'||substr(md5("
+        "array_to_string(toks[j+1:j+4],' ')),1,15) as bigint) % 8 = 0] "
+        "as ends from t), "
+        "ef as (select doc_id, toks, n, case when len(ends)=0 or "
+        "ends[len(ends)] <> n-1 then list_append(ends, n-1) else ends "
+        "end as ends from e), "
+        "ch as (select doc_id, [{'h': cast('0x'||substr(md5("
+        "array_to_string(toks[(case when i=1 then -1 else ends[i-1] "
+        "end)+2 : ends[i]+1],' ')),1,15) as bigint), "
+        "'tk': cast(ends[i]-(case when i=1 then -1 else ends[i-1] end) "
+        "as bigint)} for i in generate_series(1,len(ends))] as cs "
+        "from ef), "
+        "cx as (select doc_id, unnest(cs, recursive:=true) from ch), "
+        "occ as (select h, count(*) as n_occ from cx group by h) "
+        "select doc_id, cast(count(*) as bigint) as n_chunks, "
+        "cast(sum(case when n_occ>=2 then 1 else 0 end) as bigint) "
+        "as n_dup_chunks, "
+        "cast(sum(case when n_occ>=2 then tk else 0 end) as bigint) "
+        "as dup_tokens, cast(sum(tk) as bigint) as n_tokens "
+        "from cx join occ using (h) group by doc_id"
+    )
+    d["soft404_detect"] = (
+        "with p as (select 'https://h' || (user_id % 20) || '.test/' "
+        "|| event_type || '/' || event_id as url, "
+        "cast(case when event_id % 17 = 0 then 404 else 200 end as int) "
+        "as status, "
+        "case when event_id % 13 = 0 then 'error page not found on h' "
+        "|| (user_id % 20) "
+        "when event_id % 13 = 7 then 'maintenance window h' "
+        "|| (user_id % 20) || ' please retry' "
+        "when event_id % 13 = 3 then 'post ' || event_id "
+        "|| ' does not exist anymore' "
+        "else 'content ' || event_id || ' ' || event_type || ' on h' "
+        "|| (user_id % 20) end as text from events), "
+        "b as (select url, status, "
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) as host, "
+        "cast('0x'||substr(md5(text),1,15) as bigint) as fp, "
+        "regexp_matches(lower(text), '(page not found|404 error"
+        "|does not exist|no longer available|temporarily unavailable)') "
+        "as phrase_hit from p), "
+        "tpl as (select host, fp from b where status = 200 "
+        "group by host, fp having count(*) >= 5) "
+        "select b.url, b.status, b.phrase_hit, "
+        "(tpl.host is not null) as template_hit, "
+        "(b.status = 200 and (b.phrase_hit or tpl.host is not null)) "
+        "as is_soft404 "
+        "from b left join tpl on b.host = tpl.host and b.fp = tpl.fp"
+    )
+    d["curriculum_shards"] = (
+        f"with {_QM_SQL}, "
+        "r as (select doc_id, quality_milli, "
+        "row_number() over (order by quality_milli, doc_id) as rank, "
+        "count(*) over () as total from qm) "
+        "select doc_id, quality_milli, cast(rank as bigint) as rank, "
+        "cast((rank-1)*8 // total as bigint) as shard from r"
     )
     return d
 

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "host_reputation",
     "weighted_sample",
     "tfidf_cosine_topk",
+    # round-4 sixth wave
+    "cdc_chunks",
+    "soft404_detect",
+    "curriculum_shards",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

@@ -1,0 +1,203 @@
+"""Round-4 additions: content-defined chunking, soft-404 detection,
+curriculum sharding — each checked against an independent sequential
+Python reference plus its characteristic structural property."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks
+# ---------------------------------------------------------------------------
+
+
+def _chunks_py(text: str, w: int, divisor: int):
+    """Sequential reference: (hash, n_tokens) per chunk."""
+    toks = text.lower().split(" ")
+    n = len(toks)
+    ends = [
+        j + w - 1
+        for j in range(0, n - w + 1)
+        if _h60(" ".join(toks[j : j + w])) % divisor == 0
+    ]
+    if not ends or ends[-1] != n - 1:
+        ends.append(n - 1)
+    out, prev = [], -1
+    for e in ends:
+        chunk = " ".join(toks[prev + 1 : e + 1])
+        out.append((_h60(chunk), e - prev))
+        prev = e
+    return out
+
+
+_DOCS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "spark rows keys tables spark rows keys tables spark rows keys tables",
+    "one",
+    "",
+]
+
+
+def _spark_chunks(spark, texts, w, divisor):
+    from inform_spark.operators.chunking import chunk_structs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", chunk_structs("text", w, divisor).alias("cs")
+    ).collect()
+    return {r["doc_id"]: [(c["h"], c["tk"]) for c in r["cs"]] for r in rows}
+
+
+def test_cdc_chunk_structs_match_sequential_reference(spark):
+    got = _spark_chunks(spark, _DOCS, w=3, divisor=4)
+    for i, t in enumerate(_DOCS):
+        assert got[i] == _chunks_py(t, 3, 4), (i, t)
+
+
+def test_cdc_chunks_cover_every_token_exactly_once(spark):
+    got = _spark_chunks(spark, _DOCS, w=3, divisor=4)
+    for i, t in enumerate(_DOCS):
+        assert sum(tk for _, tk in got[i]) == len(t.lower().split(" "))
+
+
+def test_cdc_boundaries_are_content_defined_not_offset_defined(spark):
+    # Prepending tokens must leave the chunk sequence AFTER the first
+    # shared boundary untouched — the property fixed-size blocking lacks.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    shifted = "XX YY " + base
+    got = _spark_chunks(spark, [base.strip(), shifted.strip()], w=3, divisor=4)
+    a, b = got[0], got[1]
+    # compare hash sequences from the end: the whole tail must agree
+    tail = 0
+    while tail < min(len(a), len(b)) and a[-1 - tail][0] == b[-1 - tail][0]:
+        tail += 1
+    assert tail >= max(len(a), len(b)) - 3, (len(a), len(b), tail)
+
+
+def test_cdc_dup_accounting_counts_both_copies(spark):
+    from inform_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(0, _DOCS[0]), (1, _DOCS[0]), (2, _DOCS[1])],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in cdc_chunks(df, w=3, divisor=4).collect()}
+    # identical docs: every chunk duplicated, in BOTH copies
+    for i in (0, 1):
+        assert out[i]["n_dup_chunks"] == out[i]["n_chunks"]
+        assert out[i]["dup_tokens"] == out[i]["n_tokens"]
+    # the unrelated doc shares no 3-token-window chunks
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# soft404_detect
+# ---------------------------------------------------------------------------
+
+
+def _pages(spark):
+    rows = []
+    # host a: catch-all maintenance template on 6 distinct URLs (200)
+    for i in range(6):
+        rows.append((f"https://a.test/p/{i}", 200, "scheduled maintenance body"))
+    # host a: 3 more distinct URLs, unique bodies
+    for i in range(3):
+        rows.append((f"https://a.test/q/{i}", 200, f"article {i} body text"))
+    # host b: same template TEXT but only 2 URLs (below threshold)
+    for i in range(2):
+        rows.append((f"https://b.test/p/{i}", 200, "scheduled maintenance body"))
+    # phrase-only page, unique content
+    rows.append(("https://b.test/gone", 200, "sorry this page not found here"))
+    # real 404 with error wording: must NOT be a soft404
+    rows.append(("https://b.test/hard404", 404, "404 error page not found"))
+    return spark.createDataFrame(rows, "url string, status int, text string")
+
+
+def test_soft404_signals(spark):
+    from inform_spark.operators.soft404 import soft404_detect
+
+    out = {
+        r["url"]: r.asDict()
+        for r in soft404_detect(_pages(spark), min_template_urls=5).collect()
+    }
+    for i in range(6):  # template on host a fires
+        r = out[f"https://a.test/p/{i}"]
+        assert r["template_hit"] and r["is_soft404"] and not r["phrase_hit"]
+    for i in range(3):  # unique bodies clean
+        r = out[f"https://a.test/q/{i}"]
+        assert not r["template_hit"] and not r["is_soft404"]
+    for i in range(2):  # same text, other host, below threshold
+        r = out[f"https://b.test/p/{i}"]
+        assert not r["template_hit"] and not r["is_soft404"]
+    r = out["https://b.test/gone"]  # phrase-only
+    assert r["phrase_hit"] and r["is_soft404"] and not r["template_hit"]
+    r = out["https://b.test/hard404"]  # hard 404: status gate wins
+    assert r["phrase_hit"] and not r["is_soft404"]
+
+
+def test_soft404_template_scope_is_per_host(spark):
+    # 5 x template on host a + 2 x SAME text on host b: host b stays clean
+    from inform_spark.operators.soft404 import soft404_detect
+
+    out = soft404_detect(_pages(spark), min_template_urls=5)
+    flagged_hosts = {
+        r["url"].split("/")[2]
+        for r in out.filter(F.col("template_hit")).collect()
+    }
+    assert flagged_hosts == {"a.test"}
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shards
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_shards_exact_and_balanced(spark):
+    from inform_spark.operators.curriculum import curriculum_shards
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * (5 + (i * 7) % 40)).strip()) for i in range(37)],
+        "doc_id long, text string",
+    )
+    rows = curriculum_shards(docs, n_shards=5).collect()
+    assert sorted(r["rank"] for r in rows) == list(range(1, 38))
+    # rank order == (quality, doc_id) order
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [(r["quality_milli"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    # shards contiguous in rank, 0-based, balanced within one row
+    shards = [r["shard"] for r in by_rank]
+    assert shards == sorted(shards) and shards[0] == 0 and shards[-1] == 4
+    from collections import Counter
+
+    sizes = Counter(shards)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # exact closed form
+    for r in rows:
+        assert r["shard"] == (r["rank"] - 1) * 5 // 37
+
+
+def test_curriculum_descending_reverses_order(spark):
+    from inform_spark.operators.curriculum import curriculum_shards
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * (5 + i * 3)).strip()) for i in range(10)],
+        "doc_id long, text string",
+    )
+    asc = {r["doc_id"]: r["rank"] for r in curriculum_shards(docs, 2).collect()}
+    desc = {
+        r["doc_id"]: r["rank"]
+        for r in curriculum_shards(docs, 2, descending=True).collect()
+    }
+    qm = {r["doc_id"]: r["quality_milli"] for r in curriculum_shards(docs, 2).collect()}
+    # distinct qualities => rank_desc = N + 1 - rank_asc
+    if len(set(qm.values())) == len(qm):
+        assert all(desc[d] == 11 - asc[d] for d in asc)

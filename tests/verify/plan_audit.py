@@ -393,6 +393,31 @@ AUDITS = {
         "forbid": ["CartesianProduct"],
         "absent_in_readschema": ["lang", "n_chars", "source"],
     },
+    # CDC chunking: boundaries/hashes/lengths computed in-row; only the
+    # chunk-hash occurrence count and the doc rollup shuffle — never a
+    # window, never a global sort, and the text column never shuffles
+    # (only h/tk explode)
+    "cdc_chunks": {
+        "require": ["HashAggregate"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # soft-404: phrase signal in-row; the (host, fp) template dim is
+    # HAVING-pruned tiny and must come back via broadcast — a
+    # SortMergeJoin means the corpus got shuffled for a handful of
+    # template groups
+    "soft404_detect": {
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    # curriculum sharding: the rank kernel's range shuffle is the ONLY
+    # ordering machinery — a Window node means the global-window NTILE
+    # regression this operator exists to avoid
+    "curriculum_shards": {
+        "require": ["rangepartitioning"],
+        "forbid": ["Window", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
 }
 
 
