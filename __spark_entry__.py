@@ -2027,6 +2027,31 @@ def q_curriculum_shards(spark, sf_dir):
     return curriculum_shards(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_host_mirror_pairs(spark, sf_dir):
+    """Host-level mirror detection (operators/mirrors.host_mirror_pairs):
+    host pairs sharing >= min_shared distinct content fingerprints,
+    with integer-ppm containment (shared/min — 1e6 = the smaller host
+    is a full mirror) and jaccard. Synthetic mirror farm: every source
+    becomes a host, each gets a '-m' mirror host serving every third
+    document (expected containment 1e6), and all 20 base hosts serve
+    one shared boilerplate page whose fingerprint spreads past the
+    max_hosts_per_fp=10 cap — exercising the boilerplate exclusion
+    that bounds pair fan-out at web scale."""
+    from inform_spark.operators.mirrors import host_mirror_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(F.col("source").alias("host"), "text")
+    mirror = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.col("source"), F.lit("-m")).alias("host"), "text"
+    )
+    boiler = docs.select(
+        F.col("source").alias("host"),
+        F.lit("shared boilerplate terms page").alias("text"),
+    ).distinct()
+    pages = base.unionByName(mirror).unionByName(boiler)
+    return host_mirror_pairs(pages, min_shared=2, max_hosts_per_fp=10)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2035,6 +2060,7 @@ CHANGED_THIS_ROUND = [
     "cdc_chunks",         # new this round
     "soft404_detect",     # new this round
     "curriculum_shards",  # new this round
+    "host_mirror_pairs",  # new this round
 ]
 
 
@@ -2162,6 +2188,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "soft404_detect": q_soft404_detect,
         "curriculum_shards": q_curriculum_shards,
+        "host_mirror_pairs": q_host_mirror_pairs,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3702,6 +3729,32 @@ def oracle_sql() -> dict[str, str]:
         "(b.status = 200 and (b.phrase_hit or tpl.host is not null)) "
         "as is_soft404 "
         "from b left join tpl on b.host = tpl.host and b.fp = tpl.fp"
+    )
+    d["host_mirror_pairs"] = (
+        "with p as (select source as host, text from documents "
+        "union all select source || '-m' as host, text from documents "
+        "where doc_id % 3 = 0 "
+        "union all select distinct source as host, "
+        "'shared boilerplate terms page' as text from documents), "
+        "fps as (select distinct host, "
+        "cast('0x'||substr(md5(text),1,15) as bigint) as fp from p), "
+        "spread as (select fp, count(*) as nh from fps group by fp), "
+        "kept as (select fps.host, fps.fp from fps join spread "
+        "using (fp) where nh <= 10), "
+        "sizes as (select host, cast(count(*) as bigint) as n_docs "
+        "from kept group by host), "
+        "pr as (select a.host as host_a, b.host as host_b, "
+        "cast(count(*) as bigint) as shared_docs "
+        "from kept a join kept b on a.fp = b.fp and a.host < b.host "
+        "group by 1, 2 having count(*) >= 2) "
+        "select host_a, host_b, shared_docs, sa.n_docs as docs_a, "
+        "sb.n_docs as docs_b, "
+        "cast(shared_docs * 1000000 // least(sa.n_docs, sb.n_docs) "
+        "as bigint) as containment_ppm, "
+        "cast(shared_docs * 1000000 // "
+        "(sa.n_docs + sb.n_docs - shared_docs) as bigint) as jaccard_ppm "
+        "from pr join sizes sa on pr.host_a = sa.host "
+        "join sizes sb on pr.host_b = sb.host"
     )
     d["curriculum_shards"] = (
         f"with {_QM_SQL}, "

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "soft404_detect",
     "curriculum_shards",
+    "host_mirror_pairs",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

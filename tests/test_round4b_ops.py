@@ -201,3 +201,55 @@ def test_curriculum_descending_reverses_order(spark):
     # distinct qualities => rank_desc = N + 1 - rank_asc
     if len(set(qm.values())) == len(qm):
         assert all(desc[d] == 11 - asc[d] for d in asc)
+
+
+# ---------------------------------------------------------------------------
+# host_mirror_pairs
+# ---------------------------------------------------------------------------
+
+
+def _mirror_pages(spark):
+    rows = []
+    # host m1 serves docs 0..9; m2 mirrors all ten of them plus 2 own
+    for i in range(10):
+        rows.append(("m1", f"document body number {i}"))
+        rows.append(("m2", f"document body number {i}"))
+    rows += [("m2", "m2 exclusive page a"), ("m2", "m2 exclusive page b")]
+    # host c shares exactly ONE doc with m1 (below min_shared=2)
+    rows += [("c", "document body number 0"), ("c", "c only page")]
+    # boilerplate text served by MANY hosts (spread cap)
+    for h in ["m1", "m2", "c", "d", "e", "f", "g"]:
+        rows.append((h, "universal legal boilerplate"))
+    return spark.createDataFrame(rows, "host string, text string")
+
+
+def test_host_mirror_pair_flagged_with_full_containment(spark):
+    from inform_spark.operators.mirrors import host_mirror_pairs
+
+    out = {
+        (r["host_a"], r["host_b"]): r.asDict()
+        for r in host_mirror_pairs(
+            _mirror_pages(spark), min_shared=2, max_hosts_per_fp=3
+        ).collect()
+    }
+    assert set(out) == {("m1", "m2")}
+    r = out[("m1", "m2")]
+    # boilerplate excluded: m1 has 10 eligible docs, m2 has 12
+    assert (r["docs_a"], r["docs_b"], r["shared_docs"]) == (10, 12, 10)
+    assert r["containment_ppm"] == 1_000_000
+    assert r["jaccard_ppm"] == 10 * 1_000_000 // 12
+
+
+def test_host_mirror_spread_cap_excludes_boilerplate(spark):
+    from inform_spark.operators.mirrors import host_mirror_pairs
+
+    # with the cap relaxed, the 7-host boilerplate page creates pairs
+    # among otherwise-unrelated hosts; with it tight, they vanish
+    loose = host_mirror_pairs(
+        _mirror_pages(spark), min_shared=1, max_hosts_per_fp=100
+    )
+    assert loose.filter("host_a = 'd' and host_b = 'e'").count() == 1
+    tight = host_mirror_pairs(
+        _mirror_pages(spark), min_shared=1, max_hosts_per_fp=3
+    )
+    assert tight.filter("host_a = 'd' and host_b = 'e'").count() == 0

@@ -410,6 +410,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # host mirror detection: fp self-join co-partitioned (never
+    # cartesian), tiny host-size dims broadcast back
+    "host_mirror_pairs": {
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct"],
+        "absent_in_readschema": ["lang", "n_chars"],
+    },
     # curriculum sharding: the rank kernel's range shuffle is the ONLY
     # ordering machinery — a Window node means the global-window NTILE
     # regression this operator exists to avoid
