@@ -2052,6 +2052,39 @@ def q_host_mirror_pairs(spark, sf_dir):
     return host_mirror_pairs(pages, min_shared=2, max_hosts_per_fp=10)
 
 
+def q_recrawl_delta_cost(spark, sf_dir):
+    """Chunk-level recrawl storage delta (operators/recrawl
+    .recrawl_delta_cost): snapshot_diff composed with content-defined
+    chunking — a changed page costs only its NEW chunks (cross-document
+    reuse is free), unchanged/removed pages are pruned before any
+    chunking. Synthetic recrawl over documents: every 7th doc removed,
+    every remaining 5th gets an appended edit (delta << full doc),
+    every 11th spawns an added page that reuses the doc's first 8
+    tokens (exercising cross-doc chunk reuse)."""
+    from inform_spark.operators.recrawl import recrawl_delta_cost
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    removed = F.col("doc_id") % 7 == 0
+    new_changed = docs.filter(~removed & (F.col("doc_id") % 5 == 0)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated section appended here")).alias(
+            "text"
+        ),
+    )
+    new_same = docs.filter(~removed & (F.col("doc_id") % 5 != 0))
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+            F.lit(" plus brand new tail words"),
+        ).alias("text"),
+    )
+    new = new_changed.unionByName(new_same).unionByName(added)
+    return recrawl_delta_cost(docs, new, w=4, divisor=8)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2061,6 +2094,7 @@ CHANGED_THIS_ROUND = [
     "soft404_detect",     # new this round
     "curriculum_shards",  # new this round
     "host_mirror_pairs",  # new this round
+    "recrawl_delta_cost",  # new this round
 ]
 
 
@@ -2189,6 +2223,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": q_soft404_detect,
         "curriculum_shards": q_curriculum_shards,
         "host_mirror_pairs": q_host_mirror_pairs,
+        "recrawl_delta_cost": q_recrawl_delta_cost,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3755,6 +3790,63 @@ def oracle_sql() -> dict[str, str]:
         "(sa.n_docs + sb.n_docs - shared_docs) as bigint) as jaccard_ppm "
         "from pr join sizes sa on pr.host_a = sa.host "
         "join sizes sb on pr.host_b = sb.host"
+    )
+    def _cdc_cte(src: str, pre: str) -> str:
+        # DuckDB mirror of operators/chunking.chunk_structs (w=4, D=8)
+        # over `src` (must expose k, txt); ends with {pre}x = one row
+        # per chunk (k, h, tk)
+        return (
+            f"{pre}t as (select k, string_split(lower(txt),' ') as toks, "
+            f"len(string_split(lower(txt),' ')) as n from {src}), "
+            f"{pre}e as (select k, toks, n, [j+3 for j in "
+            "generate_series(0, n-4) if cast('0x'||substr(md5("
+            "array_to_string(toks[j+1:j+4],' ')),1,15) as bigint) % 8 = 0]"
+            f" as ends from {pre}t), "
+            f"{pre}f as (select k, toks, n, case when len(ends)=0 or "
+            "ends[len(ends)] <> n-1 then list_append(ends, n-1) else ends "
+            f"end as ends from {pre}e), "
+            f"{pre}c as (select k, [{{'h': cast('0x'||substr(md5("
+            "array_to_string(toks[(case when i=1 then -1 else ends[i-1] "
+            "end)+2 : ends[i]+1],' ')),1,15) as bigint), "
+            "'tk': cast(ends[i]-(case when i=1 then -1 else ends[i-1] end) "
+            f"as bigint)}} for i in generate_series(1,len(ends))] as cs "
+            f"from {pre}f), "
+            f"{pre}x as (select k, unnest(cs, recursive:=true) from {pre}c)"
+        )
+
+    d["recrawl_delta_cost"] = (
+        "with oldt as (select cast(doc_id as bigint) as k, text "
+        "from documents), "
+        "newt as (select k, text || ' updated section appended here' "
+        "as text from oldt where k % 7 <> 0 and k % 5 = 0 "
+        "union all select k, text from oldt "
+        "where k % 7 <> 0 and k % 5 <> 0 "
+        "union all select k + 1000000 as k, "
+        "array_to_string(string_split(text,' ')[1:8],' ') || "
+        "' plus brand new tail words' as text from oldt "
+        "where k % 11 = 0), "
+        "st as (select coalesce(o.k, nn.k) as k, "
+        "case when o.k is null then 'added' "
+        "when nn.k is null then 'removed' "
+        "when md5(o.text) <> md5(nn.text) then 'changed' "
+        "else 'unchanged' end as change, "
+        "cast(case when nn.k is null then 0 else "
+        "len(string_split(lower(nn.text),' ')) end as bigint) "
+        "as n_tokens_new, nn.text as tn "
+        "from oldt o full outer join newt nn on o.k = nn.k), "
+        + _cdc_cte("(select k, text as txt from oldt)", "o")
+        + ", oh as (select distinct h from ox), "
+        + _cdc_cte(
+            "(select k, tn as txt from st "
+            "where change in ('added','changed'))",
+            "nw",
+        )
+        + ", dl as (select k, cast(sum(case when oh.h is null then tk "
+        "else 0 end) as bigint) as delta_tokens from nwx "
+        "left join oh on nwx.h = oh.h group by k) "
+        "select st.k as doc_id, st.change, st.n_tokens_new, "
+        "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
+        "from st left join dl on st.k = dl.k"
     )
     d["curriculum_shards"] = (
         f"with {_QM_SQL}, "

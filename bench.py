@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "soft404_detect",
     "curriculum_shards",
     "host_mirror_pairs",
+    "recrawl_delta_cost",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

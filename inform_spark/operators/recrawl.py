@@ -218,3 +218,94 @@ def sitemap_informed_schedule(
         )
         .drop("__lastmod_ms")
     )
+
+
+def recrawl_delta_cost(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    w: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Chunk-level storage cost of a recrawl: ``(doc_id, change,
+    n_tokens_new, delta_tokens)`` for every key in either snapshot.
+
+    Composes :func:`snapshot_diff` with content-defined chunking
+    (operators/chunking): a content-addressed store pays only for NEW
+    chunks, so a changed page whose edit touched one paragraph costs a
+    few chunks, not the whole document — the delta a re-fetch actually
+    writes. ``delta_tokens`` = tokens of the new version's chunks whose
+    hash appears nowhere in the OLD snapshot's chunk set (cross-document
+    reuse counts: a paragraph moved between pages is free).
+
+    Scale design: the status gate prunes BEFORE the expensive chunking —
+    ``unchanged`` docs (the overwhelming majority of any real recrawl)
+    and ``removed`` docs never reach the chunk explode; their token
+    counts come from a narrow ``size(split())``. The old snapshot
+    contributes only its distinct chunk-hash set (one explode + one
+    distinct), probed with a left join on h. At production scale the old
+    chunk set IS the persisted index of
+    ``streaming/chunkdedup.py`` — pass its table in and skip the old
+    explode entirely.
+    """
+    from inform_spark.operators.chunking import chunk_structs
+
+    o = old_docs.select(
+        F.col(key).cast("long").alias("k"),
+        F.col(text_col).alias("__to"),
+    )
+    n = new_docs.select(
+        F.col(key).cast("long").alias("k"),
+        F.col(text_col).alias("__tn"),
+    )
+    j = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("__to").isNull(), F.lit("added"))
+        .when(F.col("__tn").isNull(), F.lit("removed"))
+        .when(
+            F.md5(F.col("__to")) != F.md5(F.col("__tn")), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    ).alias("change")
+    n_tokens_new = F.when(
+        F.col("__tn").isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.lower(F.col("__tn")), " "))).cast("long")
+    st = j.select(F.col("k"), change, F.col("__tn"), n_tokens_new.alias("n_tokens_new"))
+
+    old_hashes = (
+        old_docs.select(
+            F.explode(chunk_structs(text_col, w, divisor)).alias("c")
+        )
+        .select(F.col("c.h").alias("h"))
+        .distinct()
+        .withColumn("__old", F.lit(True))
+    )
+    to_chunk = st.filter(F.col("change").isin("added", "changed"))
+    deltas = (
+        to_chunk.select(
+            "k",
+            F.explode(
+                chunk_structs("__tn", w, divisor)
+            ).alias("c"),
+        )
+        .select("k", F.col("c.h").alias("h"), F.col("c.tk").alias("tk"))
+        .join(old_hashes, "h", "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("__old").isNull(), F.col("tk")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("delta_tokens")
+        )
+    )
+    return (
+        st.join(deltas, "k", "left")
+        .select(
+            F.col("k").alias(key),
+            "change",
+            "n_tokens_new",
+            F.coalesce("delta_tokens", F.lit(0)).cast("long").alias("delta_tokens"),
+        )
+    )

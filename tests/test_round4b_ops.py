@@ -253,3 +253,44 @@ def test_host_mirror_spread_cap_excludes_boilerplate(spark):
         _mirror_pages(spark), min_shared=1, max_hosts_per_fp=3
     )
     assert tight.filter("host_a = 'd' and host_b = 'e'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# recrawl_delta_cost
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_delta_prices_only_new_chunks(spark):
+    from inform_spark.operators.recrawl import recrawl_delta_cost
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    old = spark.createDataFrame(
+        [(1, base.strip()), (2, "two words"), (3, "going away soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, (base + "brand new appended tail words here").strip()),
+            (2, "two words"),
+            (4, base.strip()),  # added but FULLY reused from doc 1's chunks
+            (5, "totally fresh never seen content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in recrawl_delta_cost(old, new, w=3, divisor=4).collect()
+    }
+    assert out[2]["change"] == "unchanged" and out[2]["delta_tokens"] == 0
+    assert out[3]["change"] == "removed" and out[3]["n_tokens_new"] == 0
+    # appended edit: delta strictly smaller than the full new doc
+    assert out[1]["change"] == "changed"
+    assert 0 < out[1]["delta_tokens"] < out[1]["n_tokens_new"]
+    # added page whose chunks all exist in the old snapshot: near-free.
+    # Only the final partial chunk can differ (the old doc continues
+    # past where this one ends), so delta < one expected chunk.
+    assert out[4]["change"] == "added"
+    assert out[4]["delta_tokens"] <= 4
+    # genuinely fresh page: pays for everything
+    assert out[5]["change"] == "added"
+    assert out[5]["delta_tokens"] == out[5]["n_tokens_new"]

@@ -410,6 +410,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # recrawl delta: full-outer snapshot join; unchanged/removed docs
+    # pruned before any chunk explode (the filter feeds the explode)
+    "recrawl_delta_cost": {
+        "require": ["FullOuter", "HashAggregate"],
+        "forbid": ["CartesianProduct", "Window"],
+        "absent_in_readschema": ["lang", "n_chars", "source"],
+    },
     # host mirror detection: fp self-join co-partitioned (never
     # cartesian), tiny host-size dims broadcast back
     "host_mirror_pairs": {
