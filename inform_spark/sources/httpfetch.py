@@ -231,3 +231,178 @@ def fetch_robots_df(
     return origins_df.repartition(max(1, min(len(origins), 32))).mapInPandas(
         fetch, ROBOTS
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional revalidation (ETag / If-Modified-Since) — the recrawl fetch
+# ---------------------------------------------------------------------------
+
+REVALIDATE_OUT = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("status_eff", IntegerType(), False),
+        StructField("content_type", StringType(), True),
+        StructField("html", StringType(), True),
+        StructField("truncated", BooleanType(), False),
+        StructField("not_modified", BooleanType(), False),
+        StructField("etag", StringType(), True),
+        StructField("last_modified", StringType(), True),
+        StructField("attempts", IntegerType(), False),
+    ]
+)
+
+
+def fetch_url_conditional(
+    url: str,
+    user_agent: str,
+    timeout_s: float,
+    max_bytes: int,
+    etag: str | None = None,
+    last_modified: str | None = None,
+) -> tuple[int, str | None, str | None, bool, str | None, str | None]:
+    """One conditional GET (RFC 9110 §13: ``If-None-Match`` wins over
+    ``If-Modified-Since`` when both are sent). Returns (status,
+    content_type, body, truncated, etag_out, last_modified_out); a 304
+    carries no body by construction — that's the entire point. Response
+    validators are captured so the NEXT cycle can revalidate; origins
+    that emit none simply degrade to unconditional refetch."""
+    import urllib.error
+    import urllib.request
+
+    headers = {"User-Agent": user_agent}
+    if etag:
+        headers["If-None-Match"] = etag
+    if last_modified:
+        headers["If-Modified-Since"] = last_modified
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = resp.status
+            ctype = resp.headers.get("Content-Type", "") or ""
+            body, truncated = None, False
+            if "text/" in ctype or "xml" in ctype:
+                raw = resp.read(max_bytes + 1)
+                truncated = len(raw) > max_bytes
+                body = raw[:max_bytes].decode("utf-8", "replace")
+            return (
+                status, ctype, body, truncated,
+                resp.headers.get("ETag"), resp.headers.get("Last-Modified"),
+            )
+    except urllib.error.HTTPError as e:
+        # urllib surfaces 304 as an HTTPError; it is a SUCCESS here
+        return (
+            e.code,
+            e.headers.get("Content-Type", "") or "",
+            None,
+            False,
+            e.headers.get("ETag") or (etag if e.code == 304 else None),
+            e.headers.get("Last-Modified")
+            or (last_modified if e.code == 304 else None),
+        )
+
+
+def make_revalidate_udf(
+    user_agent: str = DEFAULT_UA,
+    timeout_s: float = 10.0,
+    max_retries: int = 3,
+    base_backoff_s: float = 1.0,
+    min_interval_ms: int = 0,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+):
+    """mapInPandas function for the recrawl fetch: rows of (url, host,
+    etag, last_modified) -> REVALIDATE_OUT. Same retry/backoff/pacing
+    discipline as :func:`make_http_fetch_udf`; a 304 never retries."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_request: dict[str, float] = {}
+        for pdf in batches:
+            out = {k.name: [] for k in REVALIDATE_OUT.fields}
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                host = getattr(row, "host", None) or ""
+                etag = getattr(row, "etag", None)
+                last_mod = getattr(row, "last_modified", None)
+                etag = None if pd.isna(etag) else etag
+                last_mod = None if pd.isna(last_mod) else last_mod
+                if min_interval_ms > 0:
+                    since = time.monotonic() - last_request.get(host, 0.0)
+                    wait = min_interval_ms / 1000.0 - since
+                    if wait > 0:
+                        time.sleep(wait)
+                status, ctype, body, truncated = 0, None, None, False
+                etag_out, lm_out = None, None
+                attempts = 0
+                while attempts <= max_retries:
+                    attempts += 1
+                    last_request[host] = time.monotonic()
+                    try:
+                        (status, ctype, body, truncated,
+                         etag_out, lm_out) = fetch_url_conditional(
+                            url, user_agent, timeout_s, max_bytes,
+                            etag=etag, last_modified=last_mod,
+                        )
+                        if status not in RETRYABLE:
+                            break
+                    except Exception:
+                        status, ctype, body, truncated = 0, None, None, False
+                        etag_out, lm_out = None, None
+                    if attempts <= max_retries:
+                        time.sleep(base_backoff_s * (2 ** (attempts - 1)))
+                out["url"].append(url)
+                out["status_eff"].append(int(status) if status else 503)
+                out["content_type"].append(ctype)
+                out["html"].append(body)
+                out["truncated"].append(truncated)
+                out["not_modified"].append(status == 304)
+                out["etag"].append(etag_out)
+                out["last_modified"].append(lm_out)
+                out["attempts"].append(attempts)
+            yield pd.DataFrame(out)
+
+    return fetch
+
+
+def revalidate_stage(batch: DataFrame, n_partitions: int, **udf_kwargs) -> DataFrame:
+    """Partition the revalidation batch by host (pacing-exact) and fetch
+    conditionally. ``batch`` carries (url, host, etag, last_modified) —
+    the validators the previous cycle stored; null validators degrade to
+    a plain GET that captures them for next time."""
+    return batch.select(
+        "url", "host", "etag", "last_modified"
+    ).repartition(n_partitions, "host").mapInPandas(
+        make_revalidate_udf(**udf_kwargs), REVALIDATE_OUT
+    )
+
+
+def merge_revalidated(prior: DataFrame, fetched: DataFrame) -> DataFrame:
+    """Fold a revalidation cycle into the document snapshot: 304 rows
+    reuse the prior body byte-for-byte (zero transfer, zero re-render);
+    200 rows take the new body + validators; errors keep the prior body
+    but surface the status. Pure DataFrame op (one equi-join on url) so
+    the recrawl loop's merge is engine-agnostic and testable offline.
+
+    ``prior``: (url, html, etag, last_modified); ``fetched``:
+    REVALIDATE_OUT rows. Output: (url, status_eff, html, etag,
+    last_modified, refetched) where refetched marks rows whose content
+    actually moved — the ONLY rows a downstream re-render/re-chunk
+    pipeline (operators/recrawl.recrawl_delta_cost) needs to touch."""
+    p = prior.select(
+        "url",
+        F.col("html").alias("__ph"),
+        F.col("etag").alias("__pe"),
+        F.col("last_modified").alias("__pl"),
+    )
+    j = fetched.join(p, "url", "left")
+    fresh = (F.col("status_eff") == 200) & ~F.col("not_modified")
+    return j.select(
+        "url",
+        "status_eff",
+        F.when(fresh, F.col("html")).otherwise(F.col("__ph")).alias("html"),
+        F.when(fresh, F.col("etag")).otherwise(
+            F.coalesce("etag", "__pe")
+        ).alias("etag"),
+        F.when(fresh, F.col("last_modified")).otherwise(
+            F.coalesce("last_modified", "__pl")
+        ).alias("last_modified"),
+        fresh.alias("refetched"),
+    )
