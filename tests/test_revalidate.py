@@ -159,3 +159,87 @@ def test_revalidate_stage_and_merge(spark, server):
     # the conditional request actually SENT the validator
     sent = [h for p, h, _ in server.request_log if p == "/doc"]
     assert sent == ['"v1"']
+
+
+def test_full_recrawl_cycle_e2e(spark, server):
+    """The composed recrawl loop end-to-end against the loopback origin:
+    plain cycle -> bump one doc -> conditional cycle -> snapshot diff ->
+    chunk-level delta costing -> adaptive schedule. Each stage's output
+    feeds the next exactly as a production recrawl would wire them."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.recrawl import (
+        change_history_stats,
+        recrawl_delta_cost,
+        recrawl_schedule,
+        snapshot_diff,
+    )
+
+    origin = _origin(server)
+    host = f"127.0.0.1:{server.server_address[1]}"
+    urls = [origin + "/doc", origin + "/plain"]
+    server.doc_version = 1
+
+    c1_in = spark.createDataFrame(
+        [(u, host, None, None) for u in urls],
+        "url string, host string, etag string, last_modified string",
+    )
+    snap1 = (
+        revalidate_stage(c1_in, 2, max_retries=0)
+        .select("url", "html", "etag", "last_modified")
+        .cache()
+    )
+    snap1.count()
+
+    server.doc_version = 2  # /doc changes between cycles
+    c2_in = snap1.selectExpr("url", f"'{host}' as host", "etag", "last_modified")
+    snap2 = merge_revalidated(
+        snap1, revalidate_stage(c2_in, 2, max_retries=0)
+    ).cache()
+
+    # 1) diff: only /doc changed
+    diff = snapshot_diff(
+        snap1.select("url", F.md5("html").alias("fingerprint")),
+        snap2.select("url", F.md5("html").alias("fingerprint")),
+    )
+    got = {r["url"]: r["change"] for r in diff.collect()}
+    assert got[origin + "/doc"] == "changed"
+    assert got[origin + "/plain"] == "unchanged"
+    # refetched mirrors the diff for the validator origin; the
+    # validator-less origin refetched but its content didn't move
+    refetched = {r["url"]: r["refetched"] for r in snap2.collect()}
+    assert refetched[origin + "/doc"] is True
+
+    # 2) chunk-level storage delta: only the changed doc costs tokens
+    old_docs = snap1.select(
+        F.abs(F.xxhash64("url")).alias("doc_id"), F.col("html").alias("text")
+    )
+    new_docs = snap2.select(
+        F.abs(F.xxhash64("url")).alias("doc_id"), F.col("html").alias("text")
+    )
+    delta = {
+        r["doc_id"]: r
+        for r in recrawl_delta_cost(old_docs, new_docs, w=3, divisor=4).collect()
+    }
+    doc_key = old_docs.filter(
+        F.col("text").contains("doc version")
+    ).head()["doc_id"]
+    assert delta[doc_key]["change"] == "changed"
+    assert delta[doc_key]["delta_tokens"] > 0
+    assert all(
+        r["delta_tokens"] == 0
+        for k, r in delta.items()
+        if k != doc_key
+    )
+
+    # 3) adaptive schedule: the changing doc gets the shorter interval
+    history = spark.createDataFrame(
+        [(u, "2024-01-0%d 00:00:00" % d, u == origin + "/doc")
+         for u in urls for d in (1, 2)],
+        "url string, checked_at string, changed boolean",
+    ).withColumn("checked_at", F.to_timestamp("checked_at"))
+    sched = {
+        r["url"]: r["interval_ms"]
+        for r in recrawl_schedule(change_history_stats(history)).collect()
+    }
+    assert sched[origin + "/doc"] < sched[origin + "/plain"]
