@@ -2085,6 +2085,35 @@ def q_recrawl_delta_cost(spark, sf_dir):
     return recrawl_delta_cost(docs, new, w=4, divisor=8)
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Distributed redirect-chain resolution (operators/redirects
+    .resolve_redirects): pointer jumping — log2(max_hops) self-joins
+    instead of a per-hop sequential walk; max_hops is a power of two so
+    the capped semantics are the exact closed form f^max_hops that a
+    bounded recursive CTE reproduces. Synthetic graph from events:
+    10-node chains into a terminal, every 5th group closed into a
+    10-cycle (comes back unresolved with hops = 16)."""
+    from inform_spark.operators.redirects import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+
+    def u(x):
+        return F.concat(F.lit("https://r.test/u"), x.cast("string"))
+
+    pos = e % 10
+    grp = F.expr("event_id div 10")
+    dst = (
+        F.when(pos < 9, u(e + 1))
+        .when(grp % 5 == 0, u(e - 9))
+        .otherwise(
+            F.concat(F.lit("https://r.test/t"), grp.cast("string"))
+        )
+    )
+    edges = ev.select(u(e).alias("src"), dst.alias("dst"))
+    return resolve_redirects(edges, max_hops=16)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2095,6 +2124,7 @@ CHANGED_THIS_ROUND = [
     "curriculum_shards",  # new this round
     "host_mirror_pairs",  # new this round
     "recrawl_delta_cost",  # new this round
+    "resolve_redirects",  # new this round
 ]
 
 
@@ -2224,6 +2254,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": q_curriculum_shards,
         "host_mirror_pairs": q_host_mirror_pairs,
         "recrawl_delta_cost": q_recrawl_delta_cost,
+        "resolve_redirects": q_resolve_redirects,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3847,6 +3878,27 @@ def oracle_sql() -> dict[str, str]:
         "select st.k as doc_id, st.change, st.n_tokens_new, "
         "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
         "from st left join dl on st.k = dl.k"
+    )
+    d["resolve_redirects"] = (
+        "with recursive e as (select 'https://r.test/u' || event_id "
+        "as src, case when event_id % 10 < 9 then "
+        "'https://r.test/u' || (event_id + 1) "
+        "when (event_id // 10) % 5 = 0 then "
+        "'https://r.test/u' || (event_id - 9) "
+        "else 'https://r.test/t' || (event_id // 10) end as dst "
+        "from events), "
+        "en as (select src, min(dst) as dst from e group by src), "
+        "w(src, cur, hops) as (select src, dst, 1 from en "
+        "union all select w.src, en.dst, w.hops + 1 from w "
+        "join en on w.cur = en.src where w.hops < 16), "
+        "last as (select src, max(hops) as hops from w group by src), "
+        "fin as (select w.src, w.cur, w.hops from w join last "
+        "on w.src = last.src and w.hops = last.hops) "
+        "select fin.src as url, fin.cur as final_url, "
+        "cast(fin.hops as bigint) as hops, "
+        "(en2.src is not null) as unresolved "
+        "from fin left join (select distinct src from en) en2 "
+        "on fin.cur = en2.src"
     )
     d["curriculum_shards"] = (
         f"with {_QM_SQL}, "

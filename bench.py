@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "curriculum_shards",
     "host_mirror_pairs",
     "recrawl_delta_cost",
+    "resolve_redirects",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

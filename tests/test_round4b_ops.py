@@ -294,3 +294,55 @@ def test_recrawl_delta_prices_only_new_chunks(spark):
     # genuinely fresh page: pays for everything
     assert out[5]["change"] == "added"
     assert out[5]["delta_tokens"] == out[5]["n_tokens_new"]
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects
+# ---------------------------------------------------------------------------
+
+
+def _resolve(spark, edges, max_hops=16):
+    from inform_spark.operators.redirects import resolve_redirects
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["url"]: (r["final_url"], r["hops"], r["unresolved"])
+        for r in resolve_redirects(df, max_hops=max_hops).collect()
+    }
+
+
+def test_redirect_chain_resolves_with_exact_hops(spark):
+    got = _resolve(spark, [("a", "b"), ("b", "c")])
+    assert got["a"] == ("c", 2, False)
+    assert got["b"] == ("c", 1, False)
+
+
+def test_redirect_cycle_is_unresolved_at_f_pow_maxhops(spark):
+    got = _resolve(spark, [("x", "y"), ("y", "z"), ("z", "x")])
+    # 16 mod 3 = 1 step along the cycle, capped hop count, unresolved
+    assert got["x"] == ("y", 16, True)
+    assert got["y"] == ("z", 16, True)
+    assert got["z"] == ("x", 16, True)
+
+
+def test_redirect_chain_longer_than_cap_is_unresolved(spark):
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    got = _resolve(spark, chain, max_hops=4)
+    assert got["n0"] == ("n4", 4, True)   # walked exactly max_hops
+    assert got["n2"] == ("n6", 4, False)  # 4 hops reaches the terminal
+    assert got["n5"] == ("n6", 1, False)
+
+
+def test_redirect_multi_edge_normalizes_to_min_dst(spark):
+    got = _resolve(spark, [("a", "c"), ("a", "b"), ("b", "t")])
+    assert got["a"] == ("t", 2, False)  # min(dst) = b, then b -> t
+
+
+def test_redirect_max_hops_must_be_power_of_two(spark):
+    import pytest as _pytest
+
+    from inform_spark.operators.redirects import resolve_redirects
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=10)

@@ -410,6 +410,12 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # redirect resolution: log-round pointer jumping — equi-joins and
+    # aggregation only, never a cartesian or a window over the graph
+    "resolve_redirects": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+    },
     # recrawl delta: full-outer snapshot join; unchanged/removed docs
     # pruned before any chunk explode (the filter feeds the explode)
     "recrawl_delta_cost": {
