@@ -2114,6 +2114,52 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(edges, max_hops=16)
 
 
+def q_canonical_clusters(spark, sf_dir):
+    """Page-declared canonical consolidation (operators/urlops
+    .declared_canonical_clusters): <link rel="canonical"> extracted
+    in-row (both attribute orders), absolute-http targets honored,
+    self otherwise; one-hop semantics with cluster sizes fanned back on
+    the canonical key. Synthetic pages from events: half declare a
+    shared canonical (alternating attribute order), a quarter no tag,
+    a quarter a relative href that must fall back to self."""
+    from inform_spark.operators.urlops import declared_canonical_clusters
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    url = F.concat(F.lit("https://c.test/p"), e.cast("string"))
+    blk = F.expr("event_id div 8").cast("string")
+    canon = F.concat(F.lit("https://c.test/canon"), blk)
+    html = (
+        F.when(e % 4 == 0, F.lit("<html><head></head><body>no tag</body></html>"))
+        .when(
+            (e % 8 == 2) | (e % 8 == 6),
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                canon,
+                F.lit('"></head></html>'),
+            ),
+        )
+        .when(
+            (e % 8 == 1) | (e % 8 == 5),
+            F.concat(
+                F.lit('<html><head><link href="'),
+                canon,
+                F.lit('" rel="canonical"></head></html>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="/rel'),
+                blk,
+                F.lit('"></head></html>'),
+            )
+        )
+    )
+    return declared_canonical_clusters(
+        ev.select(url.alias("url"), html.alias("html"))
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2125,6 +2171,7 @@ CHANGED_THIS_ROUND = [
     "host_mirror_pairs",  # new this round
     "recrawl_delta_cost",  # new this round
     "resolve_redirects",  # new this round
+    "canonical_clusters",  # new this round
 ]
 
 
@@ -2255,6 +2302,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirror_pairs": q_host_mirror_pairs,
         "recrawl_delta_cost": q_recrawl_delta_cost,
         "resolve_redirects": q_resolve_redirects,
+        "canonical_clusters": q_canonical_clusters,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3878,6 +3926,31 @@ def oracle_sql() -> dict[str, str]:
         "select st.k as doc_id, st.change, st.n_tokens_new, "
         "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
         "from st left join dl on st.k = dl.k"
+    )
+    d["canonical_clusters"] = (
+        "with p as (select 'https://c.test/p' || event_id as url, "
+        "case when event_id % 4 = 0 then "
+        "'<html><head></head><body>no tag</body></html>' "
+        "when event_id % 8 in (2,6) then "
+        "'<html><head><link rel=\"canonical\" href=\"https://c.test/canon'"
+        " || (event_id // 8) || '\"></head></html>' "
+        "when event_id % 8 in (1,5) then "
+        "'<html><head><link href=\"https://c.test/canon' || "
+        "(event_id // 8) || '\" rel=\"canonical\"></head></html>' "
+        "else '<html><head><link rel=\"canonical\" href=\"/rel' || "
+        "(event_id // 8) || '\"></head></html>' end as html from events), "
+        "m as (select url, coalesce(case when regexp_matches(c, "
+        "'^https?://') then c end, url) as canonical_url from "
+        "(select url, coalesce(nullif(regexp_extract(html, "
+        "'<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"', 1), ''), "
+        "nullif(regexp_extract(html, "
+        "'<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"', 1), '')) "
+        "as c from p)), "
+        "s as (select canonical_url, cast(count(*) as bigint) as "
+        "cluster_size from m group by canonical_url) "
+        "select m.url, m.canonical_url, "
+        "(m.url = m.canonical_url) as self_canonical, s.cluster_size "
+        "from m join s using (canonical_url)"
     )
     d["resolve_redirects"] = (
         "with recursive e as (select 'https://r.test/u' || event_id "

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "host_mirror_pairs",
     "recrawl_delta_cost",
     "resolve_redirects",
+    "canonical_clusters",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

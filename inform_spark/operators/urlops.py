@@ -83,3 +83,62 @@ def url_canonical_cluster(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.countDistinct("url").cast("long").alias("n_variants"),
         F.min("url").alias("rep_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared canonicals (<link rel="canonical">) — the page's OWN dedup vote
+# ---------------------------------------------------------------------------
+
+
+def declared_canonical(html_col: Column) -> Column:
+    """The absolute http(s) ``<link rel="canonical" href=...>`` target
+    declared in ``html_col``, or NULL. Both attribute orders are
+    accepted (``rel`` before ``href`` and the reverse — real pages emit
+    both); the regexps live in the Java/RE2/DuckDB common subset so the
+    extraction is engine-exact. Relative canonical hrefs are rare and
+    spec-discouraged; resolving them needs the full WHATWG resolver
+    (``functions.urls.resolve_urls_udf``) — compose it upstream when a
+    corpus needs that, this in-row form stays zero-UDF."""
+    rel_first = F.regexp_extract(
+        html_col, '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1
+    )
+    href_first = F.regexp_extract(
+        html_col, '<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1
+    )
+    cand = F.coalesce(
+        F.nullif(rel_first, F.lit("")), F.nullif(href_first, F.lit(""))
+    )
+    return F.when(cand.rlike("^https?://"), cand)
+
+
+def declared_canonical_clusters(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, canonical_url, self_canonical, cluster_size)`` — the
+    page-declared consolidation map: every URL points at its declared
+    canonical (itself when the page declares none), plus the size of
+    each canonical's cluster. The search-engine treatment: ONE hop of
+    the declared edge (canonical-of-canonical chains are deliberately
+    not followed — feed the (url, canonical_url) edges through
+    ``operators.redirects.resolve_redirects`` when chain semantics are
+    wanted; the two operators compose on exactly that column pair).
+
+    Scale: extraction is in-row regexp (zero shuffle); the cluster size
+    is one groupBy on canonical_url joined back on the same key — the
+    join is co-partitioned with the groupBy output, so one shuffle of
+    (url, canonical_url) pairs total, never the html."""
+    m = pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(declared_canonical(F.col(html_col)), F.col(url_col)).alias(
+            "canonical_url"
+        ),
+    )
+    sizes = m.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return m.join(sizes, "canonical_url").select(
+        "url",
+        "canonical_url",
+        (F.col("url") == F.col("canonical_url")).alias("self_canonical"),
+        "cluster_size",
+    )

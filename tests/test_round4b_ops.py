@@ -346,3 +346,70 @@ def test_redirect_max_hops_must_be_power_of_two(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         resolve_redirects(df, max_hops=10)
+
+
+# ---------------------------------------------------------------------------
+# declared_canonical_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_declared_canonical_both_orders_and_fallbacks(spark):
+    from inform_spark.operators.urlops import declared_canonical_clusters
+
+    rows = [
+        ("https://s.test/a",
+         '<html><head><link rel="canonical" href="https://s.test/main">'
+         "</head></html>"),
+        ("https://s.test/b",
+         '<html><head><link href="https://s.test/main" rel="canonical">'
+         "</head></html>"),
+        # relative canonical: falls back to self in the in-row form
+        ("https://s.test/c",
+         '<html><head><link rel="canonical" href="/main"></head></html>'),
+        # no tag at all
+        ("https://s.test/d", "<html><body>plain</body></html>"),
+        # the canonical target is itself a crawled page
+        ("https://s.test/main",
+         '<html><head><link rel="canonical" href="https://s.test/main">'
+         "</head></html>"),
+    ]
+    out = {
+        r["url"]: r.asDict()
+        for r in declared_canonical_clusters(
+            spark.createDataFrame(rows, "url string, html string")
+        ).collect()
+    }
+    for u in ("https://s.test/a", "https://s.test/b"):
+        assert out[u]["canonical_url"] == "https://s.test/main"
+        assert not out[u]["self_canonical"]
+    assert out["https://s.test/c"]["self_canonical"]
+    assert out["https://s.test/d"]["self_canonical"]
+    main = out["https://s.test/main"]
+    assert main["self_canonical"] and main["cluster_size"] == 3
+
+
+def test_declared_canonical_edges_compose_with_redirect_resolver(spark):
+    """canonical-of-canonical chains: one-hop by design, but the edge
+    list drops straight into resolve_redirects when chain semantics are
+    wanted."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.redirects import resolve_redirects
+    from inform_spark.operators.urlops import declared_canonical_clusters
+
+    rows = [
+        ("u1", '<link rel="canonical" href="https://x/u2">'),
+        ("https://x/u2", '<link rel="canonical" href="https://x/u3">'),
+        ("https://x/u3", "<html/>"),
+    ]
+    m = declared_canonical_clusters(
+        spark.createDataFrame(rows, "url string, html string")
+    )
+    edges = m.filter(~F.col("self_canonical")).select(
+        F.col("url").alias("src"), F.col("canonical_url").alias("dst")
+    )
+    got = {
+        r["url"]: r["final_url"]
+        for r in resolve_redirects(edges, max_hops=4).collect()
+    }
+    assert got["u1"] == "https://x/u3"

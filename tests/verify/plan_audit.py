@@ -410,6 +410,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # declared canonicals: in-row regexp extraction, one shuffle of
+    # (url, canonical_url) pairs for the cluster-size fan-back — the
+    # html must never be part of the shuffled columns
+    "canonical_clusters": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+    },
     # redirect resolution: log-round pointer jumping — equi-joins and
     # aggregation only, never a cartesian or a window over the graph
     "resolve_redirects": {
