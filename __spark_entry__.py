@@ -3837,7 +3837,7 @@ def oracle_sql() -> dict[str, str]:
         "|does not exist|no longer available|temporarily unavailable)') "
         "as phrase_hit from p), "
         "tpl as (select host, fp from b where status = 200 "
-        "group by host, fp having count(*) >= 5) "
+        "group by host, fp having count(distinct url) >= 5) "
         "select b.url, b.status, b.phrase_hit, "
         "(tpl.host is not null) as template_hit, "
         "(b.status = 200 and (b.phrase_hit or tpl.host is not null)) "
@@ -3920,9 +3920,12 @@ def oracle_sql() -> dict[str, str]:
             "where change in ('added','changed'))",
             "nw",
         )
-        + ", dl as (select k, cast(sum(case when oh.h is null then tk "
-        "else 0 end) as bigint) as delta_tokens from nwx "
-        "left join oh on nwx.h = oh.h group by k) "
+        + ", nwg as (select k, h, min(tk) as tk from nwx group by k, h), "
+        "mo as (select h, min(k) as mk from nwg group by h), "
+        "dl as (select nwg.k, cast(sum(case when oh.h is null and "
+        "nwg.k = mo.mk then tk else 0 end) as bigint) as delta_tokens "
+        "from nwg left join oh on nwg.h = oh.h "
+        "join mo on nwg.h = mo.h group by nwg.k) "
         "select st.k as doc_id, st.change, st.n_tokens_new, "
         "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
         "from st left join dl on st.k = dl.k"
@@ -3940,11 +3943,13 @@ def oracle_sql() -> dict[str, str]:
         "else '<html><head><link rel=\"canonical\" href=\"/rel' || "
         "(event_id // 8) || '\"></head></html>' end as html from events), "
         "m as (select url, coalesce(case when regexp_matches(c, "
-        "'^https?://') then c end, url) as canonical_url from "
+        "'(?i)^https?://') then c end, url) as canonical_url from "
         "(select url, coalesce(nullif(regexp_extract(html, "
-        "'<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"', 1), ''), "
+        "'(?i)<link[^>]*rel=[\"'']canonical[\"''][^>]*"
+        "href=[\"'']([^\"'']+)[\"'']', 1), ''), "
         "nullif(regexp_extract(html, "
-        "'<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"', 1), '')) "
+        "'(?i)<link[^>]*href=[\"'']([^\"'']+)[\"''][^>]*"
+        "rel=[\"'']canonical[\"'']', 1), '')) "
         "as c from p)), "
         "s as (select canonical_url, cast(count(*) as bigint) as "
         "cluster_size from m group by canonical_url) "

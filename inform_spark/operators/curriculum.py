@@ -51,7 +51,14 @@ def curriculum_shards(
     ranked, caches = distributed_row_number(
         scored, [q, F.col("doc_id").asc()], out_col="rank"
     )
-    total = caches[0].count()  # one job over the kernel's own pin
+    # honor the kernel's cache contract without handing `caches` to the
+    # caller: pin the ranked output once (localCheckpoint materializes
+    # eagerly and cuts the lineage back to the kernel's persisted
+    # frames), then release them — no session-lifetime leak
+    ranked = ranked.localCheckpoint(eager=True)
+    total = ranked.count()  # scan of the checkpointed blocks only
+    for c in caches:
+        c.unpersist()
     out = ranked.select(
         "doc_id",
         "quality_milli",

@@ -235,9 +235,14 @@ def recrawl_delta_cost(
     (operators/chunking): a content-addressed store pays only for NEW
     chunks, so a changed page whose edit touched one paragraph costs a
     few chunks, not the whole document — the delta a re-fetch actually
-    writes. ``delta_tokens`` = tokens of the new version's chunks whose
-    hash appears nowhere in the OLD snapshot's chunk set (cross-document
-    reuse counts: a paragraph moved between pages is free).
+    writes. ``delta_tokens`` = tokens of the DISTINCT new-snapshot
+    chunks this doc is the first (min doc_id) owner of, among chunks
+    absent from the OLD snapshot's chunk set. Reuse is free in every
+    direction: a paragraph moved between pages (old→new cross-doc), a
+    new boilerplate chunk shared by many added pages (charged ONCE, to
+    its min-id owner), and a chunk repeated within one doc — so
+    ``sum(delta_tokens)`` is exactly the store's growth, never an
+    overstatement.
 
     Scale design: the status gate prunes BEFORE the expensive chunking —
     ``unchanged`` docs (the overwhelming majority of any real recrawl)
@@ -282,7 +287,7 @@ def recrawl_delta_cost(
         .withColumn("__old", F.lit(True))
     )
     to_chunk = st.filter(F.col("change").isin("added", "changed"))
-    deltas = (
+    new_chunks = (
         to_chunk.select(
             "k",
             F.explode(
@@ -290,11 +295,21 @@ def recrawl_delta_cost(
             ).alias("c"),
         )
         .select("k", F.col("c.h").alias("h"), F.col("c.tk").alias("tk"))
-        .join(old_hashes, "h", "left")
+        # distinct per (doc, chunk): a chunk repeated in one doc stores once
+        .groupBy("k", "h")
+        .agg(F.min("tk").alias("tk"))
+    )
+    min_owner = new_chunks.groupBy("h").agg(F.min("k").alias("__mk"))
+    deltas = (
+        new_chunks.join(old_hashes, "h", "left")
+        .join(min_owner, "h")
         .groupBy("k")
         .agg(
             F.sum(
-                F.when(F.col("__old").isNull(), F.col("tk")).otherwise(F.lit(0))
+                F.when(
+                    F.col("__old").isNull() & (F.col("k") == F.col("__mk")),
+                    F.col("tk"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("delta_tokens")

@@ -70,6 +70,12 @@ def resolve_redirects(
         f2.count()
         f.unpersist()
         f = f2
+    # the returned plan reads the final iterate twice (mapping + the
+    # has-out-edge probe); localCheckpoint pins it once and lets the
+    # loop's last persist be released — no session-lifetime leak
+    final = f.localCheckpoint(eager=True)
+    f.unpersist()
+    f = final
     has_out = f.select(F.col("u").alias("__src")).distinct()
     out = f.join(has_out, f["f"] == has_out["__src"], "left").select(
         F.col("u").alias("url"),

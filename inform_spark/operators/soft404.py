@@ -62,7 +62,9 @@ def soft404_detect(
     templates = (
         base.filter(F.col("status") == 200)
         .groupBy("__host", "__fp")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        # DISTINCT urls: a fetch log carrying one row per attempt must
+        # not let a single much-retried URL impersonate a template
+        .agg(F.countDistinct("url").alias("__n"))
         .filter(F.col("__n") >= min_template_urls)
         .select("__host", "__fp", F.lit(True).alias("__tpl"))
     )

@@ -99,16 +99,22 @@ def declared_canonical(html_col: Column) -> Column:
     spec-discouraged; resolving them needs the full WHATWG resolver
     (``functions.urls.resolve_urls_udf``) — compose it upstream when a
     corpus needs that, this in-row form stays zero-UDF."""
+    # (?i) + ["'] alternates: real pages emit <LINK REL=...>, single
+    # quotes, and mixed case schemes — all in the RE2/Java common subset
     rel_first = F.regexp_extract(
-        html_col, '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1
+        html_col,
+        "(?i)<link[^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']+)[\"']",
+        1,
     )
     href_first = F.regexp_extract(
-        html_col, '<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1
+        html_col,
+        "(?i)<link[^>]*href=[\"']([^\"']+)[\"'][^>]*rel=[\"']canonical[\"']",
+        1,
     )
     cand = F.coalesce(
         F.nullif(rel_first, F.lit("")), F.nullif(href_first, F.lit(""))
     )
-    return F.when(cand.rlike("^https?://"), cand)
+    return F.when(cand.rlike("(?i)^https?://"), cand)
 
 
 def declared_canonical_clusters(

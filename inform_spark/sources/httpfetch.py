@@ -112,6 +112,31 @@ def fetch_url_once_flagged(
         return e.code, e.headers.get("Content-Type", "") or "", None, False
 
 
+def _fetch_with_retries(do_fetch, default, max_retries, base_backoff_s,
+                        on_attempt=None):
+    """THE retry policy, shared by every fetch UDF (plain and
+    conditional must stay behaviorally identical): retry RETRYABLE
+    statuses and network errors with exponential backoff (base doubling
+    per attempt); ``default`` stands in when an attempt raises (its
+    status 0 maps to 503 downstream); ``on_attempt`` runs before each
+    try (per-host pacing timestamps). Returns (result, attempts)."""
+    result = default
+    attempts = 0
+    while attempts <= max_retries:
+        attempts += 1
+        if on_attempt is not None:
+            on_attempt()
+        try:
+            result = do_fetch()
+            if result[0] not in RETRYABLE:
+                break
+        except Exception:  # network error: retry like a 5xx
+            result = default
+        if attempts <= max_retries:
+            time.sleep(base_backoff_s * (2 ** (attempts - 1)))
+    return result, attempts
+
+
 def make_http_fetch_udf(
     user_agent: str = DEFAULT_UA,
     timeout_s: float = 10.0,
@@ -134,21 +159,19 @@ def make_http_fetch_udf(
                     wait = min_interval_ms / 1000.0 - since
                     if wait > 0:
                         time.sleep(wait)
-                status, ctype, body, truncated = 0, None, None, False
-                attempts = 0
-                while attempts <= max_retries:
-                    attempts += 1
-                    last_request[host] = time.monotonic()
-                    try:
-                        status, ctype, body, truncated = fetch_url_once_flagged(
+                (status, ctype, body, truncated), attempts = (
+                    _fetch_with_retries(
+                        lambda: fetch_url_once_flagged(
                             url, user_agent, timeout_s, max_bytes
-                        )
-                        if status not in RETRYABLE:
-                            break
-                    except Exception:  # network error: retry like a 5xx
-                        status, ctype, body, truncated = 0, None, None, False
-                    if attempts <= max_retries:
-                        time.sleep(base_backoff_s * (2 ** (attempts - 1)))
+                        ),
+                        (0, None, None, False),
+                        max_retries,
+                        base_backoff_s,
+                        on_attempt=lambda: last_request.__setitem__(
+                            host, time.monotonic()
+                        ),
+                    )
+                )
                 out["url"].append(url)
                 out["depth"].append(getattr(row, "depth", None))
                 out["frontier_offset"].append(
@@ -329,25 +352,20 @@ def make_revalidate_udf(
                     wait = min_interval_ms / 1000.0 - since
                     if wait > 0:
                         time.sleep(wait)
-                status, ctype, body, truncated = 0, None, None, False
-                etag_out, lm_out = None, None
-                attempts = 0
-                while attempts <= max_retries:
-                    attempts += 1
-                    last_request[host] = time.monotonic()
-                    try:
-                        (status, ctype, body, truncated,
-                         etag_out, lm_out) = fetch_url_conditional(
+                (status, ctype, body, truncated, etag_out, lm_out), attempts = (
+                    _fetch_with_retries(
+                        lambda: fetch_url_conditional(
                             url, user_agent, timeout_s, max_bytes,
                             etag=etag, last_modified=last_mod,
-                        )
-                        if status not in RETRYABLE:
-                            break
-                    except Exception:
-                        status, ctype, body, truncated = 0, None, None, False
-                        etag_out, lm_out = None, None
-                    if attempts <= max_retries:
-                        time.sleep(base_backoff_s * (2 ** (attempts - 1)))
+                        ),
+                        (0, None, None, False, None, None),
+                        max_retries,
+                        base_backoff_s,
+                        on_attempt=lambda: last_request.__setitem__(
+                            host, time.monotonic()
+                        ),
+                    )
+                )
                 out["url"].append(url)
                 out["status_eff"].append(int(status) if status else 503)
                 out["content_type"].append(ctype)

@@ -19,7 +19,15 @@ mirroring ``streaming/dedup.py``'s append-only-index discipline:
   partition; the probe excludes index rows OWNED by this batch's docs
   (a crash between the index append and the checkpoint commit replays
   the batch against an index already containing its own chunks); the
-  index append is anti-joined on chunk hash, so nothing lands twice;
+  index append is anti-joined on chunk hash, so nothing lands twice.
+  That owner-exclusion makes doc_id uniqueness a hard contract of the
+  stream (the same contract streaming/dedup.py carries): a doc_id must
+  arrive at most once over the stream's lifetime — replay of the SAME
+  arrival is what the exclusion protects. A recrawl of the same page
+  must mint a fresh doc_id (e.g. hash of (url, fetch_ts), the
+  engine's snapshot convention); re-using the old id would make the
+  probe treat the re-arrival as its own crashed replay and mis-report
+  its chunks as stored;
 - **state is the index table, not the state store**: no watermark, no
   driver memory growth; at scale the index is an Iceberg table bucketed
   by chunk hash so each micro-batch probe is a co-located join.

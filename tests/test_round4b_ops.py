@@ -286,11 +286,9 @@ def test_recrawl_delta_prices_only_new_chunks(spark):
     # appended edit: delta strictly smaller than the full new doc
     assert out[1]["change"] == "changed"
     assert 0 < out[1]["delta_tokens"] < out[1]["n_tokens_new"]
-    # added page whose chunks all exist in the old snapshot: near-free.
-    # Only the final partial chunk can differ (the old doc continues
-    # past where this one ends), so delta < one expected chunk.
+    # added page byte-identical to an old doc: every chunk reused, free
     assert out[4]["change"] == "added"
-    assert out[4]["delta_tokens"] <= 4
+    assert out[4]["delta_tokens"] == 0
     # genuinely fresh page: pays for everything
     assert out[5]["change"] == "added"
     assert out[5]["delta_tokens"] == out[5]["n_tokens_new"]
@@ -413,3 +411,34 @@ def test_declared_canonical_edges_compose_with_redirect_resolver(spark):
         for r in resolve_redirects(edges, max_hops=4).collect()
     }
     assert got["u1"] == "https://x/u3"
+
+
+def test_recrawl_delta_charges_shared_new_chunk_once(spark):
+    """A brand-new chunk shared by several added pages is charged to its
+    min-id owner only — sum(delta_tokens) equals the store's growth."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.chunking import cdc_chunks
+    from inform_spark.operators.recrawl import recrawl_delta_cost
+
+    old = spark.createDataFrame([(1, "ancient unrelated words")],
+                                "doc_id long, text string")
+    shared = ("brand new footer alpha beta gamma delta epsilon zeta "
+             "eta theta iota kappa")
+    new = spark.createDataFrame(
+        [(1, "ancient unrelated words"),
+         (2, shared.strip()), (3, shared.strip()), (4, shared.strip())],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in recrawl_delta_cost(old, new, w=3, divisor=4).collect()
+    }
+    assert out[2]["delta_tokens"] == out[2]["n_tokens_new"]  # min owner pays
+    assert out[3]["delta_tokens"] == 0 and out[4]["delta_tokens"] == 0
+    # exact store growth: distinct new chunks' tokens, once each
+    distinct_new_tokens = (
+        cdc_chunks(new.filter(F.col("doc_id") == 2), w=3, divisor=4)
+        .agg(F.sum("n_tokens")).head()[0]
+    )
+    assert sum(r["delta_tokens"] for r in out.values()) == distinct_new_tokens
