@@ -2160,6 +2160,17 @@ def q_canonical_clusters(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption pair generation (operators/corruption
+    .span_corruption_grid): deterministic grid masking — span_len=3
+    every stride=12 tokens, per-doc hash phase — emitting sentineled
+    (input, targets) training pairs entirely in-row. stride 12 (not the
+    production 20) so ~30-token synthetic docs get 2-3 spans."""
+    from inform_spark.operators.corruption import span_corruption_grid
+
+    return span_corruption_grid(_docs(spark, sf_dir), stride=12, span_len=3)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2172,6 +2183,7 @@ CHANGED_THIS_ROUND = [
     "recrawl_delta_cost",  # new this round
     "resolve_redirects",  # new this round
     "canonical_clusters",  # new this round
+    "span_corruption",  # new this round
 ]
 
 
@@ -2303,6 +2315,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_delta_cost": q_recrawl_delta_cost,
         "resolve_redirects": q_resolve_redirects,
         "canonical_clusters": q_canonical_clusters,
+        "span_corruption": q_span_corruption,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3929,6 +3942,29 @@ def oracle_sql() -> dict[str, str]:
         "select st.k as doc_id, st.change, st.n_tokens_new, "
         "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
         "from st left join dl on st.k = dl.k"
+    )
+    d["span_corruption"] = (
+        "with t as (select cast(doc_id as bigint) as doc_id, "
+        "string_split(lower(text),' ') as toks, "
+        "len(string_split(lower(text),' ')) as n, "
+        "cast('0x'||substr(md5('corrupt-' || cast(doc_id as bigint)),"
+        "1,15) as bigint) % 12 as phi from documents) "
+        "select doc_id, cast(n as bigint) as n_tokens, "
+        "cast(len([p for p in generate_series(0, n-1) "
+        "if p >= phi and (p - phi) % 12 < 3]) as bigint) as n_masked, "
+        "coalesce(array_to_string(list_filter([case "
+        "when not (p >= phi and (p - phi) % 12 < 3) then toks[p+1] "
+        "when (p - phi) % 12 = 0 then "
+        "'<extra_id_' || ((p - phi) // 12) || '>' end "
+        "for p in generate_series(0, n-1)], x -> x is not null), ' '), '') "
+        "as input_text, "
+        "coalesce(array_to_string(list_filter([case "
+        "when (p >= phi and (p - phi) % 12 < 3) then "
+        "(case when (p - phi) % 12 = 0 then "
+        "'<extra_id_' || ((p - phi) // 12) || '> ' else '' end) "
+        "|| toks[p+1] end "
+        "for p in generate_series(0, n-1)], x -> x is not null), ' '), '') "
+        "as targets_text from t"
     )
     d["canonical_clusters"] = (
         "with p as (select 'https://c.test/p' || event_id as url, "

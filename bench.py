@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "recrawl_delta_cost",
     "resolve_redirects",
     "canonical_clusters",
+    "span_corruption",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

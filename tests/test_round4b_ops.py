@@ -442,3 +442,89 @@ def test_recrawl_delta_charges_shared_new_chunk_once(spark):
         .agg(F.sum("n_tokens")).head()[0]
     )
     assert sum(r["delta_tokens"] for r in out.values()) == distinct_new_tokens
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_grid
+# ---------------------------------------------------------------------------
+
+
+def _corrupt_py(doc_id, text, stride, span_len):
+    toks = text.lower().split(" ")
+    phi = _h60(f"corrupt-{doc_id}") % stride
+    inp, tgt, masked = [], [], 0
+    for p, tok in enumerate(toks):
+        is_m = p >= phi and (p - phi) % stride < span_len
+        if not is_m:
+            inp.append(tok)
+            continue
+        masked += 1
+        k = (p - phi) // stride
+        if (p - phi) % stride == 0:
+            inp.append(f"<extra_id_{k}>")
+            tgt.append(f"<extra_id_{k}> {tok}")
+        else:
+            tgt.append(tok)
+    return len(toks), masked, " ".join(inp), " ".join(tgt)
+
+
+def test_span_corruption_matches_sequential_reference(spark):
+    from inform_spark.operators.corruption import span_corruption_grid
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again "
+        "today with more words to cross two strides easily done now",
+        "short doc",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_masked"],
+                      r["input_text"], r["targets_text"])
+        for r in span_corruption_grid(df, stride=7, span_len=2).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _corrupt_py(i, t, 7, 2), (i, t)
+
+
+def test_span_corruption_roundtrip_reconstructs_document(spark):
+    """input + targets carry every original token exactly once: splicing
+    each sentinel's span back into the input restores the document."""
+    from inform_spark.operators.corruption import span_corruption_grid
+
+    text = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = span_corruption_grid(df, stride=10, span_len=3).head()
+    spans = {}
+    cur = None
+    for tok in r["targets_text"].split(" "):
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    out = []
+    for tok in r["input_text"].split(" "):
+        out.extend(spans[tok] if tok.startswith("<extra_id_") else [tok])
+    assert out == text.split(" ")
+    assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+def test_span_corruption_mask_rate(spark):
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.corruption import span_corruption_grid
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(200))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    agg = (
+        span_corruption_grid(df, stride=20, span_len=3)
+        .agg(F.sum("n_masked").alias("m"), F.sum("n_tokens").alias("n"))
+        .head()
+    )
+    rate = agg["m"] / agg["n"]
+    assert 0.12 <= rate <= 0.155, rate  # ~3/20 with phase edge effects

@@ -410,6 +410,13 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # span corruption: strictly narrow in-row HOFs — ANY exchange means
+    # the example-generation path regressed off the zero-shuffle design
+    "span_corruption": {
+        "require": ["codegen id"],
+        "forbid": ["Exchange", "CartesianProduct"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
     # declared canonicals: in-row regexp extraction, one shuffle of
     # (url, canonical_url) pairs for the cluster-size fan-back — the
     # html must never be part of the shuffled columns
