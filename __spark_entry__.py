@@ -2171,6 +2171,19 @@ def q_span_corruption(spark, sf_dir):
     return span_corruption_grid(_docs(spark, sf_dir), stride=12, span_len=3)
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Hard-negative contrastive pair mining (operators/similarity
+    .contrastive_pairs; DPR/SimCSE shape): exact cosine top-5 per query
+    relabeled as ranks 1-2 positive / 3-5 hard_negative — the
+    top-of-ranking negatives embedding training mines, not uniform
+    random draws."""
+    from inform_spark.operators import similarity
+
+    return similarity.contrastive_pairs(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k_pos=2, k_neg=3
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2184,6 +2197,7 @@ CHANGED_THIS_ROUND = [
     "resolve_redirects",  # new this round
     "canonical_clusters",  # new this round
     "span_corruption",  # new this round
+    "contrastive_pairs",  # new this round
 ]
 
 
@@ -2316,6 +2330,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "canonical_clusters": q_canonical_clusters,
         "span_corruption": q_span_corruption,
+        "contrastive_pairs": q_contrastive_pairs,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -3942,6 +3957,12 @@ def oracle_sql() -> dict[str, str]:
         "select st.k as doc_id, st.change, st.n_tokens_new, "
         "cast(coalesce(dl.delta_tokens, 0) as bigint) as delta_tokens "
         "from st left join dl on st.k = dl.k"
+    )
+    d["contrastive_pairs"] = (
+        "with base as (" + _ann_cosine_sql(10, 5) + ") "
+        "select q, neighbor, cosine, rank, "
+        "case when rank <= 2 then 'positive' else 'hard_negative' end "
+        "as role from base"
     )
     d["span_corruption"] = (
         "with t as (select cast(doc_id as bigint) as doc_id, "

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "resolve_redirects",
     "canonical_clusters",
     "span_corruption",
+    "contrastive_pairs",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

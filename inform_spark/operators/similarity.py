@@ -374,3 +374,35 @@ def semdedup(
         "n_members",
         (F.col("v") == F.col("pick.v")).cast("int").alias("keep"),
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k_pos: int = 2,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair mining over :func:`cosine_topk`: for
+    each query, ranks 1..k_pos are ``positive`` examples and ranks
+    k_pos+1..k_pos+k_neg are ``hard_negative`` — the top-of-the-ranking
+    negatives that contrastive/embedding training (DPR, SimCSE,
+    sentence-transformers hard-negative mining) actually wants, rather
+    than uniform random negatives a naive sampler would draw.
+
+    Returns (q, neighbor, cosine, rank, role). Same scale shape as the
+    exact top-k it composes: broadcast query side, JVM dot products,
+    one TakeOrdered per query — swap in ``ivf_topk``/``pq_adc`` upstream
+    when the corpus outgrows exact scoring; the ranking contract (and
+    therefore this labeling) is unchanged."""
+    ranked = cosine_topk(
+        emb, n_queries=n_queries, k=k_pos + k_neg,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ranked.withColumn(
+        "role",
+        F.when(F.col("rank") <= k_pos, F.lit("positive")).otherwise(
+            F.lit("hard_negative")
+        ),
+    )

@@ -528,3 +528,36 @@ def test_span_corruption_mask_rate(spark):
     )
     rate = agg["m"] / agg["n"]
     assert 0.12 <= rate <= 0.155, rate  # ~3/20 with phase edge effects
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_pairs_roles_partition_the_ranking(spark):
+    from inform_spark.operators.similarity import contrastive_pairs
+
+    # 3 tight clusters in 4-d: positives come from the query's own
+    # cluster, hard negatives from the nearest other cluster
+    rows = []
+    for cid, base in enumerate([(1.0, 0, 0, 0), (0.9, 0.1, 0, 0), (0, 0, 1.0, 0)]):
+        for j in range(3):
+            v = [x + 0.01 * j for x in base]
+            rows.append((cid * 3 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = contrastive_pairs(emb, n_queries=1, k_pos=2, k_neg=3).collect()
+    assert len(out) == 5
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["role"] for r in by_rank] == [
+        "positive", "positive",
+        "hard_negative", "hard_negative", "hard_negative",
+    ]
+    # positives are query 0's own cluster mates (ids 1, 2)
+    assert {r["neighbor"] for r in by_rank[:2]} == {1, 2}
+    # hard negatives outrank the orthogonal cluster: all from cluster 1
+    assert {r["neighbor"] for r in by_rank[2:]} == {3, 4, 5}
+    # monotone: every positive's cosine >= every hard negative's
+    assert min(r["cosine"] for r in by_rank[:2]) >= max(
+        r["cosine"] for r in by_rank[2:]
+    )

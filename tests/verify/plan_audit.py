@@ -410,6 +410,12 @@ AUDITS = {
         "require": ["BroadcastHashJoin", "HashAggregate"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # contrastive mining: composes the exact-cosine top-k — broadcast
+    # query side, never a SortMergeJoin of the corpus against 10 queries
+    "contrastive_pairs": {
+        "require": ["BroadcastNestedLoopJoin"],
+        "forbid": ["SortMergeJoin", "rangepartitioning"],
+    },
     # span corruption: strictly narrow in-row HOFs — ANY exchange means
     # the example-generation path regressed off the zero-shuffle design
     "span_corruption": {
