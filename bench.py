@@ -284,6 +284,40 @@ def run_dedup_scale(spark) -> dict:
     return legs
 
 
+def run_chunk_scale(spark) -> dict:
+    """CDC chunking growth curve at 10x data (same corpus as the dedup
+    curve): boundaries/hashes/lengths are in-row and the only shuffles
+    are the chunk-hash count + doc rollup, so chunk counts AND wall
+    time must track the data ratio (~10), nowhere near quadratic."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.chunking import cdc_chunks
+
+    sizes = (6_000, 60_000)
+    legs: dict = {}
+    for n in sizes:
+        docs = _dedup_scale_corpus(spark, n)
+        t0 = time.monotonic()
+        agg = (
+            cdc_chunks(docs, w=4, divisor=8)
+            .agg(F.sum("n_chunks"), F.sum("dup_tokens"))
+            .head()
+        )
+        legs[str(n)] = {
+            "n_docs": n,
+            "n_chunks": int(agg[0]),
+            "dup_tokens": int(agg[1]),
+            "t": round(time.monotonic() - t0, 3),
+        }
+    s, l = legs[str(sizes[0])], legs[str(sizes[1])]
+    legs["growth"] = {
+        "data_ratio": round(sizes[1] / sizes[0], 1),
+        "chunk_ratio": round(l["n_chunks"] / max(s["n_chunks"], 1), 2),
+        "t_ratio": round(l["t"] / max(s["t"], 1e-9), 2),
+    }
+    return legs
+
+
 def run_dedup_quality(spark) -> dict:
     """Dedup QUALITY against planted ground truth (measure, don't
     guess): on the growth-curve corpus the true near-dup structure is
@@ -774,6 +808,14 @@ def main() -> None:
         except Exception as e:
             dedup_quality = {"error": f"{type(e).__name__}: {e}"}
 
+    # CDC chunk growth curve (10x data) — new-family scale evidence
+    chunk_scale = None
+    if os.environ.get("BENCH_SKIP_CHUNK_SCALE") != "1":
+        try:
+            chunk_scale = run_chunk_scale(spark)
+        except Exception as e:
+            chunk_scale = {"error": f"{type(e).__name__}: {e}"}
+
     # frontier growth curve (10^6 -> 10^7 rows) — crawl-side scale evidence
     frontier_scale = None
     if os.environ.get("BENCH_SKIP_FRONTIER_SCALE") != "1":
@@ -834,6 +876,7 @@ def main() -> None:
     detail = {
         "crawl": crawl,
         "dedup_scale": dedup_scale,
+        "chunk_scale": chunk_scale,
         "dedup_quality": dedup_quality,
         "frontier_scale": frontier_scale,
         "langid_quality": langid_quality,
