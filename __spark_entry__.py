@@ -2209,10 +2209,10 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=111
-    (> 2W by 11) the worst case is 3 rounds for the 11 least-recently-
+    whatever round r verifies becomes the tail of round r+1. At Q=120
+    (> 2W by 20) the worst case is 3 rounds for the 20 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
-    with no args — run green at 111/111 on 2026-08-19) covers whatever
+    with no args — run green at 120/120 on 2026-08-20) covers whatever
     the window misses."""
     import glob as _glob
     import re as _re

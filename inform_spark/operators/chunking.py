@@ -44,57 +44,83 @@ from pyspark.sql import functions as F
 from inform_spark.operators.textops import _h60, words_col
 
 
+def _let(value, body):
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    feed it to ``body`` as a lambda variable, via a single-element-array
+    ``transform``. Without this, every reference to a subexpression
+    inside a higher-order-function tree re-evaluates the whole subtree
+    per element (HOFs are interpreted, not codegen'd, so no
+    common-subexpression elimination saves us) — measured 100x+ wall
+    cost on this operator before the bindings were added."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def chunk_structs(text_col: str = "text", w: int = 4, divisor: int = 8):
     """array<struct<h:long, tk:long>> of CDC chunks for one document —
     boundary after token e (0-based) iff H60(tokens[e-w+1..e]) % divisor
-    == 0; the final token always ends the last chunk. Pure in-row HOFs."""
-    toks = words_col(text_col)
-    n = F.size(toks)
-    # qualifying boundary END positions (0-based), ascending by
-    # construction; sequence(0, n-w) is empty when n < w
-    ends = F.filter(
-        F.transform(
-            F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
-                F.array().cast("array<int>")
+    == 0; the final token always ends the last chunk. Pure in-row HOFs,
+    with let-bindings so the token array, the boundary list and the
+    closed boundary list each evaluate exactly once per row."""
+
+    def chunks_of(toks, ends_full):
+        def _prev_end(i):
+            # element_at(arr, 0) throws in Spark; when() evaluates
+            # lazily, so the i==1 branch never touches it
+            return F.when(i == 1, F.lit(-1)).otherwise(
+                F.element_at(ends_full, i - 1)
+            )
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ends_full)),
+            lambda i: F.struct(
+                _h60(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            toks,
+                            _prev_end(i) + 2,
+                            F.element_at(ends_full, i) - _prev_end(i),
+                        ),
+                    )
+                ).alias("h"),
+                (F.element_at(ends_full, i) - _prev_end(i))
+                .cast("long")
+                .alias("tk"),
             ),
-            lambda j: F.when(
-                F.pmod(_h60(F.concat_ws(" ", F.slice(toks, j + 1, w))), divisor)
-                == 0,
-                j + w - 1,
-            ).otherwise(F.lit(-1)),
-        ),
-        lambda x: x >= 0,
-    )
-    # the last token always closes the final chunk
-    ends_full = F.when(
-        F.coalesce(F.try_element_at(ends, F.lit(-1)), F.lit(-1)) == n - 1,
-        ends,
-    ).otherwise(F.concat(ends, F.array(n - 1)))
-    def _prev_end(i):
-        # element_at(arr, 0) throws in Spark; when() evaluates lazily,
-        # so the i==1 branch never touches it
-        return F.when(i == 1, F.lit(-1)).otherwise(
-            F.element_at(ends_full, i - 1)
         )
 
-    return F.transform(
-        F.sequence(F.lit(1), F.size(ends_full)),
-        lambda i: F.struct(
-            _h60(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        toks,
-                        _prev_end(i) + 2,
-                        F.element_at(ends_full, i) - _prev_end(i),
-                    ),
-                )
-            ).alias("h"),
-            (F.element_at(ends_full, i) - _prev_end(i))
-            .cast("long")
-            .alias("tk"),
-        ),
-    )
+    def with_toks(toks):
+        n = F.size(toks)
+        # qualifying boundary END positions (0-based), ascending by
+        # construction; sequence(0, n-w) is empty when n < w
+        ends = F.filter(
+            F.transform(
+                F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda j: F.when(
+                    F.pmod(
+                        _h60(F.concat_ws(" ", F.slice(toks, j + 1, w))),
+                        divisor,
+                    )
+                    == 0,
+                    j + w - 1,
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        )
+        # the last token always closes the final chunk
+        ends_full = _let(
+            ends,
+            lambda e: F.when(
+                F.coalesce(F.try_element_at(e, F.lit(-1)), F.lit(-1))
+                == n - 1,
+                e,
+            ).otherwise(F.concat(e, F.array(n - 1))),
+        )
+        return _let(ends_full, lambda ef: chunks_of(toks, ef))
+
+    return _let(words_col(text_col), with_toks)
 
 
 def cdc_chunks(
