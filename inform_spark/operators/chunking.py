@@ -41,18 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import _h60, words_col
-
-
-def _let(value, body):
-    """Expression-level let-binding: evaluate ``value`` ONCE per row and
-    feed it to ``body`` as a lambda variable, via a single-element-array
-    ``transform``. Without this, every reference to a subexpression
-    inside a higher-order-function tree re-evaluates the whole subtree
-    per element (HOFs are interpreted, not codegen'd, so no
-    common-subexpression elimination saves us) — measured 100x+ wall
-    cost on this operator before the bindings were added."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from inform_spark.operators.textops import _h60, hof_let, words_col
 
 
 def chunk_structs(text_col: str = "text", w: int = 4, divisor: int = 8):
@@ -110,7 +99,7 @@ def chunk_structs(text_col: str = "text", w: int = 4, divisor: int = 8):
             lambda x: x >= 0,
         )
         # the last token always closes the final chunk
-        ends_full = _let(
+        ends_full = hof_let(
             ends,
             lambda e: F.when(
                 F.coalesce(F.try_element_at(e, F.lit(-1)), F.lit(-1))
@@ -118,9 +107,9 @@ def chunk_structs(text_col: str = "text", w: int = 4, divisor: int = 8):
                 e,
             ).otherwise(F.concat(e, F.array(n - 1))),
         )
-        return _let(ends_full, lambda ef: chunks_of(toks, ef))
+        return hof_let(ends_full, lambda ef: chunks_of(toks, ef))
 
-    return _let(words_col(text_col), with_toks)
+    return hof_let(words_col(text_col), with_toks)
 
 
 def cdc_chunks(

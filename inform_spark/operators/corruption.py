@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from inform_spark.operators.textops import _h60, words_col
+from inform_spark.operators.textops import _h60, hof_let, words_col
 
 
 def span_corruption_grid(
@@ -43,56 +43,79 @@ def span_corruption_grid(
     ``(p - phase) % stride == 0`` and is sentineled ``<extra_id_k>``."""
     if not 0 < span_len < stride:
         raise ValueError("need 0 < span_len < stride")
-    toks = words_col(text_col)
-    n = F.size(toks)
-    phase = F.pmod(
-        _h60(F.concat(F.lit("corrupt-"), F.col("doc_id").cast("string"))),
-        F.lit(stride),
-    )
+    def body(b):
+        toks = b["t"]
+        phase = b["ph"]
+        n = F.size(toks)
 
-    def rel(p):
-        return p - phase
+        def rel(p):
+            return p - phase
 
-    def is_masked(p):
-        return (p >= phase) & (F.pmod(rel(p), stride) < span_len)
+        def is_masked(p):
+            return (p >= phase) & (F.pmod(rel(p), stride) < span_len)
 
-    def is_start(p):
-        return (p >= phase) & (F.pmod(rel(p), stride) == 0)
+        def is_start(p):
+            return (p >= phase) & (F.pmod(rel(p), stride) == 0)
 
-    def sentinel(p):
-        return F.concat(
-            F.lit("<extra_id_"),
-            F.floor(rel(p) / stride).cast("long").cast("string"),
-            F.lit(">"),
+        def sentinel(p):
+            return F.concat(
+                F.lit("<extra_id_"),
+                F.floor(rel(p) / stride).cast("long").cast("string"),
+                F.lit(">"),
+            )
+
+        pos = F.sequence(F.lit(0), n - 1)
+        input_parts = F.transform(
+            pos,
+            lambda p: F.when(~is_masked(p), F.element_at(toks, p + 1))
+            .when(is_start(p), sentinel(p))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        target_parts = F.transform(
+            pos,
+            lambda p: F.when(
+                is_masked(p),
+                F.concat(
+                    F.when(
+                        is_start(p), F.concat(sentinel(p), F.lit(" "))
+                    ).otherwise(F.lit("")),
+                    F.element_at(toks, p + 1),
+                ),
+            ),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.size(F.filter(pos, is_masked)).cast("long").alias("n_masked"),
+            F.concat_ws(
+                " ", F.filter(input_parts, lambda x: x.isNotNull())
+            ).alias("input_text"),
+            F.concat_ws(
+                " ", F.filter(target_parts, lambda x: x.isNotNull())
+            ).alias("targets_text"),
         )
 
-    pos = F.sequence(F.lit(0), n - 1)
-    input_parts = F.transform(
-        pos,
-        lambda p: F.when(~is_masked(p), F.element_at(toks, p + 1))
-        .when(is_start(p), sentinel(p))
-        .otherwise(F.lit(None).cast("string")),
-    )
-    target_parts = F.transform(
-        pos,
-        lambda p: F.when(
-            is_masked(p),
-            F.concat(
-                F.when(is_start(p), F.concat(sentinel(p), F.lit(" "))).otherwise(
-                    F.lit("")
+    # bind the token array and the per-doc phase ONCE per row (HOF
+    # lambdas re-evaluate referenced subtrees per element otherwise —
+    # the split and the md5 must not run once per token position)
+    bound = hof_let(
+        F.struct(
+            words_col(text_col).alias("t"),
+            F.pmod(
+                _h60(
+                    F.concat(F.lit("corrupt-"), F.col("doc_id").cast("string"))
                 ),
-                F.element_at(toks, p + 1),
-            ),
+                F.lit(stride),
+            ).alias("ph"),
         ),
+        body,
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        F.size(F.filter(pos, is_masked)).cast("long").alias("n_masked"),
-        F.concat_ws(
-            " ", F.filter(input_parts, lambda x: x.isNotNull())
-        ).alias("input_text"),
-        F.concat_ws(
-            " ", F.filter(target_parts, lambda x: x.isNotNull())
-        ).alias("targets_text"),
+        bound.alias("__o"),
+    ).select(
+        "doc_id",
+        F.col("__o.n_tokens").alias("n_tokens"),
+        F.col("__o.n_masked").alias("n_masked"),
+        F.col("__o.input_text").alias("input_text"),
+        F.col("__o.targets_text").alias("targets_text"),
     )
