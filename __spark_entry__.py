@@ -2184,6 +2184,92 @@ def q_contrastive_pairs(spark, sf_dir):
     )
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Seeded global shuffle + token-balanced training shards
+    (operators/shards.seeded_shuffle_shards): the per-epoch
+    deterministic permutation (order key = H60('epoch-0-'||doc_id))
+    every LLM pipeline applies before writing shards, cut into 8
+    shards balanced by TOKEN budget via the distributed prefix-sum
+    kernel — no global window, no rand()."""
+    from inform_spark.operators.shards import seeded_shuffle_shards
+
+    out, _caches = seeded_shuffle_shards(
+        _docs(spark, sf_dir), n_shards=8, seed="epoch-0"
+    )
+    return out
+
+
+def q_media_boilerplate(spark, sf_dir):
+    """Boilerplate-media detection over the interleaved spans
+    (operators/multimodal.media_boilerplate; OBELICS S3.2 logo
+    filter): media occurrences keyed by a synthetic content
+    fingerprint (floor(sqrt(H60(ref) % 64)) — 8 classes of skewed
+    width, standing in for the pHash of operators/multimodal
+    .image_features), flagged when the fingerprint spans >= 60
+    distinct documents."""
+    from inform_spark.operators.multimodal import media_boilerplate
+    from inform_spark.operators.spans import media_manifest
+    from inform_spark.operators.textops import _h60
+
+    occ = media_manifest(_spans_df(spark, sf_dir)).select(
+        "doc_id",
+        "media_ref",
+        F.floor(F.sqrt(F.pmod(_h60(F.col("media_ref")), F.lit(64))))
+        .cast("long")
+        .alias("fingerprint"),
+    )
+    return media_boilerplate(occ, min_docs=60)
+
+
+def q_snapshot_dedup(spark, sf_dir):
+    """Per-snapshot vs global exact-dedup accounting (operators/
+    textops.snapshot_scoped_dedup; the FineWeb S4.4 ablation shape).
+    Cross-snapshot duplicates are synthesized by re-crawling every
+    7th document under a shifted doc_id; snapshot = H60('snap-'||id)
+    % 4 assigns both copies independently."""
+    from inform_spark.operators.textops import _h60, snapshot_scoped_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    recrawl = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    u = docs.unionByName(recrawl).withColumn(
+        "snapshot",
+        F.pmod(
+            _h60(F.concat(F.lit("snap-"), F.col("doc_id").cast("string"))),
+            F.lit(4),
+        ),
+    )
+    return snapshot_scoped_dedup(u)
+
+
+def q_ip_paced_admissions(spark, sf_dir):
+    """Politeness budgeted at the IP, not the hostname (streaming/
+    stateful.ip_paced_admissions; Mercator/IRLbot server-keyed
+    politeness): hosts resolve through a broadcast DNS dim mapping
+    16 hosts per /32 (H60(host) % 16), budget 3 per ip-minute — the
+    host-farm defense the per-host form cannot express."""
+    from inform_spark.streaming.stateful import ip_paced_admissions
+    from inform_spark.operators.textops import _h60
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").cast("string").alias("url"),
+        "ts",
+    )
+    dns = cand.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("10.0.0."),
+            F.pmod(_h60(F.col("host")), F.lit(16)).cast("string"),
+        ).alias("ip"),
+    )
+    return ip_paced_admissions(cand, dns, budget=3, window_ms=60_000)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2198,6 +2284,10 @@ CHANGED_THIS_ROUND = [
     "canonical_clusters",  # new this round
     "span_corruption",  # new this round
     "contrastive_pairs",  # new this round
+    "shuffle_shards",  # new this round
+    "media_boilerplate",  # new this round
+    "snapshot_dedup",  # new this round
+    "ip_paced_admissions",  # new this round
 ]
 
 
@@ -2209,10 +2299,10 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=120
-    (> 2W by 20) the worst case is 3 rounds for the 20 least-recently-
+    whatever round r verifies becomes the tail of round r+1. At Q=124
+    (> 2W by 24) the worst case is 3 rounds for the 24 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
-    with no args — run green at 120/120 on 2026-08-20) covers whatever
+    with no args — run green at 124/124 on 2026-08-21) covers whatever
     the window misses."""
     import glob as _glob
     import re as _re
@@ -2331,6 +2421,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_clusters": q_canonical_clusters,
         "span_corruption": q_span_corruption,
         "contrastive_pairs": q_contrastive_pairs,
+        "shuffle_shards": q_shuffle_shards,
+        "media_boilerplate": q_media_boilerplate,
+        "snapshot_dedup": q_snapshot_dedup,
+        "ip_paced_admissions": q_ip_paced_admissions,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -4042,6 +4136,63 @@ def oracle_sql() -> dict[str, str]:
         "count(*) over () as total from qm) "
         "select doc_id, quality_milli, cast(rank as bigint) as rank, "
         "cast((rank-1)*8 // total as bigint) as shard from r"
+    )
+    h_shuf = _H60_SQL.format(s="'epoch-0-'||cast(doc_id as varchar)")
+    d["shuffle_shards"] = (
+        "with t as (select cast(doc_id as bigint) as doc_id, "
+        "cast(len(string_split(text, ' ')) as bigint) as n_tokens, "
+        f"{h_shuf} as shuffle_key from documents), "
+        "c as (select doc_id, n_tokens, shuffle_key, "
+        "cast(coalesce(sum(n_tokens) over (order by shuffle_key, doc_id "
+        "rows between unbounded preceding and 1 preceding), 0) as bigint) "
+        "as cum_before from t), "
+        "tot as (select sum(n_tokens) as total from t) "
+        "select doc_id, n_tokens, shuffle_key, cum_before, "
+        "cast(cum_before * 8 // total as bigint) as shard from c, tot"
+    )
+    h_fp = _H60_SQL.format(s="media_ref")
+    d["media_boilerplate"] = (
+        f"{_SPANS_CTE}, "
+        "occ as (select doc_id, media_ref, "
+        f"cast(floor(sqrt(({h_fp}) % 64)) as bigint) as fingerprint "
+        "from spans where kind='media'), "
+        "freq as (select fingerprint, cast(count(distinct doc_id) as "
+        "bigint) as doc_freq from occ group by fingerprint) "
+        "select occ.doc_id, occ.media_ref, occ.fingerprint, "
+        "freq.doc_freq, freq.doc_freq >= 60 as is_boilerplate "
+        "from occ join freq using (fingerprint)"
+    )
+    h_snap = _H60_SQL.format(s="'snap-'||cast(doc_id as varchar)")
+    d["snapshot_dedup"] = (
+        "with u as (select cast(doc_id as bigint) as doc_id, text "
+        "from documents union all "
+        "select cast(doc_id + 1000000 as bigint), text from documents "
+        "where doc_id % 7 = 0), "
+        f"s as (select doc_id, text, ({h_snap}) % 4 as snapshot from u), "
+        "scoped as (select snapshot, cast(count(*) as bigint) as n_docs, "
+        "cast(count(distinct text) as bigint) as scoped_survivors "
+        "from s group by snapshot), "
+        "g0 as (select text, min(snapshot * 1073741824 + doc_id) as w "
+        "from s group by text), "
+        "g as (select w // 1073741824 as snapshot, "
+        "cast(count(*) as bigint) as global_survivors from g0 "
+        "group by 1) "
+        "select cast(scoped.snapshot as bigint) as snapshot, "
+        "scoped.n_docs, scoped.scoped_survivors, "
+        "cast(coalesce(g.global_survivors, 0) as bigint) as "
+        "global_survivors from scoped left join g using (snapshot)"
+    )
+    h_ip = _H60_SQL.format(s="host")
+    d["ip_paced_admissions"] = (
+        "with c as (select cast(user_id as varchar) as host, "
+        "cast(event_id as varchar) as url, ts from events), "
+        "d as (select host, url, ts, "
+        f"'10.0.0.' || cast(({h_ip}) % 16 as varchar) as ip, "
+        "epoch_ms(ts) - epoch_ms(ts) % 60000 as window_start_ms from c) "
+        "select ip, host, url, ts, "
+        "cast(window_start_ms as bigint) as window_start_ms, "
+        "row_number() over (partition by ip, window_start_ms "
+        "order by ts, url) <= 3 as admitted from d"
     )
     return d
 

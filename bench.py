@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "canonical_clusters",
     "span_corruption",
     "contrastive_pairs",
+    # round-4 seventh wave
+    "shuffle_shards",
+    "media_boilerplate",
+    "snapshot_dedup",
+    "ip_paced_admissions",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
@@ -917,6 +922,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries_n": len(timings),
         "sf": sf,
         "crawl_pages_per_sec": crawl["pages_per_sec"],
         "crawl_frontier_links_per_sec": crawl["frontier_links_per_sec"],
@@ -930,7 +936,9 @@ def main() -> None:
     line = json.dumps(headline)
     # defensive: the driver captures a 2000-char stdout TAIL and the
     # headline is the last line, so anything <= ~1950 survives intact;
-    # 1900 leaves margin while keeping all ~53 per-query timings visible
+    # past ~75 queries the full map exceeds that, so the headline keeps
+    # the 30 SLOWEST timings (queries_n still reports the full count;
+    # BENCH_DETAIL.json carries every timing)
     if len(line) > 1900:
         headline["queries"] = {
             k: round(v, 1) for k, v in sorted(

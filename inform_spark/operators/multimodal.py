@@ -366,3 +366,48 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
         .repartition(n, F.pmod(F.xxhash64("media_ref"), F.lit(n)))
         .mapInPandas(extract, schema=AUDIO_FEATURES)
     )
+
+
+def media_boilerplate(
+    occurrences: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Boilerplate-media detection: a media asset (logo, tracking
+    pixel, nav sprite) whose content FINGERPRINT occurs in >=
+    ``min_docs`` distinct documents is layout furniture, not content —
+    OBELICS (Laurencon et al. 2023, S3.2) drops exactly this class
+    before image-text training. The reference has no media dedup at
+    all (builder-brief scope).
+
+    ``occurrences`` is one row per media placement —
+    ``(doc_id, media_ref, <fingerprint_col>)`` — where the fingerprint
+    comes from any content-derived hash (the pHash of
+    :func:`image_features`, a sha of the bytes, ...). Returns every
+    occurrence annotated with ``doc_freq`` (distinct docs containing
+    the fingerprint) and ``is_boilerplate``.
+
+    Scale: ONE groupBy on the fingerprint (map-side partial
+    ``approx=false`` distinct-doc count via a two-phase exact
+    aggregate — (fingerprint, doc_id) pre-dedup then count — so a
+    logo in 10^9 docs never concentrates on one reducer as raw rows),
+    then a join back. In a drop-only production pipeline, join back
+    by BROADCASTING only the above-threshold fingerprints (bounded by
+    corpus_docs / min_docs) and anti-joining; the annotated form here
+    keeps ``doc_freq`` on every row for the stats consumers.
+    """
+    fp = F.col(fingerprint_col)
+    # two-phase exact distinct: dedup (fingerprint, doc) first so the
+    # final count aggregates pre-combined rows, not raw occurrences
+    per_doc = (
+        occurrences.select(fp.alias("__fp"), F.col("doc_id")).distinct()
+    )
+    freq = per_doc.groupBy("__fp").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+    out = occurrences.join(
+        freq, occurrences[fingerprint_col] == freq["__fp"], "left"
+    ).drop("__fp")
+    return out.withColumn(
+        "is_boilerplate", F.col("doc_freq") >= F.lit(min_docs)
+    )

@@ -986,3 +986,60 @@ def suffix_prefix_overlap(docs: DataFrame, k: int = 2) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .select("a", "b", "boundary")
     )
+
+
+def snapshot_scoped_dedup(
+    docs: DataFrame, snapshot_col: str = "snapshot"
+) -> DataFrame:
+    """Per-snapshot vs global exact-dedup accounting — the FineWeb
+    ablation shape (Penedo et al. 2024, S4.4: deduplicating each
+    CommonCrawl dump INDIVIDUALLY trains better than one global pass,
+    which concentrates surviving text in the oldest dump). The
+    reference crawls one site at a time and has no cross-snapshot
+    notion (builder-brief scope).
+
+    Input: one row per (doc, crawl snapshot). Output: one row per
+    snapshot with
+    - ``n_docs`` — documents in the snapshot,
+    - ``scoped_survivors`` — survivors when dedup is scoped to the
+      snapshot (distinct texts within it),
+    - ``global_survivors`` — documents of this snapshot that survive a
+      single GLOBAL pass (survivor = min (snapshot, doc_id) per text,
+      so all later snapshots' copies collapse into the earliest).
+
+    ``scoped - global`` is exactly the text the global pass strips
+    from newer snapshots. Scale: two hash groupBys on the text key
+    (both with map-side partial aggregation), one small groupBy per
+    snapshot; no window, no join back to the corpus.
+    """
+    snap = F.col(snapshot_col)
+    scoped = (
+        docs.groupBy(snap.alias("snapshot"), F.col("text"))
+        .agg(F.count("*").alias("__n"))
+        .groupBy("snapshot")
+        .agg(
+            F.count("*").cast("long").alias("scoped_survivors"),
+            F.sum("__n").cast("long").alias("n_docs"),
+        )
+    )
+    global_surv = (
+        docs.groupBy("text")
+        .agg(
+            F.min(
+                F.struct(snap.cast("long").alias("s"), F.col("doc_id").alias("d"))
+            ).alias("w")
+        )
+        .groupBy(F.col("w.s").alias("snapshot"))
+        .agg(F.count("*").cast("long").alias("global_survivors"))
+    )
+    return (
+        scoped.join(global_surv, "snapshot", "left")
+        .select(
+            F.col("snapshot").cast("long").alias("snapshot"),
+            "n_docs",
+            "scoped_survivors",
+            F.coalesce("global_survivors", F.lit(0))
+            .cast("long")
+            .alias("global_survivors"),
+        )
+    )

@@ -461,6 +461,39 @@ AUDITS = {
         "require": ["Scan ExistingRDD"],
         "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
     },
+    # seeded shuffle shards: the prefix-sum kernel's ONE range shuffle
+    # is visible inside the pinned cache's plan (unlike
+    # curriculum_shards, whose localCheckpoint hides it) — that
+    # exchange IS the design; what must never appear is Window/NTILE
+    # machinery or a cartesian
+    "shuffle_shards": {
+        "require": ["InMemoryTableScan"],
+        "forbid": ["Window", "CartesianProduct"],
+    },
+    # boilerplate media: two-phase exact distinct (dedup then count) +
+    # fan-back join — aggregation-only, never a window or cartesian,
+    # and the scan reads only what the span synthesis needs
+    "media_boilerplate": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # snapshot-scoped dedup: two hash groupBys on the text key + a
+    # per-snapshot rollup join — no window, no global sort
+    "snapshot_dedup": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+        "absent_in_readschema": ["source", "lang", "n_chars"],
+    },
+    # per-IP politeness: the DNS dim comes back via BROADCAST (a
+    # SortMergeJoin would shuffle the whole candidate stream for a
+    # host->ip lookup); the admission rank is a per-(ip, window)
+    # Window — partitioned, never global
+    "ip_paced_admissions": {
+        "require": ["BroadcastHashJoin", "Window"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "rangepartitioning"],
+    },
 }
 
 
