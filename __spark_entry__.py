@@ -2270,6 +2270,56 @@ def q_ip_paced_admissions(spark, sf_dir):
     return ip_paced_admissions(cand, dns, budget=3, window_ms=60_000)
 
 
+def q_key_skew_stats(spark, sf_dir):
+    """Key-skew diagnosis (operators/skew.key_skew_stats): exact
+    max/p50/p99 per-key cardinality, hottest key, max/mean ratio and
+    the salting factor that bounds any (key, salt) task at 50 rows —
+    the decision input for AQE-vs-salt-vs-broadcast, computed over
+    histograms (window-free) so the diagnostic itself survives the
+    skew it measures."""
+    from inform_spark.operators.skew import key_skew_stats
+
+    return key_skew_stats(
+        _t(spark, sf_dir, "events"), "user_id", target_rows=50
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Explicit salted skew-join rewrite (operators/skew.salted_join):
+    orders⋈customer on custkey with the fact side spread over 8 salt
+    groups and the dim replicated 8x. The oracle is the PLAIN join —
+    the whole point is byte-identical results with the hot key spread
+    across tasks."""
+    from inform_spark.operators.skew import salted_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+    return salted_join(fact, dim, "custkey", 8, salt_src="o_orderkey")
+
+
+def q_upsample_epochs(spark, sf_dir):
+    """Fractional-epoch upsampling (operators/sampling.upsample_epochs;
+    LLaMA Table-1 shape): src0 at 2.45 epochs, src1 at 0.3, src2
+    dropped, src3 at 1.7, everything else exactly once — deterministic
+    per-document copy counts keyed on the content hash, fanned out by
+    an in-row sequence explode."""
+    from inform_spark.operators.sampling import upsample_epochs
+
+    out = upsample_epochs(
+        _docs(spark, sf_dir),
+        {"src0": 2450, "src1": 300, "src2": 0, "src3": 1700},
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "copy_idx"
+    )
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2288,6 +2338,9 @@ CHANGED_THIS_ROUND = [
     "media_boilerplate",  # new this round
     "snapshot_dedup",  # new this round
     "ip_paced_admissions",  # new this round
+    "key_skew_stats",  # new this round
+    "salted_join",  # new this round
+    "upsample_epochs",  # new this round
 ]
 
 
@@ -2299,10 +2352,10 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=124
-    (> 2W by 24) the worst case is 3 rounds for the 24 least-recently-
+    whatever round r verifies becomes the tail of round r+1. At Q=127
+    (> 2W by 27) the worst case is 3 rounds for the 27 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
-    with no args — run green at 124/124 on 2026-08-21) covers whatever
+    with no args — run green at 124/124 on 2026-08-21, the 3 skew/upsample additions verified individually the same day) covers whatever
     the window misses."""
     import glob as _glob
     import re as _re
@@ -2425,6 +2478,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_boilerplate": q_media_boilerplate,
         "snapshot_dedup": q_snapshot_dedup,
         "ip_paced_admissions": q_ip_paced_admissions,
+        "key_skew_stats": q_key_skew_stats,
+        "salted_join": q_salted_join,
+        "upsample_epochs": q_upsample_epochs,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -4193,6 +4249,47 @@ def oracle_sql() -> dict[str, str]:
         "cast(window_start_ms as bigint) as window_start_ms, "
         "row_number() over (partition by ip, window_start_ms "
         "order by ts, url) <= 3 as admitted from d"
+    )
+    d["key_skew_stats"] = (
+        "with pk as (select cast(user_id as varchar) as k, "
+        "cast(count(*) as bigint) as cnt from events group by 1), "
+        "hist as (select cnt, cast(count(*) as bigint) as nk "
+        "from pk group by cnt), "
+        "cum as (select h1.cnt, cast(sum(h2.nk) as bigint) as cum "
+        "from hist h1 join hist h2 on h2.cnt <= h1.cnt group by h1.cnt), "
+        "tot as (select cast(sum(nk) as bigint) as tot from hist), "
+        "quant as (select cast(min(case when cum*100 >= 50*tot then cnt "
+        "end) as bigint) as p50_key_rows, "
+        "cast(min(case when cum*100 >= 99*tot then cnt end) as bigint) "
+        "as p99_key_rows from cum, tot), "
+        "top as (select cast(sum(cnt) as bigint) as n_rows, "
+        "cast(count(*) as bigint) as n_keys, "
+        "cast(max(cnt) as bigint) as max_key_rows, "
+        "(select max(k) from pk where cnt = (select max(cnt) from pk)) "
+        "as top_key from pk) "
+        "select n_rows, n_keys, max_key_rows, p50_key_rows, "
+        "p99_key_rows, top_key, "
+        "cast((cast(1000 as hugeint) * max_key_rows * n_keys) // n_rows "
+        "as bigint) as skew_ratio_milli, "
+        "cast(greatest(1, (max_key_rows + 49) // 50) as bigint) "
+        "as suggested_salt from top, quant"
+    )
+    d["salted_join"] = (
+        "select cast(o_orderkey as bigint) as o_orderkey, "
+        "cast(o_custkey as bigint) as custkey, "
+        "cast(c_nationkey as bigint) as c_nationkey "
+        "from orders join customer on o_custkey = c_custkey"
+    )
+    h_up = _H60_SQL.format(s="'up-'||cast(doc_id as varchar)")
+    d["upsample_epochs"] = (
+        "with t as (select cast(doc_id as bigint) as doc_id, source, "
+        "case source when 'src0' then 2450 when 'src1' then 300 "
+        "when 'src2' then 0 when 'src3' then 1700 else 1000 end as w, "
+        f"({h_up}) % 1000 as r from documents), "
+        "n as (select doc_id, source, (w // 1000 + case when r < w % "
+        "1000 then 1 else 0 end) as k from t) "
+        "select doc_id, source, cast(u.i as bigint) as copy_idx "
+        "from n, unnest(range(k)) as u(i)"
     )
     return d
 

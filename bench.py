@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "media_boilerplate",
     "snapshot_dedup",
     "ip_paced_admissions",
+    "key_skew_stats",
+    "salted_join",
+    "upsample_epochs",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

@@ -267,3 +267,63 @@ def corpus_mix_sample(
             ).alias("accepted"),
         )
     )
+
+
+def upsample_epochs(
+    docs: DataFrame,
+    epochs_milli: dict[str, int],
+    salt: str = "up",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic FRACTIONAL-EPOCH upsampling — the other half of
+    mixture construction: :func:`corpus_mix_sample` can only shrink a
+    source toward its share; training mixes also REPEAT sources
+    (LLaMA trains ~2.45 epochs of Wikipedia while CommonCrawl gets
+    <1 — Touvron et al. 2023, Table 1). Source s with
+    ``epochs_milli[s] = 2450`` emits 2 copies of every document plus a
+    third for the deterministic 45% of documents with
+    ``H60(salt || '-' || doc_id) % 1000 < 450`` — so the EXACT
+    document multiset is reproducible under any partitioning or
+    engine, unlike rand()-based repetition. Sources absent from the
+    map default to 1000 (one epoch).
+
+    Output: the input row repeated with ``copy_idx`` 0..k-1 (k = 0
+    drops the document — an explicit down-weight-to-nothing).
+    ``copy_idx`` exists so downstream seeded shuffles can place each
+    copy independently (seed the shard permutation with
+    ``doc_id || '#' || copy_idx``).
+
+    Scale: completely narrow — the copy count is in-row integer
+    arithmetic and the fan-out is an in-row sequence explode; no
+    shuffle, no UDF. Corpus growth is exactly
+    sum_s epochs_s * |s| by construction.
+    """
+    emap = F.create_map(
+        *[F.lit(x) for kv in epochs_milli.items() for x in kv]
+    )
+    w = F.coalesce(
+        emap[F.col(source_col)].cast("long"), F.lit(1000).cast("long")
+    )
+    r = F.pmod(
+        h60(
+            F.concat(
+                F.lit(f"{salt}-"), F.col("doc_id").cast("string")
+            )
+        ),
+        F.lit(1000),
+    )
+    k = (
+        F.expr("__w div 1000")
+        + F.when(r < F.pmod(F.col("__w"), F.lit(1000)), 1).otherwise(0)
+    ).cast("int")
+    staged = docs.withColumn("__w", w).withColumn("__k", k)
+    # sequence(0, -1) would infer step -1 and emit [0, -1]; guard the
+    # k == 0 case to an empty array so those documents drop cleanly
+    copies = F.when(
+        F.col("__k") > 0, F.sequence(F.lit(0), F.col("__k") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        staged.withColumn("copy_idx", F.explode(copies))
+        .drop("__w", "__k")
+        .withColumn("copy_idx", F.col("copy_idx").cast("long"))
+    )

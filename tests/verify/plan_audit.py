@@ -494,6 +494,31 @@ AUDITS = {
         "forbid": ["SortMergeJoin", "CartesianProduct",
                    "rangepartitioning"],
     },
+    # skew diagnosis: aggregation over histograms only — the corpus is
+    # touched once by the per-key groupBy; the cumsum/quantile joins
+    # run on tiny count-histogram relations (BroadcastNestedLoopJoin
+    # is fine THERE, the point is no Window and no corpus cartesian)
+    "key_skew_stats": {
+        "require": ["HashAggregate"],
+        "forbid": ["Window", "CartesianProduct", "rangepartitioning"],
+    },
+    # salted join: the dim replication is an in-row Generate (explode),
+    # never a cartesian; no window machinery anywhere. (At sf0.01 the
+    # 8x-replicated dim still broadcasts — at production sizes the same
+    # plan degrades gracefully to a shuffled join on (key, salt), which
+    # is exactly the rewrite's purpose.)
+    "salted_join": {
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+    },
+    # fractional-epoch upsampling: strictly narrow — scan, in-row copy
+    # count, sequence explode, all in ONE codegen span; any exchange
+    # means the fan-out regressed to a shuffle
+    "upsample_epochs": {
+        "require": ["Generate", "codegen id"],
+        "forbid": ["Exchange", "CartesianProduct", "Window"],
+        "absent_in_readschema": ["text", "lang", "n_chars"],
+    },
 }
 
 
