@@ -408,6 +408,11 @@ def media_boilerplate(
     out = occurrences.join(
         freq, occurrences[fingerprint_col] == freq["__fp"], "left"
     ).drop("__fp")
+    # NULL fingerprints (undecodable media) never equi-join: give them
+    # an explicit not-boilerplate verdict instead of a NULL one — a
+    # NULL verdict upstream of a filter would silently drop the row
     return out.withColumn(
+        "doc_freq", F.coalesce("doc_freq", F.lit(0).cast("long"))
+    ).withColumn(
         "is_boilerplate", F.col("doc_freq") >= F.lit(min_docs)
     )

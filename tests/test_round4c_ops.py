@@ -255,3 +255,25 @@ def test_ip_paced_matches_host_form_on_identity_dns(spark):
         for r in paced_admissions_batch(cand, budget=2).collect()
     }
     assert a == b
+
+
+def test_media_boilerplate_null_fingerprint_explicit_false(spark):
+    from inform_spark.operators.multimodal import media_boilerplate
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("fingerprint", LongType()),
+    ])
+    occ = spark.createDataFrame(
+        [("d0", "a", 5), ("d1", "b", None), ("d2", "c", None)], schema
+    )
+    out = {r["media_ref"]: r.asDict() for r in
+           media_boilerplate(occ, min_docs=1).collect()}
+    assert out["a"]["is_boilerplate"] is True
+    # undecodable media: explicit false, never NULL
+    assert out["b"]["is_boilerplate"] is False
+    assert out["b"]["doc_freq"] == 0
