@@ -2320,6 +2320,73 @@ def q_upsample_epochs(spark, sf_dir):
     )
 
 
+def q_dns_resolve(spark, sf_dir):
+    """Batch DNS resolver stage with TTL cache (operators/dns
+    .resolve_hosts; Mercator §3.2 — resolution is a crawl bottleneck,
+    cache it): synthetic frontier hosts against a half-fresh/half-
+    stale cache at a pinned now; fresh rows served from cache, the
+    rest re-resolved by the deterministic fixture resolver and
+    restamped."""
+    from inform_spark.operators.dns import resolve_hosts
+
+    now_ms, ttl = 1_700_000_000_000, 3_600_000
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("user_id"), F.lit(200)).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host")
+    )
+    from inform_spark.operators.textops import _h60
+
+    cache = (
+        hosts.distinct()
+        .filter(F.pmod(_h60(F.concat(F.lit("cache-"), F.col("host"))), F.lit(2)) == 0)
+        .select(
+            "host",
+            F.lit("10.200.0.1").alias("ip"),
+            (
+                F.lit(now_ms)
+                - F.pmod(
+                    _h60(F.concat(F.lit("age-"), F.col("host"))),
+                    F.lit(2 * ttl),
+                )
+            ).cast("long").alias("resolved_at_ms"),
+        )
+    )
+    return resolve_hosts(hosts, cache, now_ms=now_ms, ttl_ms=ttl)
+
+
+def q_pld_budget(spark, sf_dir):
+    """Pay-level-domain rollup (operators/dns.pld_budget_counts;
+    IRLbot STRIKE budgeting — hostnames are free, PLDs cost money):
+    synthetic hosts across .com/.org/.co.uk/.com.au/.github.io,
+    grouped by the in-row longest-public-suffix PLD. The oracle
+    derives each host's expected PLD independently from the
+    construction, so the when-chain is genuinely cross-checked."""
+    from inform_spark.operators.dns import pld_budget_counts
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("user_id"), F.lit(97)).cast("string"),
+            F.element_at(
+                F.array(
+                    F.lit(".example.co.uk"),
+                    F.lit(".github.io"),
+                    F.lit(".example.com"),
+                    F.lit(".foo.org"),
+                    F.lit(".example.com.au"),
+                ),
+                (F.pmod(F.col("user_id"), F.lit(5)) + 1).cast("int"),
+            ),
+        ).alias("host")
+    )
+    return pld_budget_counts(hosts)
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2341,6 +2408,8 @@ CHANGED_THIS_ROUND = [
     "key_skew_stats",  # new this round
     "salted_join",  # new this round
     "upsample_epochs",  # new this round
+    "dns_resolve",  # new this round
+    "pld_budget",  # new this round
 ]
 
 
@@ -2352,8 +2421,8 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=127
-    (> 2W by 27) the worst case is 3 rounds for the 27 least-recently-
+    whatever round r verifies becomes the tail of round r+1. At Q=129
+    (> 2W by 29) the worst case is 3 rounds for the 29 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
     with no args — run green at 124/124 on 2026-08-21, the 3 skew/upsample additions verified individually the same day) covers whatever
     the window misses."""
@@ -2481,6 +2550,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_stats": q_key_skew_stats,
         "salted_join": q_salted_join,
         "upsample_epochs": q_upsample_epochs,
+        "dns_resolve": q_dns_resolve,
+        "pld_budget": q_pld_budget,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -4290,6 +4361,41 @@ def oracle_sql() -> dict[str, str]:
         "1000 then 1 else 0 end) as k from t) "
         "select doc_id, source, cast(u.i as bigint) as copy_idx "
         "from n, unnest(range(k)) as u(i)"
+    )
+    h_dns = _H60_SQL.format(s="'dns-'||host")
+    h_cache = _H60_SQL.format(s="'cache-'||host")
+    h_age = _H60_SQL.format(s="'age-'||host")
+    d["dns_resolve"] = (
+        "with hosts as (select distinct 'h'||cast(user_id % 200 as "
+        "varchar)||'.example.com' as host from events), "
+        f"cache as (select host, '10.200.0.1' as cip, "
+        f"1700000000000 - (({h_age}) % 7200000) as cat "
+        f"from hosts where ({h_cache}) % 2 = 0), "
+        "j as (select hosts.host, cache.cip, cache.cat from hosts "
+        "left join cache using (host)), "
+        "f as (select host, cip, cat, (cat is not null and "
+        "1700000000000 - cat < 3600000) as fresh from j) "
+        "select host, case when fresh then cip else "
+        f"'10.'||cast(({h_dns}) % 256 as varchar)||'.'||"
+        f"cast((({h_dns}) // 256) % 256 as varchar)||'.1' end as ip, "
+        "cast(case when fresh then cat else 1700000000000 end "
+        "as bigint) as resolved_at_ms, fresh as from_cache from f"
+    )
+    d["pld_budget"] = (
+        "with h as (select user_id % 97 as k, user_id % 5 as m "
+        "from events), "
+        "p as (select 'h'||cast(k as varchar)|| (case m when 0 then "
+        "'.example.co.uk' when 1 then '.github.io' when 2 then "
+        "'.example.com' when 3 then '.foo.org' else "
+        "'.example.com.au' end) as host, "
+        # the oracle's PLD comes from the CONSTRUCTION, independently
+        # of the operator's suffix-match chain
+        "case m when 0 then 'example.co.uk' when 1 then "
+        "'h'||cast(k as varchar)||'.github.io' when 2 then "
+        "'example.com' when 3 then 'foo.org' else 'example.com.au' "
+        "end as pld from h) "
+        "select pld, cast(count(distinct host) as bigint) as n_hosts, "
+        "cast(count(*) as bigint) as n_rows from p group by pld"
     )
     return d
 

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "key_skew_stats",
     "salted_join",
     "upsample_epochs",
+    "dns_resolve",
+    "pld_budget",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

@@ -519,6 +519,23 @@ AUDITS = {
         "forbid": ["Exchange", "CartesianProduct", "Window"],
         "absent_in_readschema": ["text", "lang", "n_chars"],
     },
+    # DNS resolver stage: distinct frontier hosts equi-joined against
+    # the TTL cache, resolution in-row — no window, no cartesian (at
+    # sf the cache side broadcasts; at 10^8 hosts it hash-shuffles on
+    # host, the documented plan)
+    "dns_resolve": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
+        "absent_in_readschema": ["event_type", "value"],
+    },
+    # PLD rollup: in-row suffix-chain PLD + one two-phase distinct-host
+    # count — pure aggregation, the scan reads only the key column
+    "pld_budget": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Window", "rangepartitioning",
+                   "Generate"],
+        "absent_in_readschema": ["event_type", "value"],
+    },
 }
 
 
