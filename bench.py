@@ -294,6 +294,108 @@ def run_dedup_scale(spark) -> dict:
     return legs
 
 
+def run_skew_evidence(spark, n_partitions: int = 200) -> dict:
+    """Planted-skew evidence for operators/skew: a 20M-row fact whose
+    hottest key carries 50% of rows, against a 100k-row dim.
+
+    What a single 32-thread box CANNOT show is the hot-task wall-clock
+    itself: a count-join streams the 10M-row hot partition in ~2 s, so
+    every local timing difference is sort/explode overhead noise (we
+    measured exactly that and report the walls for honesty). What it
+    CAN show exactly is the quantity the wall-clock is proportional to
+    on a real cluster — the MAX SHUFFLE PARTITION SIZE: a stage is as
+    slow as its fattest partition, and at 1000 executors the plain
+    join's fattest partition holds 50% of the corpus while 999 slots
+    idle. ``F.hash`` is the same Murmur3 that HashPartitioning uses,
+    so the per-partition row counts below are the real shuffle layout
+    at ``n_partitions`` reducers, computed exactly:
+
+    - ``plain``: partition of ``hash(key)`` — max holds the whole hot
+      key (~10M rows = 50%),
+    - ``salted``: partition of ``hash(key, salt)`` with the
+      key_skew_stats-suggested factor — max must drop to ~1/salt of
+      that (balance ratio ~= suggested_salt).
+
+    Rows are verified identical between the two join forms (the
+    correctness half of the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from inform_spark.operators.skew import key_skew_stats, salted_join
+
+    fact = spark.range(20_000_000).select(
+        F.col("id").alias("fid"),
+        F.when(F.col("id") % 2 == 0, F.lit(777))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .cast("long")
+        .alias("key"),
+    ).persist()
+    dim = spark.range(100_000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("label")
+    )
+    fact.count()
+    out: dict = {}
+    try:
+        t0 = time.monotonic()
+        diag = key_skew_stats(fact, "key", target_rows=1_000_000).head()
+        out["diag"] = {
+            "max_key_rows": diag["max_key_rows"],
+            "skew_ratio_milli": diag["skew_ratio_milli"],
+            "suggested_salt": diag["suggested_salt"],
+            "t": round(time.monotonic() - t0, 3),
+        }
+        n_salt = int(diag["suggested_salt"])
+
+        def max_partition(keys: list) -> int:
+            return (
+                fact.withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64("fid"), F.lit(n_salt)).cast("int"),
+                )
+                .groupBy(
+                    F.pmod(F.hash(*keys), F.lit(n_partitions)).alias("p")
+                )
+                .count()
+                .agg(F.max("count"))
+                .head()[0]
+            )
+
+        plain_max = max_partition(["key"])
+        salted_max = max_partition(["key", "__salt"])
+        out["shuffle_layout"] = {
+            "n_partitions": n_partitions,
+            "plain_max_partition_rows": int(plain_max),
+            "salted_max_partition_rows": int(salted_max),
+            "balance_ratio": round(plain_max / max(salted_max, 1), 2),
+        }
+
+        # correctness + local walls (disclosed: local walls are NOT the
+        # scale story — the hot task streams in seconds on one box)
+        prev_bc = spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10m"
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fact.join(dim, "key").count()  # JIT warm-up, untimed
+            t0 = time.monotonic()
+            n_plain = fact.join(dim, "key").count()
+            t_plain = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            n_salted = salted_join(
+                fact, dim, "key", n_salt, salt_src="fid"
+            ).count()
+            t_salted = round(time.monotonic() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        out["local_walls"] = {
+            "rows_equal": n_plain == n_salted,
+            "plain_t": t_plain,
+            "salted_t": t_salted,
+        }
+    finally:
+        fact.unpersist()
+    return out
+
+
 def run_chunk_scale(spark) -> dict:
     """CDC chunking growth curve at 10x data (same corpus as the dedup
     curve): boundaries/hashes/lengths are in-row and the only shuffles
@@ -834,6 +936,14 @@ def main() -> None:
         except Exception as e:
             frontier_scale = {"error": f"{type(e).__name__}: {e}"}
 
+    # planted-skew join A/B — skew-tooling evidence
+    skew_evidence = None
+    if os.environ.get("BENCH_SKIP_SKEW_EVIDENCE") != "1":
+        try:
+            skew_evidence = run_skew_evidence(spark)
+        except Exception as e:
+            skew_evidence = {"error": f"{type(e).__name__}: {e}"}
+
     # language-ID quality vs planted multilingual truth
     langid_quality = None
     if os.environ.get("BENCH_SKIP_LANGID_QUALITY") != "1":
@@ -889,6 +999,7 @@ def main() -> None:
         "chunk_scale": chunk_scale,
         "dedup_quality": dedup_quality,
         "frontier_scale": frontier_scale,
+        "skew_evidence": skew_evidence,
         "langid_quality": langid_quality,
         "ann_quality": ann_quality,
         "scaling": scaling,
