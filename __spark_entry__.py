@@ -4296,9 +4296,16 @@ def oracle_sql() -> dict[str, str]:
         "select cast(doc_id + 1000000 as bigint), text from documents "
         "where doc_id % 7 = 0), "
         f"s as (select doc_id, text, ({h_snap}) % 4 as snapshot from u), "
-        "scoped as (select snapshot, cast(count(*) as bigint) as n_docs, "
-        "cast(count(distinct text) as bigint) as scoped_survivors "
+        # distinct-pairs CTE, not count(distinct text): the operator
+        # counts a NULL-text group as a survivor, and count(distinct)
+        # would exclude it while the global CTE counts it — asymmetric
+        "sg as (select distinct snapshot, text from s), "
+        "nd as (select snapshot, cast(count(*) as bigint) as n_docs "
         "from s group by snapshot), "
+        "scoped as (select sg.snapshot, nd.n_docs, "
+        "cast(count(*) as bigint) as scoped_survivors "
+        "from sg join nd using (snapshot) group by sg.snapshot, "
+        "nd.n_docs), "
         "g0 as (select text, min(snapshot * 1073741824 + doc_id) as w "
         "from s group by text), "
         "g as (select w // 1073741824 as snapshot, "

@@ -377,17 +377,26 @@ def run_skew_evidence(spark, n_partitions: int = 200) -> dict:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             fact.join(dim, "key").count()  # JIT warm-up, untimed
             t0 = time.monotonic()
-            n_plain = fact.join(dim, "key").count()
+            plain_j = fact.join(dim, "key").select("key", "fid", "label")
+            plain_j.count()
             t_plain = round(time.monotonic() - t0, 3)
             t0 = time.monotonic()
-            n_salted = salted_join(
+            salted_j = salted_join(
                 fact, dim, "key", n_salt, salt_src="fid"
-            ).count()
+            ).select("key", "fid", "label")
+            salted_j.count()
             t_salted = round(time.monotonic() - t0, 3)
+            # true MULTISET equality, not count==count: both
+            # differences must be empty (a defect that drops one row
+            # and duplicates another would pass a cardinality check)
+            identical = (
+                plain_j.exceptAll(salted_j).count() == 0
+                and salted_j.exceptAll(plain_j).count() == 0
+            )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         out["local_walls"] = {
-            "rows_equal": n_plain == n_salted,
+            "rows_identical": identical,
             "plain_t": t_plain,
             "salted_t": t_salted,
         }

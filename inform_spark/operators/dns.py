@@ -82,10 +82,25 @@ def resolve_hosts(
     host many times in one batch."""
     resolver = resolver or default_resolver
     h = hosts.select("host").distinct()
-    c = cache.select(
-        "host",
-        F.col("ip").alias("__cip"),
-        F.col("resolved_at_ms").cast("long").alias("__cat"),
+    # the docstring invites appending the output back to the cache, so
+    # tolerate duplicate host rows there: keep the NEWEST entry per
+    # host (max (resolved_at, ip) — deterministic tie-break), which is
+    # exactly append-then-merge-on-read semantics
+    c = (
+        cache.select(
+            "host",
+            F.struct(
+                F.col("resolved_at_ms").cast("long").alias("at"),
+                F.col("ip").alias("ip"),
+            ).alias("__e"),
+        )
+        .groupBy("host")
+        .agg(F.max("__e").alias("__e"))
+        .select(
+            "host",
+            F.col("__e.ip").alias("__cip"),
+            F.col("__e.at").alias("__cat"),
+        )
     )
     j = h.join(c, "host", "left")
     fresh = (
@@ -128,7 +143,11 @@ def registered_domain_col(
 
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     out = last(2)  # PSL default rule
-    for s in suffixes or PUBLIC_SUFFIXES_2:
+    # build the chain SHORTEST suffix first: later whens override
+    # earlier ones, so with nested suffixes (e.g. both 'co.uk' and a
+    # hypothetical 'x.co.uk') the LONGEST match wins regardless of the
+    # order the caller committed the list in
+    for s in sorted(suffixes or PUBLIC_SUFFIXES_2, key=lambda x: x.count(".")):
         k = s.count(".") + 2  # suffix labels + 1 registrable label
         out = F.when(
             host.endswith("." + s) & (n >= k), last(k)

@@ -140,6 +140,13 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
+    if "__salt" in fact.columns or "__salt" in dim.columns:
+        # the internal column would silently shadow the caller's and
+        # then break the final select — refuse loudly instead
+        raise ValueError(
+            "salted_join reserves the column name '__salt'; rename it "
+            "on the input first"
+        )
     if salt_src is None:
         src = F.xxhash64(*[F.col(c) for c in fact.columns])
     elif isinstance(salt_src, str):

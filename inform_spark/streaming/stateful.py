@@ -113,6 +113,33 @@ def paced_admissions_stream(
     )
 
 
+def _windowed_admissions(
+    df: DataFrame, key_col: str, budget: int, window_ms: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Shared admission kernel for the batch politeness forms: assign
+    the event-time window with pure integer arithmetic (m - m % w —
+    exact, identical to DuckDB's epoch_ms oracle, no double rounding
+    at 1.7e12-ms magnitudes) and rank (ts, url) within each
+    (key, window) group. ONE implementation so the host- and IP-keyed
+    forms can never drift in their window math."""
+    from pyspark.sql import Window
+
+    m = F.unix_millis(F.col("ts").cast("timestamp"))
+    win_ms = m - (m % F.lit(window_ms))
+    w = Window.partitionBy(key_col, "window_start_ms").orderBy("ts", "url")
+    return (
+        df.withColumn("window_start_ms", win_ms)
+        .withColumn("admitted", F.row_number().over(w) <= F.lit(budget))
+        .select(
+            *out_cols,
+            F.col("ts").cast("timestamp").alias("ts"),
+            "window_start_ms",
+            "admitted",
+        )
+    )
+
+
 def paced_admissions_batch(
     candidates: DataFrame,
     budget: int = 3,
@@ -121,25 +148,8 @@ def paced_admissions_batch(
     """Batch form: identical output on in-order input, one shuffle on
     (host, window); the per-(host, window) window never collapses to a
     single global partition."""
-    from pyspark.sql import Window
-
-    # pure integer arithmetic (m - m % w): exact, and identical to DuckDB's
-    # epoch_ms-based oracle — no double rounding at 1.7e12-ms magnitudes
-    m = F.unix_millis(F.col("ts").cast("timestamp"))
-    win_ms = m - (m % F.lit(window_ms))
-    w = Window.partitionBy("host", "window_start_ms").orderBy("ts", "url")
-    return (
-        candidates.withColumn("window_start_ms", win_ms)
-        .withColumn(
-            "admitted", F.row_number().over(w) <= F.lit(budget)
-        )
-        .select(
-            "host",
-            "url",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "window_start_ms",
-            "admitted",
-        )
+    return _windowed_admissions(
+        candidates, "host", budget, window_ms, ["host", "url"]
     )
 
 
@@ -166,27 +176,24 @@ def ip_paced_admissions(
     budget — never admit-by-accident into a shared bucket).
 
     Output = ``paced_admissions_batch``'s contract plus the ``ip``
-    column, decided per (ip, window) in (ts, url) order. One broadcast
-    join + one shuffle on (ip, window); same skew note as the host
-    form — feed it the salted per-host pre-rank at frontier scale.
+    column, decided per (ip, window) in (ts, url) order (the window
+    math is the SHARED ``_windowed_admissions`` kernel — the two forms
+    cannot drift). One broadcast join + one shuffle on (ip, window);
+    same skew note as the host form — feed it the salted per-host
+    pre-rank at frontier scale. ``candidates`` must not already carry
+    an ``ip`` column (refused loudly — the dns join would make every
+    downstream ``ip`` reference ambiguous).
     """
-    from pyspark.sql import Window
-
-    joined = candidates.join(
-        F.broadcast(dns.select("host", "ip")), "host", "left"
-    ).withColumn("ip", F.coalesce(F.col("ip"), F.col("host")))
-    m = F.unix_millis(F.col("ts").cast("timestamp"))
-    win_ms = m - (m % F.lit(window_ms))
-    w = Window.partitionBy("ip", "window_start_ms").orderBy("ts", "url")
-    return (
-        joined.withColumn("window_start_ms", win_ms)
-        .withColumn("admitted", F.row_number().over(w) <= F.lit(budget))
-        .select(
-            "ip",
-            "host",
-            "url",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "window_start_ms",
-            "admitted",
+    if "ip" in candidates.columns:
+        raise ValueError(
+            "ip_paced_admissions derives the 'ip' column from the dns "
+            "dim; rename the candidates' existing 'ip' column first"
         )
+    joined = candidates.join(
+        F.broadcast(dns.select("host", F.col("ip").alias("__dns_ip"))),
+        "host",
+        "left",
+    ).withColumn("ip", F.coalesce(F.col("__dns_ip"), F.col("host")))
+    return _windowed_admissions(
+        joined, "ip", budget, window_ms, ["ip", "host", "url"]
     )

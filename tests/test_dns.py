@@ -92,3 +92,33 @@ def test_pld_budget_counts(spark):
     assert out["spam.co.uk"]["n_rows"] == 10
     assert out["real.com"]["n_hosts"] == 1
     assert out["real.com"]["n_rows"] == 3
+
+
+def test_registered_domain_longest_match_any_list_order(spark):
+    from inform_spark.operators.dns import registered_domain_col
+
+    # nested suffixes, committed LONGEST-first: the longest must still
+    # win (the chain is built shortest-first internally)
+    df = spark.createDataFrame([Row(host="a.b.x.co.uk")])
+    got = df.select(
+        registered_domain_col("host", suffixes=["x.co.uk", "co.uk"])
+    ).collect()[0]["pld"]
+    assert got == "b.x.co.uk"
+
+
+def test_resolve_hosts_merges_duplicate_cache_rows(spark):
+    from inform_spark.operators.dns import resolve_hosts
+
+    hosts = spark.createDataFrame([Row(host="a.test")])
+    # append-style cache with two rows for one host: newest wins, and
+    # the output stays one-row-per-host
+    cache = spark.createDataFrame(
+        [
+            Row(host="a.test", ip="1.1.1.1", resolved_at_ms=NOW - 100),
+            Row(host="a.test", ip="2.2.2.2", resolved_at_ms=NOW - 50),
+        ]
+    )
+    rows = resolve_hosts(hosts, cache, now_ms=NOW, ttl_ms=TTL).collect()
+    assert len(rows) == 1
+    assert rows[0]["ip"] == "2.2.2.2"
+    assert rows[0]["from_cache"] is True

@@ -277,3 +277,35 @@ def test_media_boilerplate_null_fingerprint_explicit_false(spark):
     # undecodable media: explicit false, never NULL
     assert out["b"]["is_boilerplate"] is False
     assert out["b"]["doc_freq"] == 0
+
+
+def test_ip_paced_rejects_preexisting_ip_column(spark):
+    import pytest
+    from inform_spark.streaming.stateful import ip_paced_admissions
+
+    cand = spark.createDataFrame(
+        [Row(host="x", url="a", ts=_ts(0), ip="9.9.9.9")]
+    )
+    dns = spark.createDataFrame([Row(host="x", ip="10.0.0.1")])
+    with pytest.raises(ValueError, match="ip"):
+        ip_paced_admissions(cand, dns)
+
+
+def test_snapshot_dedup_null_text_counts_as_survivor(spark):
+    from inform_spark.operators.textops import snapshot_scoped_dedup
+
+    rows = [
+        Row(doc_id=1, text=None, snapshot=0),
+        Row(doc_id=2, text=None, snapshot=1),
+        Row(doc_id=3, text="A", snapshot=1),
+    ]
+    out = {
+        r["snapshot"]: r.asDict()
+        for r in snapshot_scoped_dedup(spark.createDataFrame(rows)).collect()
+    }
+    # NULL text is a dedup class like any other: one scoped survivor
+    # per snapshot, one global survivor in the earliest snapshot
+    assert out[0]["scoped_survivors"] == 1
+    assert out[1]["scoped_survivors"] == 2
+    assert out[0]["global_survivors"] == 1
+    assert out[1]["global_survivors"] == 1

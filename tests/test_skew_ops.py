@@ -175,3 +175,13 @@ def test_upsample_epochs_identity_default(spark):
     rows = upsample_epochs(docs, {"other": 5000}).collect()
     assert len(rows) == 10
     assert all(r["copy_idx"] == 0 for r in rows)
+
+
+def test_salted_join_rejects_reserved_column(spark):
+    from inform_spark.operators.skew import salted_join
+
+    fact, dim = _fact_dim(spark)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact.withColumn("__salt", F.lit(1)), dim, "key", 4)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim.withColumn("__salt", F.lit(1)), "key", 4)
