@@ -2424,7 +2424,7 @@ def _verification_order(names) -> list[str]:
     whatever round r verifies becomes the tail of round r+1. At Q=129
     (> 2W by 29) the worst case is 3 rounds for the 29 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
-    with no args — run green at 124/124 on 2026-08-21, the 3 skew/upsample additions verified individually the same day) covers whatever
+    with no args — run green at 129/129 on 2026-08-21, after the review-fix pass) covers whatever
     the window misses."""
     import glob as _glob
     import re as _re
