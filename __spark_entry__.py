@@ -2387,6 +2387,33 @@ def q_pld_budget(spark, sf_dir):
     return pld_budget_counts(hosts)
 
 
+def q_epoch_shards(spark, sf_dir):
+    """The composed epoch pipeline the two operators document:
+    fractional-epoch upsampling fans each document into copies, then
+    the seeded shuffle shards each copy INDEPENDENTLY under the
+    promised ``doc_id || '#' || copy_idx`` permutation key — the
+    oracle composes both SQL forms, so the composition contract
+    (copies of one document land in unrelated shard positions) is
+    itself driver-checked."""
+    from inform_spark.operators.sampling import upsample_epochs
+    from inform_spark.operators.shards import seeded_shuffle_shards
+
+    up = upsample_epochs(
+        _docs(spark, sf_dir),
+        {"src0": 2450, "src1": 300, "src2": 0, "src3": 1700},
+    )
+    keyed = up.select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("copy_idx").cast("string"),
+        ).alias("doc_id"),
+        "text",
+    )
+    out, _caches = seeded_shuffle_shards(keyed, n_shards=8, seed="epoch-0")
+    return out
+
+
 CHANGED_THIS_ROUND = [
     "semdedup",           # exact-identical-vector pre-collapse
     "exact_substring_dedup",  # 2x60-bit window hashes
@@ -2410,6 +2437,7 @@ CHANGED_THIS_ROUND = [
     "upsample_epochs",  # new this round
     "dns_resolve",  # new this round
     "pld_budget",  # new this round
+    "epoch_shards",  # new this round
 ]
 
 
@@ -2421,8 +2449,8 @@ def _verification_order(names) -> list[str]:
     or changed-this-round first, then ascending last-verified round,
     then name). With W=50 and Q<=2W queries this guarantees every query
     gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=129
-    (> 2W by 29) the worst case is 3 rounds for the 29 least-recently-
+    whatever round r verifies becomes the tail of round r+1. At Q=130
+    (> 2W by 30) the worst case is 3 rounds for the 30 least-recently-
     verified queries; the full local sweep (tests/verify/check_oracle.py
     with no args — run green at 129/129 on 2026-08-21, after the review-fix pass) covers whatever
     the window misses."""
@@ -2552,6 +2580,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_epochs": q_upsample_epochs,
         "dns_resolve": q_dns_resolve,
         "pld_budget": q_pld_budget,
+        "epoch_shards": q_epoch_shards,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -4403,6 +4432,30 @@ def oracle_sql() -> dict[str, str]:
         "end as pld from h) "
         "select pld, cast(count(distinct host) as bigint) as n_hosts, "
         "cast(count(*) as bigint) as n_rows from p group by pld"
+    )
+    h_up2 = _H60_SQL.format(s="'up-'||cast(doc_id as varchar)")
+    h_es = _H60_SQL.format(s="'epoch-0-'||key")
+    d["epoch_shards"] = (
+        # stage 1: the upsample CTE chain, carrying text through
+        "with t as (select cast(doc_id as bigint) as doc_id, text, "
+        "case source when 'src0' then 2450 when 'src1' then 300 "
+        "when 'src2' then 0 when 'src3' then 1700 else 1000 end as w, "
+        f"({h_up2}) % 1000 as r from documents), "
+        "n as (select doc_id, text, (w // 1000 + case when r < w % "
+        "1000 then 1 else 0 end) as k from t), "
+        "e as (select cast(doc_id as varchar)||'#'||cast(u.i as "
+        "varchar) as key, text from n, unnest(range(k)) as u(i)), "
+        # stage 2: the seeded shuffle-shard chain over the copies
+        "s as (select key, cast(len(string_split(text, ' ')) as "
+        "bigint) as n_tokens, "
+        f"{h_es} as shuffle_key from e), "
+        "c as (select key, n_tokens, shuffle_key, "
+        "cast(coalesce(sum(n_tokens) over (order by shuffle_key, key "
+        "rows between unbounded preceding and 1 preceding), 0) as "
+        "bigint) as cum_before from s), "
+        "tot as (select sum(n_tokens) as total from s) "
+        "select key as doc_id, n_tokens, shuffle_key, cum_before, "
+        "cast(cum_before * 8 // total as bigint) as shard from c, tot"
     )
     return d
 

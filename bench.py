@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "upsample_epochs",
     "dns_resolve",
     "pld_budget",
+    "epoch_shards",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit

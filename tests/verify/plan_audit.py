@@ -528,6 +528,12 @@ AUDITS = {
         "forbid": ["CartesianProduct", "Window", "rangepartitioning"],
         "absent_in_readschema": ["event_type", "value"],
     },
+    # composed epoch pipeline: upsample explode + the shard kernel's
+    # pinned cache — still no Window/NTILE machinery anywhere
+    "epoch_shards": {
+        "require": ["InMemoryTableScan"],
+        "forbid": ["Window", "CartesianProduct"],
+    },
     # PLD rollup: in-row suffix-chain PLD + one two-phase distinct-host
     # count — pure aggregation, the scan reads only the key column
     "pld_budget": {
