@@ -50,6 +50,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Caches returned by the two-phase rank/cumsum operators (their contract:
+# caller unpersists AFTER the output materializes — unpersisting earlier
+# would let the range partitioner re-sample and drift the collected
+# partition bases). Queries that use those operators park the caches
+# here; bench.py and tests/verify/check_oracle.py call release_caches()
+# after each query's result is collected, so persisted inputs never pin
+# executor storage past the query that needed them.
+_PINNED_CACHES: list[DataFrame] = []
+
+
+def _pin_caches(caches: list[DataFrame]) -> None:
+    _PINNED_CACHES.extend(caches)
+
+
+def release_caches() -> None:
+    """Unpersist every cache parked by queries since the last call.
+    Safe once the corresponding results are materialized; idempotent."""
+    while _PINNED_CACHES:
+        c = _PINNED_CACHES.pop()
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+
+
 def _docs(spark, sf_dir):
     return _t(spark, sf_dir, "documents")
 
@@ -138,9 +163,10 @@ def q_o3_rank_cap(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     top = ev.orderBy("ts", "event_id").limit(100)
-    ranked, _caches = distributed_row_number(
+    ranked, caches = distributed_row_number(
         top, [F.col("ts").asc(), F.col("event_id").asc()], out_col="rk"
     )
+    _pin_caches(caches)
     return ranked.select("event_id", "rk")
 
 
@@ -202,9 +228,10 @@ def q_pack_sequences(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("tok"),
     )
-    out, _caches = pack_sequences(
+    out, caches = pack_sequences(
         docs, "tok", [F.col("doc_id").asc()], seq_len=2048
     )
+    _pin_caches(caches)
     return out.select(
         "doc_id", "tok", "cum_before", "seq_first", "seq_last",
         "offset_in_seq", "n_seqs",
@@ -1250,9 +1277,10 @@ def q_pack_sequences_subword(spark, sf_dir):
     counts = subword_token_counts(_docs(spark, sf_dir)).select(
         "doc_id", F.col("n_subword_tokens").alias("tok")
     )
-    out, _caches = pack_sequences(
+    out, caches = pack_sequences(
         counts, "tok", [F.col("doc_id").asc()], seq_len=512
     )
+    _pin_caches(caches)
     return out.select(
         "doc_id", "tok", "cum_before", "seq_first", "seq_last",
         "offset_in_seq", "n_seqs",
@@ -2193,9 +2221,10 @@ def q_shuffle_shards(spark, sf_dir):
     kernel — no global window, no rand()."""
     from inform_spark.operators.shards import seeded_shuffle_shards
 
-    out, _caches = seeded_shuffle_shards(
+    out, caches = seeded_shuffle_shards(
         _docs(spark, sf_dir), n_shards=8, seed="epoch-0"
     )
+    _pin_caches(caches)
     return out
 
 
@@ -2410,34 +2439,16 @@ def q_epoch_shards(spark, sf_dir):
         ).alias("doc_id"),
         "text",
     )
-    out, _caches = seeded_shuffle_shards(keyed, n_shards=8, seed="epoch-0")
+    out, caches = seeded_shuffle_shards(keyed, n_shards=8, seed="epoch-0")
+    _pin_caches(caches)
     return out
 
 
 CHANGED_THIS_ROUND = [
-    "semdedup",           # exact-identical-vector pre-collapse
-    "exact_substring_dedup",  # 2x60-bit window hashes
-    "badword_filter",     # word-only gate without a source column
-    "curation_verdicts",  # composes badword_filter
-    "cdc_chunks",         # new this round
-    "soft404_detect",     # new this round
-    "curriculum_shards",  # new this round
-    "host_mirror_pairs",  # new this round
-    "recrawl_delta_cost",  # new this round
-    "resolve_redirects",  # new this round
-    "canonical_clusters",  # new this round
-    "span_corruption",  # new this round
-    "contrastive_pairs",  # new this round
-    "shuffle_shards",  # new this round
-    "media_boilerplate",  # new this round
-    "snapshot_dedup",  # new this round
-    "ip_paced_admissions",  # new this round
-    "key_skew_stats",  # new this round
-    "salted_join",  # new this round
-    "upsample_epochs",  # new this round
-    "dns_resolve",  # new this round
-    "pld_budget",  # new this round
-    "epoch_shards",  # new this round
+    # round 5
+    "snapshot_dedup",  # snapshot key keeps native type (ADVICE r4)
+    "ip_paced_admissions",  # dns dim merge-on-read dedup (ADVICE r4)
+    "epoch_shards",  # upsample_epochs reserved-column guard upstream
 ]
 
 
@@ -2474,8 +2485,18 @@ def _verification_order(names) -> list[str]:
                 last[k] = max(last[k], rnd)
 
     def key(n: str):
-        urgent = last[n] < 0 or n in CHANGED_THIS_ROUND
-        return (0 if urgent else 1, last[n] if not urgent else -1, n)
+        # never-driver-verified sorts STRICTLY before changed-this-round
+        # (VERDICT r4 item 2): a query with zero driver rows is the
+        # bigger evidence gap than one whose green row merely went
+        # stale, so a large changed-set can never push debutants out of
+        # the 50-row window again.
+        if last[n] < 0:
+            tier = 0
+        elif n in CHANGED_THIS_ROUND:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, last[n], n)
 
     return sorted(names, key=key)
 

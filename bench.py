@@ -911,6 +911,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         _ = n
+        # rank/cumsum-backed queries park persisted inputs; free them
+        # now that this query's result is materialized
+        entrymod.release_caches()
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
 

@@ -298,6 +298,14 @@ def upsample_epochs(
     shuffle, no UDF. Corpus growth is exactly
     sum_s epochs_s * |s| by construction.
     """
+    reserved = {"__w", "__k", "copy_idx"} & set(docs.columns)
+    if reserved:
+        raise ValueError(
+            "upsample_epochs writes reserved columns "
+            f"{sorted(reserved)} which already exist on the input "
+            "(e.g. an already-upsampled frame) — rename or drop them "
+            "first"
+        )
     emap = F.create_map(
         *[F.lit(x) for kv in epochs_milli.items() for x in kv]
     )

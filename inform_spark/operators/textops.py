@@ -1012,6 +1012,13 @@ def snapshot_scoped_dedup(
     (both with map-side partial aggregation), one small groupBy per
     snapshot; no window, no join back to the corpus.
     """
+    # the snapshot key keeps its NATIVE type end to end: real
+    # CommonCrawl dump labels are strings ('CC-MAIN-2024-10'), and a
+    # cast('long') would turn every label into NULL — collapsing all
+    # global survivors into one NULL group while scoped counts stayed
+    # per-snapshot (silently inconsistent output). Struct-min compares
+    # strings lexically, which IS chronological for zero-padded dump
+    # labels and exact for numeric snapshots.
     snap = F.col(snapshot_col)
     scoped = (
         docs.groupBy(snap.alias("snapshot"), F.col("text"))
@@ -1026,7 +1033,7 @@ def snapshot_scoped_dedup(
         docs.groupBy("text")
         .agg(
             F.min(
-                F.struct(snap.cast("long").alias("s"), F.col("doc_id").alias("d"))
+                F.struct(snap.alias("s"), F.col("doc_id").alias("d"))
             ).alias("w")
         )
         .groupBy(F.col("w.s").alias("snapshot"))
@@ -1035,7 +1042,7 @@ def snapshot_scoped_dedup(
     return (
         scoped.join(global_surv, "snapshot", "left")
         .select(
-            F.col("snapshot").cast("long").alias("snapshot"),
+            "snapshot",
             "n_docs",
             "scoped_survivors",
             F.coalesce("global_survivors", F.lit(0))

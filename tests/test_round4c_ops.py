@@ -309,3 +309,82 @@ def test_snapshot_dedup_null_text_counts_as_survivor(spark):
     assert out[1]["scoped_survivors"] == 2
     assert out[0]["global_survivors"] == 1
     assert out[1]["global_survivors"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE fixes: string snapshot labels, dns merge-on-read,
+# upsample reserved-column guard
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_dedup_string_dump_labels(spark):
+    """Real CommonCrawl dump labels are strings; the snapshot key must
+    keep its native type (a cast('long') would NULL every label and
+    collapse all global survivors into one group)."""
+    from inform_spark.operators.textops import snapshot_scoped_dedup
+
+    rows = [
+        Row(doc_id=1, text="A", snapshot="CC-MAIN-2024-10"),
+        Row(doc_id=2, text="A", snapshot="CC-MAIN-2024-18"),
+        Row(doc_id=3, text="B", snapshot="CC-MAIN-2024-18"),
+    ]
+    out = {
+        r["snapshot"]: r.asDict()
+        for r in snapshot_scoped_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert set(out) == {"CC-MAIN-2024-10", "CC-MAIN-2024-18"}
+    # A's global survivor lives in the lexically-earliest dump
+    assert out["CC-MAIN-2024-10"]["global_survivors"] == 1
+    assert out["CC-MAIN-2024-18"]["global_survivors"] == 1
+    assert out["CC-MAIN-2024-18"]["scoped_survivors"] == 2
+
+
+def test_ip_paced_duplicate_dns_rows_no_fanout(spark):
+    """An append-style dns cache holds several rows per host; the join
+    must merge-on-read (newest resolved_at_ms wins) instead of fanning
+    candidates out and double-spending the budget."""
+    from inform_spark.streaming.stateful import ip_paced_admissions
+
+    cand = spark.createDataFrame(
+        [Row(host="x.example", url=f"u{i}", ts=_ts(i)) for i in range(3)]
+    )
+    dns = spark.createDataFrame(
+        [
+            Row(host="x.example", ip="10.0.0.1", resolved_at_ms=1000),
+            Row(host="x.example", ip="10.0.0.2", resolved_at_ms=2000),
+        ]
+    )
+    rows = ip_paced_admissions(cand, dns, budget=2, window_ms=60_000).collect()
+    # no fan-out: exactly one output row per candidate
+    assert len(rows) == 3
+    out = {r["url"]: r.asDict() for r in rows}
+    # newest cache entry wins
+    assert all(r["ip"] == "10.0.0.2" for r in rows)
+    # budget spent once, not per-duplicate
+    assert [out[f"u{i}"]["admitted"] for i in range(3)] == [True, True, False]
+
+
+def test_ip_paced_duplicate_dns_rows_without_timestamp(spark):
+    """A bare (host, ip) dim with duplicate hosts still merges to one
+    deterministic row (max ip tie-break), never fans out."""
+    from inform_spark.streaming.stateful import ip_paced_admissions
+
+    cand = spark.createDataFrame([Row(host="x", url="a", ts=_ts(0))])
+    dns = spark.createDataFrame(
+        [Row(host="x", ip="10.0.0.1"), Row(host="x", ip="10.0.0.9")]
+    )
+    rows = ip_paced_admissions(cand, dns, budget=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["ip"] == "10.0.0.9"
+
+
+def test_upsample_epochs_rejects_reserved_columns(spark):
+    import pytest
+
+    from inform_spark.operators.sampling import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="1", source="s", text="t", copy_idx=0)]
+    )
+    with pytest.raises(ValueError, match="copy_idx"):
+        upsample_epochs(docs, {"s": 2000})

@@ -75,6 +75,9 @@ def main(selected):
         cols = df.columns
         rows = [tuple(r) for r in df.collect()]
         spark_wall = time.monotonic() - t0
+        release = getattr(entrymod, "release_caches", None)
+        if release:
+            release()
         if name not in oracles:
             print(f"{name:24s} rows={len(rows):6d} ({spark_wall:5.1f}s) [rows-only, no oracle]")
             if len(rows) == 0:
