@@ -1016,6 +1016,53 @@ def q_multimodal_image_meta(spark, sf_dir):
     )
 
 
+def _phash_feats(spark, sf_dir):
+    """Deterministic phash features over documents for the near-dup
+    oracles: group g = doc_id div 7 shares a base hash H60('ph-'||g);
+    member doc_id % 7 == 1 flips bit (g % 59) — one hamming-1 neighbor
+    per ~6-member identical group. Reproducible bit-for-bit in DuckDB
+    (xor / shift / bit_count are ANSI-expressible)."""
+    from inform_spark.operators.textops import _h60
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("i")
+    ).withColumn("g", F.expr("i div 7"))
+    base = _h60(F.concat(F.lit("ph-"), F.col("g").cast("string")))
+    flip = F.when(
+        F.pmod(F.col("i"), F.lit(7)) == 1,
+        F.expr("shiftleft(cast(1 as bigint), cast(pmod(g, 59) as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return d.select(
+        F.concat(F.lit("m"), F.col("i").cast("string")).alias("media_ref"),
+        base.bitwiseXOR(flip).alias("phash"),
+    )
+
+
+def q_phash_neardup_pairs(spark, sf_dir):
+    """Exact image near-dup pairs by perceptual hash (operators/
+    multimodal.near_dup_by_phash, round-5 rewrite): identical phashes
+    pre-collapse to one representative before the 4x16-bit band join,
+    so a hot logo is one band row, not a quadratic bucket clique; the
+    exact pair expansion is output-size-bound."""
+    from inform_spark.operators import multimodal
+
+    return multimodal.near_dup_by_phash(
+        _phash_feats(spark, sf_dir), hamming_max=2
+    )
+
+
+def q_phash_neardup_stars(spark, sf_dir):
+    """Star-edge form of the phash near-dup graph (operators/multimodal
+    .phash_neardup_stars): identical connected components at O(n)
+    edges — the clustering-consumer shape (same discipline as
+    textops.star_pairs_from_bands)."""
+    from inform_spark.operators import multimodal
+
+    return multimodal.phash_neardup_stars(
+        _phash_feats(spark, sf_dir), hamming_max=2
+    )
+
+
 def q_w1_tumbling_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming-capable op: same plan
     runs under readStream + watermark — see inform_spark/streaming)."""
@@ -2449,6 +2496,8 @@ CHANGED_THIS_ROUND = [
     "snapshot_dedup",  # snapshot key keeps native type (ADVICE r4)
     "ip_paced_admissions",  # dns dim merge-on-read dedup (ADVICE r4)
     "epoch_shards",  # upsample_epochs reserved-column guard upstream
+    "phash_neardup_pairs",  # new this round
+    "phash_neardup_stars",  # new this round
 ]
 
 
@@ -2602,6 +2651,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_resolve": q_dns_resolve,
         "pld_budget": q_pld_budget,
         "epoch_shards": q_epoch_shards,
+        "phash_neardup_pairs": q_phash_neardup_pairs,
+        "phash_neardup_stars": q_phash_neardup_stars,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
         "crawl_seen_order": q_crawl_seen_order,
@@ -4477,6 +4528,34 @@ def oracle_sql() -> dict[str, str]:
         "tot as (select sum(n_tokens) as total from s) "
         "select key as doc_id, n_tokens, shuffle_key, cum_before, "
         "cast(cum_before * 8 // total as bigint) as shard from c, tot"
+    )
+    # ---- round-5 additions --------------------------------------------
+    h_ph = _H60_SQL.format(s="'ph-'||cast(g as varchar)")
+    phash_cte = (
+        "with b as (select cast(doc_id as bigint) as i, "
+        "cast(doc_id as bigint) // 7 as g from documents), "
+        "f as (select 'm'||cast(i as varchar) as media_ref, "
+        f"xor(({h_ph}), case when i % 7 = 1 then "
+        "(cast(1 as bigint) << cast(g % 59 as int)) else "
+        "cast(0 as bigint) end) as phash from b)"
+    )
+    d["phash_neardup_pairs"] = (
+        f"{phash_cte} "
+        "select x.media_ref as a, y.media_ref as b, "
+        "cast(bit_count(xor(x.phash, y.phash)) as int) as hamming "
+        "from f x join f y on x.media_ref < y.media_ref "
+        "where bit_count(xor(x.phash, y.phash)) <= 2"
+    )
+    d["phash_neardup_stars"] = (
+        f"{phash_cte}, "
+        "g as (select phash, min(media_ref) as rep from f group by phash), "
+        "intra as (select rep as a, media_ref as b from f "
+        "join g using (phash) where media_ref <> rep), "
+        "rp as (select g1.rep as r1, g2.rep as r2 from g g1 "
+        "join g g2 on g1.phash < g2.phash "
+        "where bit_count(xor(g1.phash, g2.phash)) <= 2) "
+        "select a, b from intra union all "
+        "select least(r1, r2) as a, greatest(r1, r2) as b from rp"
     )
     return d
 

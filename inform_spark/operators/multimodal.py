@@ -267,13 +267,15 @@ def sample_frames_stub(media: DataFrame, every_ms: int = 1000, n_frames: int = 4
     )
 
 
-def near_dup_by_phash(features: DataFrame, hamming_max: int = 4) -> DataFrame:
-    """Near-duplicate images by perceptual-hash band bucketing: split the
-    64-bit phash into 4 x 16-bit bands; candidates share >= 1 band
-    (pigeonhole guarantees recall for hamming distance <= 3 across 4 bands);
-    exact popcount filter on candidates. Never an O(n^2) cross join."""
-    bands = features.select(
-        "media_ref",
+def _phash_band_keys(reps: DataFrame) -> DataFrame:
+    """4 x 16-bit band keys per DISTINCT phash (input must already be
+    the distinct-phash relation): candidates for hamming <= 3 share at
+    least one band by pigeonhole. Banding DISTINCT hashes — not images —
+    is the pre-collapse that keeps a hot logo (10^5 byte-identical
+    copies, one phash) a single band row instead of a 10^10-pair
+    bucket clique (the r4 scale-killer, fixed with the same discipline
+    as textops.star_pairs_from_bands)."""
+    return reps.select(
         "phash",
         F.explode(
             F.array(
@@ -288,13 +290,23 @@ def near_dup_by_phash(features: DataFrame, hamming_max: int = 4) -> DataFrame:
             )
         ).alias("band_key"),
     )
+
+
+def _phash_rep_pairs(feats: DataFrame, hamming_max: int) -> DataFrame:
+    """(ph_a, ph_b, hamming) over DISTINCT phash values with
+    0 < hamming <= hamming_max: band-bucket join on the distinct-phash
+    relation, exact popcount filter on candidates. Bucket sizes are
+    bounded by distinct-hash diversity per 16-bit band value (not by
+    image multiplicity — identical copies collapsed upstream); a
+    residual adversarial bucket (millions of DISTINCT phashes sharing
+    one band) is an AQE skew-split hash join, never a cross join."""
+    reps = feats.select("phash").distinct()
+    bands = _phash_band_keys(reps)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, "band_key")
-        .filter(F.col("l.media_ref") < F.col("r.media_ref"))
+        .filter(F.col("l.phash") < F.col("r.phash"))
         .select(
-            F.col("l.media_ref").alias("a"),
-            F.col("r.media_ref").alias("b"),
             F.col("l.phash").alias("ph_a"),
             F.col("r.phash").alias("ph_b"),
         )
@@ -303,7 +315,127 @@ def near_dup_by_phash(features: DataFrame, hamming_max: int = 4) -> DataFrame:
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return cand.withColumn("hamming", hamming.cast("int")).filter(
         F.col("hamming") <= hamming_max
-    ).select("a", "b", "hamming")
+    )
+
+
+def near_dup_by_phash(features: DataFrame, hamming_max: int = 4) -> DataFrame:
+    """Exact near-duplicate image pairs (a, b, hamming) by perceptual
+    hash, a < b: identical phashes pre-collapse to one representative
+    BEFORE the band join (:func:`_phash_rep_pairs`), then member pairs
+    are expanded from the hash-level relation — two joins whose output
+    is exactly the true pair set, plus the within-group hamming-0 pairs
+    from a phash self-join.
+
+    Scale: the band-bucket join — the r4 quadratic — now runs over
+    DISTINCT phashes, so a hot logo costs one band row. The EXPANSION
+    is output-size-bound by definition of "exact all pairs": a
+    10^5-copy logo genuinely has ~5*10^9 hamming-0 pairs, and a caller
+    that wants them pays for them. Clustering consumers should use
+    :func:`phash_neardup_stars` (same components, O(n) edges);
+    pair-level consumers with degenerate groups use
+    :func:`near_dup_by_phash_capped` (capped + audited, never
+    silent)."""
+    feats = features.select("media_ref", "phash")
+    rel = _phash_rep_pairs(feats, hamming_max)
+    ma = feats.select(
+        F.col("phash").alias("ph_a"), F.col("media_ref").alias("__ma")
+    )
+    mb = feats.select(
+        F.col("phash").alias("ph_b"), F.col("media_ref").alias("__mb")
+    )
+    cross = (
+        rel.join(ma, "ph_a")
+        .join(mb, "ph_b")
+        .select(
+            F.least("__ma", "__mb").alias("a"),
+            F.greatest("__ma", "__mb").alias("b"),
+            "hamming",
+        )
+    )
+    x, y = feats.alias("x"), feats.alias("y")
+    intra = (
+        x.join(y, "phash")
+        .filter(F.col("x.media_ref") < F.col("y.media_ref"))
+        .select(
+            F.col("x.media_ref").alias("a"),
+            F.col("y.media_ref").alias("b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def phash_neardup_stars(features: DataFrame, hamming_max: int = 4) -> DataFrame:
+    """Star edges (a, b) whose connected components are IDENTICAL to
+    :func:`near_dup_by_phash`'s pair graph — the scale-safe form for
+    clustering consumers (components/minhash_clusters semantics, same
+    proof as textops.star_pairs_from_bands): within an identical-phash
+    group the star (min-ref anchor -> member) and the clique connect
+    the same vertex set; across groups one representative edge per
+    near phash pair connects the same groups the full bipartite
+    expansion would. A 10^5-copy hot logo costs 10^5 - 1 edges, not
+    ~5*10^9 pairs. Map-side-combined min per phash, hash joins only."""
+    feats = features.select("media_ref", "phash")
+    groups = feats.groupBy("phash").agg(F.min("media_ref").alias("rep"))
+    intra = (
+        feats.join(groups, "phash")
+        .filter(F.col("media_ref") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("media_ref").alias("b"))
+    )
+    rel = _phash_rep_pairs(feats, hamming_max)
+    inter = (
+        rel.join(
+            groups.select(
+                F.col("phash").alias("ph_a"), F.col("rep").alias("__ra")
+            ),
+            "ph_a",
+        )
+        .join(
+            groups.select(
+                F.col("phash").alias("ph_b"), F.col("rep").alias("__rb")
+            ),
+            "ph_b",
+        )
+        .select(
+            F.least("__ra", "__rb").alias("a"),
+            F.greatest("__ra", "__rb").alias("b"),
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def near_dup_by_phash_capped(
+    features: DataFrame, hamming_max: int = 4, max_group: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Exact pair expansion with each identical-phash group capped at
+    its first ``max_group`` members (ranked by media_ref —
+    deterministic, engine-independent) and a NEVER-SILENT audit:
+    returns ``(pairs, audit)`` where ``audit`` has one row per
+    truncated group: (phash, group_n, n_dropped_members). Callers must
+    surface the audit — truncation is visible, not silent (same
+    contract as textops.pairs_from_bands_capped). The per-group rank
+    is a spillable window; only ``max_group`` rows per group reach the
+    pair expansion."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash").orderBy(F.col("media_ref").asc())
+    sized = features.select("media_ref", "phash").withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    kept = sized.filter(F.col("__rk") <= max_group).drop("__rk")
+    audit = (
+        sized.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .filter(F.col("group_n") > max_group)
+        .select(
+            "phash",
+            "group_n",
+            (F.col("group_n") - max_group)
+            .cast("long")
+            .alias("n_dropped_members"),
+        )
+    )
+    return near_dup_by_phash(kept, hamming_max), audit
 
 
 AUDIO_FEATURES = StructType(

@@ -77,3 +77,117 @@ def test_phash_near_dup_buckets(spark):
     feats = spark.createDataFrame(rows, "media_ref string, phash long")
     pairs = mm.near_dup_by_phash(feats, hamming_max=4).collect()
     assert [(p["a"], p["b"], p["hamming"]) for p in pairs] == [("a", "b", 2)]
+
+
+# ---------------------------------------------------------------------------
+# phash near-dup: pre-collapse / star / capped (round-5 rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return frozenset(
+        frozenset(n for n in nodes if find(n) == r)
+        for r in {find(n) for n in nodes}
+    )
+
+
+def test_phash_stars_same_components_as_exact_pairs(spark):
+    # 3 identical-phash groups; groups 0 and 1 near (hamming 2),
+    # group 2 far; plus a singleton near group 2
+    base = 0x1111_2222_3333_4444
+    rows = (
+        [(f"g0-{i}", base) for i in range(4)]
+        + [(f"g1-{i}", base ^ 0x3) for i in range(3)]
+        + [(f"g2-{i}", 0x0F0F_F0F0_0F0F_F0F0) for i in range(2)]
+        + [("solo", 0x0F0F_F0F0_0F0F_F0F1)]
+    )
+    feats = spark.createDataFrame(rows, "media_ref string, phash long")
+    nodes = [r[0] for r in rows]
+    exact = [
+        (r["a"], r["b"])
+        for r in mm.near_dup_by_phash(feats, hamming_max=4).collect()
+    ]
+    stars = [
+        (r["a"], r["b"])
+        for r in mm.phash_neardup_stars(feats, hamming_max=4).collect()
+    ]
+    assert _components(exact, nodes) == _components(stars, nodes)
+    # star edge count is linear: (4-1)+(3-1)+(2-1)+0 intra + 2 inter
+    assert len(stars) == 8
+    # exact pairs include the full intra cliques + bipartite expansion
+    assert len(exact) == 6 + 3 + 1 + 12 + 2
+
+
+def test_phash_hot_logo_star_is_linear(spark):
+    # the r4 scale-killer: 10k byte-identical logos (one phash) used to
+    # build a 10k-wide band bucket -> ~5*10^7 candidate pairs; the
+    # pre-collapsed star form emits exactly n-1 edges and the band join
+    # sees ONE row for the whole group
+    n = 10_000
+    hot = 0x7777_1234_ABCD_0042
+    feats = spark.range(n).select(
+        F.concat(F.lit("logo-"), F.col("id")).alias("media_ref"),
+        F.lit(hot).alias("phash"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("other", 0x0123_4567_89AB_CDEF)],
+            "media_ref string, phash long",
+        )
+    )
+    stars = mm.phash_neardup_stars(feats, hamming_max=4)
+    assert stars.count() == n - 1
+    anchors = stars.select("a").distinct().collect()
+    assert [r["a"] for r in anchors] == ["logo-0"]
+
+
+def test_phash_capped_pairs_audit_never_silent(spark):
+    base = 0x1111_2222_3333_4444
+    rows = [(f"m{i:02d}", base) for i in range(10)] + [
+        ("near", base ^ 0x1)
+    ]
+    feats = spark.createDataFrame(rows, "media_ref string, phash long")
+    pairs, audit = mm.near_dup_by_phash_capped(
+        feats, hamming_max=2, max_group=4
+    )
+    a = audit.collect()
+    assert len(a) == 1
+    assert a[0]["group_n"] == 10 and a[0]["n_dropped_members"] == 6
+    got = pairs.collect()
+    # 4 kept members -> C(4,2)=6 intra pairs + 4 cross pairs to 'near'
+    assert len(got) == 10
+    kept = {f"m{i:02d}" for i in range(4)} | {"near"}
+    assert all(r["a"] in kept and r["b"] in kept for r in got)
+
+
+def test_phash_exact_pairs_match_bruteforce(spark):
+    import itertools
+
+    rows = [
+        ("a", 0x1111_2222_3333_4444),
+        ("b", 0x1111_2222_3333_4447),
+        ("c", 0x1111_2222_3333_4444),
+        ("d", 0x0F0F_F0F0_0F0F_F0F0),
+    ]
+    feats = spark.createDataFrame(rows, "media_ref string, phash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in mm.near_dup_by_phash(feats, hamming_max=4).collect()
+    }
+    want = set()
+    for (ra, pa), (rb, pb) in itertools.combinations(rows, 2):
+        h = bin(pa ^ pb).count("1")
+        if h <= 4:
+            want.add((min(ra, rb), max(ra, rb), h))
+    assert got == want

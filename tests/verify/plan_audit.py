@@ -50,6 +50,17 @@ AUDITS = {
         "require": ["LeftAnti"],
         "forbid": ["CartesianProduct"],
     },
+    # phash near-dup star form (r5 pre-collapse rewrite): band join over
+    # DISTINCT phashes + hash joins only — a cross join here is the r4
+    # quadratic coming back
+    "phash_neardup_stars": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "phash_neardup_pairs": {
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # interleaved-span rechunk: strictly narrow — in-row higher-order
     # functions only; ANY exchange means the design regressed
     "span_rechunk": {
