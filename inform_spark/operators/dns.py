@@ -119,6 +119,29 @@ def resolve_hosts(
     )
 
 
+def dedup_dns_dim(dns: "DataFrame") -> "DataFrame":
+    """Merge an append-style DNS cache to one row per host: newest
+    ``resolved_at_ms`` wins (max-ip tie-break; max ip alone when no
+    timestamp column exists) — the same newest-wins kernel as
+    :func:`resolve_hosts`' cache merge. Output: ``(host, ip)``. Every
+    consumer that broadcasts a DNS dim joins through this, so duplicate
+    cache rows can never fan out the probe side."""
+    at = (
+        F.col("resolved_at_ms").cast("long")
+        if "resolved_at_ms" in dns.columns
+        else F.lit(0).cast("long")
+    )
+    return (
+        dns.select(
+            "host",
+            F.struct(at.alias("at"), F.col("ip").alias("ip")).alias("__e"),
+        )
+        .groupBy("host")
+        .agg(F.max("__e").alias("__e"))
+        .select("host", F.col("__e.ip").alias("ip"))
+    )
+
+
 def registered_domain_col(
     host_col: Column | str = "host",
     suffixes: list[str] | None = None,

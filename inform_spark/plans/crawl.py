@@ -157,6 +157,19 @@ class CrawlConfig:
     # None = off (zero plan change). Costs one extra count job per batch
     # when enabled (drop accounting).
     template_cap: int | None = None
+    # politeness granularity: "host" (reference-equal default — the
+    # budget keys on the hostname, src/WebCrawler.js:265-267) or "ip"
+    # (Mercator/IRLbot server-keyed politeness: every hostname behind
+    # one address shares ONE budget — the host-farm defense the
+    # per-host form cannot express). "ip" requires dns_df and only
+    # changes behavior when batch_wall_budget_ms is set.
+    politeness_key: str = "host"
+    # resolver dimension (host, ip[, resolved_at_ms]) for
+    # politeness_key="ip" — e.g. operators/dns.resolve_hosts output.
+    # Merged-on-read per host (newest resolved_at_ms wins, the shared
+    # dedup_dns_dim kernel); hosts absent from the dim budget under
+    # their own name — never admitted into a shared bucket by accident.
+    dns_df: object = None
 
 
 @dataclass
@@ -251,6 +264,17 @@ class CrawlEngine:
         self.pages = pages_df
         self.robots = robots_df
         self.cfg = config
+        if config.politeness_key not in ("host", "ip"):
+            raise ValueError(
+                f"politeness_key must be 'host' or 'ip', got "
+                f"{config.politeness_key!r}"
+            )
+        if config.politeness_key == "ip" and config.dns_df is None:
+            raise ValueError(
+                "politeness_key='ip' requires dns_df (the (host, ip) "
+                "resolver dimension, e.g. operators/dns.resolve_hosts "
+                "output)"
+            )
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="inform-crawl-")
         self.catalog = CrawlCheckpoint(
             spark,
@@ -571,17 +595,38 @@ class CrawlEngine:
                     ),
                 ),
             ).otherwise(F.lit(1 << 60))
+            pkey = "host"
+            if self.cfg.politeness_key == "ip":
+                # per-IP politeness (Mercator/IRLbot server-keyed): hosts
+                # behind one address share ONE budget. The dns dim is
+                # broadcast (tiny vs the frontier) and merged-on-read so
+                # an append-style cache can never fan the batch out; the
+                # SLOWEST host behind the address governs the shared
+                # budget (max crawl-delay == min budget — politeness
+                # must never over-admit).
+                from inform_spark.operators.dns import dedup_dns_dim
+
+                dns1 = dedup_dns_dim(self.cfg.dns_df).select(
+                    "host", F.col("ip").alias("__dns_ip")
+                )
+                sel = sel.join(F.broadcast(dns1), "host", "left").withColumn(
+                    "__pkey",
+                    F.coalesce(F.col("__dns_ip"), F.col("host")),
+                ).drop("__dns_ip")
+                pkey = "__pkey"
+                budget = F.min(budget).over(Window.partitionBy(pkey))
             sel = sel.withColumn("__budget", budget)
-            # two-phase top-B per host (hot-host skew, north_rule): a salted
-            # pre-rank over (host, salt) partitions cuts a 10^10-row hot host
-            # to <= B x n_salt candidates BEFORE the exact per-host window —
-            # per-salt rank <= global host rank, so every budget winner
-            # survives phase 1 and the exact phase is loss-free.
+            # two-phase top-B per politeness key (hot-key skew,
+            # north_rule): a salted pre-rank over (key, salt) partitions
+            # cuts a 10^10-row hot key to <= B x n_salt candidates BEFORE
+            # the exact per-key window — per-salt rank <= global key
+            # rank, so every budget winner survives phase 1 and the
+            # exact phase is loss-free.
             n_salt = self.cfg.politeness_salts
             if n_salt > 1:
                 pre = F.row_number().over(
                     Window.partitionBy(
-                        "host", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+                        pkey, F.pmod(F.xxhash64("url"), F.lit(n_salt))
                     ).orderBy("priority", "frontier_offset")
                 )
                 sel = (
@@ -590,12 +635,12 @@ class CrawlEngine:
                     .drop("__pre")
                 )
             rank = F.row_number().over(
-                Window.partitionBy("host").orderBy("priority", "frontier_offset")
+                Window.partitionBy(pkey).orderBy("priority", "frontier_offset")
             )
             sel = (
                 sel.withColumn("__rank", rank)
                 .filter(F.col("__rank") <= F.col("__budget"))
-                .drop("__budget", "__rank", "crawl_delay_ms")
+                .drop("__budget", "__rank", "crawl_delay_ms", "__pkey")
             )
         # When the caller proves the limit cannot bind (|live| <= b), the
         # whole live set IS the batch: skip the top-k entirely. A global

@@ -192,22 +192,11 @@ def ip_paced_admissions(
     # the documented resolve_hosts pattern ('append/merge it back by
     # host') yields a multi-row-per-host cache; joining it raw would
     # fan candidates out (duplicate admissions, double-spent budget).
-    # Merge-on-read here with the SAME newest-wins kernel as
-    # resolve_hosts' cache merge: max (resolved_at_ms, ip) per host,
-    # deterministic max-ip tie-break when no timestamp column exists.
-    at = (
-        F.col("resolved_at_ms").cast("long")
-        if "resolved_at_ms" in dns.columns
-        else F.lit(0).cast("long")
-    )
-    dns1 = (
-        dns.select(
-            "host",
-            F.struct(at.alias("at"), F.col("ip").alias("ip")).alias("__e"),
-        )
-        .groupBy("host")
-        .agg(F.max("__e").alias("__e"))
-        .select("host", F.col("__e.ip").alias("__dns_ip"))
+    # Merge-on-read with the shared newest-wins kernel.
+    from inform_spark.operators.dns import dedup_dns_dim
+
+    dns1 = dedup_dns_dim(dns).select(
+        "host", F.col("ip").alias("__dns_ip")
     )
     joined = candidates.join(
         F.broadcast(dns1), "host", "left"

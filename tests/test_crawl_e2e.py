@@ -259,3 +259,133 @@ def test_summary_rollup(spark, site, site_dfs, tmp_path):
     counts = {r["status"]: r["count"] for r in eng.summary_df().collect()}
     assert counts.get("ok", 0) == summary.ok
     assert counts.get("failed", 0) == summary.failed
+
+
+# ---------------------------------------------------------------------------
+# per-IP politeness (round 5): CrawlConfig(politeness_key="ip")
+# ---------------------------------------------------------------------------
+
+
+def _attempts_by_batch(eng):
+    out = {}
+    for r in eng.seen().collect():
+        out.setdefault(r["attempted_in_batch"], []).append(r["url"])
+    return out
+
+
+def test_crawl_ip_politeness_identity_dns_matches_host_mode(
+    spark, site, site_dfs, tmp_path
+):
+    """politeness_key='ip' with a one-ip-per-host dns dim is byte-equal
+    to the reference-default host mode: same seen set, same order."""
+    pages_df, robots_df = site_dfs
+    seeds = ["https://site0.test/", "https://site1.test/"]
+    dns = spark.createDataFrame(
+        [(f"site{i}.test", f"10.0.0.{i}") for i in range(N_HOSTS)],
+        "host string, ip string",
+    )
+    base = dict(seeds=seeds, limit=30, batch_wall_budget_ms=4000)
+    eng_host = CrawlEngine(
+        spark, pages_df, robots_df, CrawlConfig(**base),
+        checkpoint_dir=str(tmp_path / "host"),
+    )
+    eng_host.run()
+    eng_ip = CrawlEngine(
+        spark, pages_df, robots_df,
+        CrawlConfig(**base, politeness_key="ip", dns_df=dns),
+        checkpoint_dir=str(tmp_path / "ip"),
+    )
+    eng_ip.run()
+    rows_h = {
+        (r["url"], r["status"], r["crawl_rank"])
+        for r in eng_host.seen().collect()
+    }
+    rows_i = {
+        (r["url"], r["status"], r["crawl_rank"])
+        for r in eng_ip.seen().collect()
+    }
+    assert rows_h == rows_i
+
+
+def test_crawl_ip_politeness_shared_budget_host_farm(
+    spark, site, site_dfs, tmp_path
+):
+    """Two hosts behind ONE address share a single budget: per batch the
+    farm's combined attempts never exceed the per-key budget the host
+    mode would grant EACH host (robots off so delay = default 1000 ->
+    budget 4/key/batch)."""
+    pages_df, _ = site_dfs
+    seeds = ["https://site0.test/", "https://site1.test/"]
+    dns = spark.createDataFrame(
+        [("site0.test", "10.9.9.9"), ("site1.test", "10.9.9.9")],
+        "host string, ip string",
+    )
+    eng = CrawlEngine(
+        spark, pages_df, None,
+        CrawlConfig(
+            seeds=seeds, limit=24, batch_wall_budget_ms=4000,
+            politeness_key="ip", dns_df=dns,
+        ),
+        checkpoint_dir=str(tmp_path / "farm"),
+    )
+    eng.run()
+    for batch, urls in _attempts_by_batch(eng).items():
+        assert len(urls) <= 4, (
+            f"batch {batch} admitted {len(urls)} farm urls > shared "
+            f"budget 4: {urls}"
+        )
+    # and the host-keyed mode admits MORE per batch across the two hosts
+    eng_h = CrawlEngine(
+        spark, pages_df, None,
+        CrawlConfig(seeds=seeds, limit=24, batch_wall_budget_ms=4000),
+        checkpoint_dir=str(tmp_path / "hostmode"),
+    )
+    eng_h.run()
+    per_batch_h = {b: len(u) for b, u in _attempts_by_batch(eng_h).items()}
+    assert max(per_batch_h.values()) > 4
+
+
+def test_crawl_ip_politeness_slowest_host_governs(spark, site, site_dfs, tmp_path):
+    """The shared budget is the MINIMUM over the farm (max crawl-delay
+    wins): a 4000ms-delay host behind the same ip as a 1000ms-delay
+    host pulls the whole address down to budget 1/batch."""
+    from inform_spark.schemas import ROBOTS
+
+    pages_df, _ = site_dfs
+    seeds = ["https://site0.test/", "https://site1.test/"]
+    robots = spark.createDataFrame(
+        [("site0.test", True, [], 4000), ("site1.test", True, [], 1000)],
+        schema=ROBOTS,
+    )
+    dns = spark.createDataFrame(
+        [("site0.test", "10.9.9.9"), ("site1.test", "10.9.9.9")],
+        "host string, ip string",
+    )
+    eng = CrawlEngine(
+        spark, pages_df, robots,
+        CrawlConfig(
+            seeds=seeds, limit=6, batch_wall_budget_ms=4000,
+            politeness_key="ip", dns_df=dns,
+        ),
+        checkpoint_dir=str(tmp_path / "slow"),
+    )
+    eng.run()
+    for batch, urls in _attempts_by_batch(eng).items():
+        assert len(urls) <= 1, (
+            f"batch {batch}: shared budget must be min over the farm "
+            f"(4000ms delay -> 1/batch), got {urls}"
+        )
+
+
+def test_crawl_ip_politeness_config_validation(spark, site_dfs):
+    pages_df, robots_df = site_dfs
+    with pytest.raises(ValueError, match="dns_df"):
+        CrawlEngine(
+            spark, pages_df, robots_df,
+            CrawlConfig(seeds=["https://site0.test/"], politeness_key="ip"),
+        )
+    with pytest.raises(ValueError, match="politeness_key"):
+        CrawlEngine(
+            spark, pages_df, robots_df,
+            CrawlConfig(seeds=["https://site0.test/"], politeness_key="cidr"),
+        )

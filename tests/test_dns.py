@@ -122,3 +122,29 @@ def test_resolve_hosts_merges_duplicate_cache_rows(spark):
     assert len(rows) == 1
     assert rows[0]["ip"] == "2.2.2.2"
     assert rows[0]["from_cache"] is True
+
+
+def test_dedup_dns_dim_newest_wins(spark):
+    from pyspark.sql import Row
+
+    from inform_spark.operators.dns import dedup_dns_dim
+
+    dns = spark.createDataFrame(
+        [
+            Row(host="a", ip="1.1.1.1", resolved_at_ms=100),
+            Row(host="a", ip="2.2.2.2", resolved_at_ms=200),
+            Row(host="b", ip="3.3.3.3", resolved_at_ms=50),
+        ]
+    )
+    out = {r["host"]: r["ip"] for r in dedup_dns_dim(dns).collect()}
+    assert out == {"a": "2.2.2.2", "b": "3.3.3.3"}
+
+
+def test_dedup_dns_dim_without_timestamp_max_ip(spark):
+    from inform_spark.operators.dns import dedup_dns_dim
+
+    dns = spark.createDataFrame(
+        [("a", "1.1.1.1"), ("a", "9.9.9.9")], "host string, ip string"
+    )
+    out = dedup_dns_dim(dns).collect()
+    assert len(out) == 1 and out[0]["ip"] == "9.9.9.9"
