@@ -532,31 +532,45 @@ def q_semdedup(spark, sf_dir):
     return semdedup(e.unionByName(d1).unionByName(d2), n_cells=8, tau=0.95)
 
 
-def q_curation_verdicts(spark, sf_dir):
-    """End-to-end corpus-curation verdict table — the operators composed
-    as a real pipeline would chain them (FineWeb/Dolma shape): Gopher
-    rule gates (reported), model quality AND C4 blocklist AND CCNet LM
-    band AND exact-dedup canonical pick, one row per document with
-    per-stage verdicts and the final keep. Spark side literally composes the stage queries (joins
-    on doc_id); the oracle composes the stage ORACLES as subqueries —
-    so the composition itself is what gets cross-checked. Each stage is
-    narrow or broadcast; the only added shuffle is the canonical-text
-    groupBy."""
-    g = q_gopher_gates(spark, sf_dir).select(
-        "doc_id", F.col("pass_all").alias("pass_gopher")
+def _curation_verdicts_over(spark, docs):
+    """The curation-verdict composition parameterized by its input frame
+    (``docs`` = (doc_id long, text, source)): shared verbatim by
+    q_curation_verdicts (reads the parquet table) and
+    q_warc_replay_curation (reads documents REPLAYED through the WARC
+    serialize→shard→parse round trip) — one implementation, so the
+    replay path cannot drift from the driver-checked composition."""
+    from inform_spark.operators.importance import unigram_surprisal
+    from inform_spark.operators.quality import (
+        badword_filter,
+        gopher_gates,
+        model_quality_score,
     )
-    q = q_model_quality_score(spark, sf_dir).select(
+
+    dt = docs.select("doc_id", "text")
+    g = gopher_gates(dt).select(
+        "doc_id", F.col("pass_all").cast("int").alias("pass_gopher")
+    )
+    q = model_quality_score(dt).select(
         "doc_id", F.col("keep").cast("int").alias("pass_model")
     )
-    b = q_badword_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("pass_badword")
+    injected = docs.select(
+        "doc_id",
+        F.expr(
+            "text || case when doc_id % 5 = 0 then ' badword' else '' end"
+            " || case when doc_id % 11 = 0 then ' nsfw nsfw' else '' end"
+        ).alias("text"),
+        "source",
     )
-    u = q_unigram_surprisal(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("pass_lm")
+    blocked = spark.createDataFrame(
+        [("src3",), ("src7",), ("src11",)], "source: string"
     )
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    b = badword_filter(injected, blocked_sources=blocked).select(
+        "doc_id", F.col("keep").cast("int").alias("pass_badword")
     )
+    u = unigram_surprisal(dt).select(
+        "doc_id", F.col("keep").cast("int").alias("pass_lm")
+    )
+    d = dt
     m = d.groupBy("text").agg(F.min("doc_id").alias("__mn"))
     c = d.join(m, "text").select(
         "doc_id",
@@ -578,6 +592,23 @@ def q_curation_verdicts(spark, sf_dir):
     return out.select(
         "doc_id", "pass_gopher", "pass_model", "pass_badword", "pass_lm",
         "is_canonical", keep_final.cast("int").alias("keep_final"),
+    )
+
+
+def q_curation_verdicts(spark, sf_dir):
+    """End-to-end corpus-curation verdict table — the operators composed
+    as a real pipeline would chain them (FineWeb/Dolma shape): Gopher
+    rule gates (reported), model quality AND C4 blocklist AND CCNet LM
+    band AND exact-dedup canonical pick, one row per document with
+    per-stage verdicts and the final keep. The oracle composes the
+    stage ORACLES as subqueries — so the composition itself is what
+    gets cross-checked. Each stage is narrow or broadcast; the only
+    added shuffle is the canonical-text groupBy."""
+    return _curation_verdicts_over(
+        spark,
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        ),
     )
 
 
@@ -1481,6 +1512,58 @@ def q_warc_roundtrip(spark, sf_dir):
         "content_length",
         F.md5(F.col("payload")).alias("payload_md5"),
     )
+
+
+def q_warc_replay_curation(spark, sf_dir):
+    """The Common Crawl ingestion story composed end to end (VERDICT r4
+    item 7): documents serialized as WARC/1.0 response records with
+    source+doc_id encoded in the target URI, concatenated into 16
+    archive shards, re-parsed with the Content-Length-framed
+    mapInPandas parser (sources/warc.py), then fed through the SAME
+    curation-verdict composition as q_curation_verdicts
+    (:func:`_curation_verdicts_over` — one implementation, zero drift).
+    The oracle is curation_verdicts' oracle verbatim, derived straight
+    from the documents table: hash equality proves the whole replay
+    path (serialize ∘ shard ∘ parse ∘ uri-decode) is identity on every
+    byte the curation stages consume."""
+    from inform_spark.session import ship_package
+    from inform_spark.sources import warc
+
+    ship_package(spark)
+    staged = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://corpus.test/"),
+            F.col("source"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.col("text").alias("payload"),
+    )
+    recs = warc.serialize_warc(staged).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(16))
+    )
+    shards = recs.groupBy("shard").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "warc"))),
+                lambda s: s["warc"],
+            ),
+        ).alias("content")
+    )
+    replayed = warc.parse_warc(shards, "content").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").alias("text"),
+        F.regexp_extract(
+            "target_uri", r"corpus\.test/([^/]+)/doc/", 1
+        ).alias("source"),
+    )
+    return _curation_verdicts_over(spark, replayed)
 
 
 def q_warc_cdx_index(spark, sf_dir):
@@ -2496,6 +2579,7 @@ CHANGED_THIS_ROUND = [
     "snapshot_dedup",  # snapshot key keeps native type (ADVICE r4)
     "ip_paced_admissions",  # dns dim merge-on-read dedup (ADVICE r4)
     "epoch_shards",  # upsample_epochs reserved-column guard upstream
+    "warc_replay_curation",  # new this round
     "phash_neardup_pairs",  # new this round
     "phash_neardup_stars",  # new this round
 ]
@@ -2652,6 +2736,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pld_budget": q_pld_budget,
         "epoch_shards": q_epoch_shards,
         "phash_neardup_pairs": q_phash_neardup_pairs,
+        "warc_replay_curation": q_warc_replay_curation,
         "phash_neardup_stars": q_phash_neardup_stars,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
@@ -4530,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "cast(cum_before * 8 // total as bigint) as shard from c, tot"
     )
     # ---- round-5 additions --------------------------------------------
+    d["warc_replay_curation"] = d["curation_verdicts"]
     h_ph = _H60_SQL.format(s="'ph-'||cast(g as varchar)")
     phash_cte = (
         "with b as (select cast(doc_id as bigint) as i, "

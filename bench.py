@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     # round 5
     "phash_neardup_stars",
     "phash_neardup_pairs",
+    "warc_replay_curation",
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
