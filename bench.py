@@ -611,8 +611,15 @@ def run_frontier_scale(spark) -> dict:
     from inform_spark.operators.bloom import ShardedBloom, _with_hashes
 
     # the 10^5 level is a warmup leg (JVM/codegen/python-worker spin-up
-    # lands there); growth ratios use the 10^6 -> 10^7 pair
-    levels = (100_000, 1_000_000, 10_000_000)
+    # lands there); growth ratios use the 10^6 -> 10^7 pair, and a
+    # fourth 10^8 decade (VERDICT r4 item 6) evidences the 10^10 design
+    # one decade further on genuinely disk-resident data (~2.5 GB
+    # parquet — far past the page cache's working set for one scan).
+    # The anti-join strawman is SKIPPED at 10^8: it is the known-linear
+    # curve the watermark path exists to avoid, and its O(frontier)
+    # shuffle would dominate the whole bench wall for no new signal.
+    levels = (100_000, 1_000_000, 10_000_000, 100_000_000)
+    anti_join_max = 10_000_000
     B = 10_000
     root = tempfile.mkdtemp(prefix="bench-frontier-")
     legs: dict = {}
@@ -648,18 +655,19 @@ def run_frontier_scale(spark) -> dict:
                 raise RuntimeError(f"watermark select returned {n_sel}")
 
             seen = frontier.filter(F.col("frontier_offset") <= wm)
-            t0 = time.monotonic()
-            anti = (
-                frontier.join(
-                    seen.select("url_hash"), "url_hash", "left_anti"
+            if n <= anti_join_max:
+                t0 = time.monotonic()
+                anti = (
+                    frontier.join(
+                        seen.select("url_hash"), "url_hash", "left_anti"
+                    )
+                    .orderBy("priority", "frontier_offset")
+                    .limit(B)
                 )
-                .orderBy("priority", "frontier_offset")
-                .limit(B)
-            )
-            n_anti = anti.count()
-            leg["t_anti_join_select"] = round(time.monotonic() - t0, 3)
-            if n_anti != B:
-                raise RuntimeError(f"anti-join select returned {n_anti}")
+                n_anti = anti.count()
+                leg["t_anti_join_select"] = round(time.monotonic() - t0, 3)
+                if n_anti != B:
+                    raise RuntimeError(f"anti-join select returned {n_anti}")
 
             t0 = time.monotonic()
             bloom = ShardedBloom.build(
@@ -679,15 +687,27 @@ def run_frontier_scale(spark) -> dict:
             # live candidates are NOT in the seen prefix: only bloom FPs hit
             leg["bloom_fp_hits"] = hits
             legs[str(n)] = leg
-        s, l = legs[str(levels[-2])], legs[str(levels[-1])]
+        s: dict = {}
+        l: dict = {}
 
         def ratio(k):
             return round(l[k] / max(s[k], 1e-9), 2)
 
+        # primary growth pair: 10^6 -> 10^7 (both sides have every leg)
+        s, l = legs[str(levels[1])], legs[str(levels[2])]
         legs["growth"] = {
-            "data_ratio": round(levels[-1] / levels[-2], 1),
+            "data_ratio": round(levels[2] / levels[1], 1),
             "t_watermark_ratio": ratio("t_watermark_select"),
             "t_anti_join_ratio": ratio("t_anti_join_select"),
+            "t_bloom_build_ratio": ratio("t_bloom_build"),
+            "t_bloom_probe_ratio": ratio("t_bloom_probe"),
+        }
+        # the extra decade: 10^7 -> 10^8 for the legs that must stay
+        # sub-linear (watermark select / bloom probe) or linear (build)
+        s, l = legs[str(levels[2])], legs[str(levels[3])]
+        legs["growth_e8"] = {
+            "data_ratio": round(levels[3] / levels[2], 1),
+            "t_watermark_ratio": ratio("t_watermark_select"),
             "t_bloom_build_ratio": ratio("t_bloom_build"),
             "t_bloom_probe_ratio": ratio("t_bloom_probe"),
         }

@@ -1,9 +1,10 @@
-"""Pure-stdlib media codecs: PNG, BMP, WAV — no PIL/ffmpeg required.
+"""Pure-stdlib media codecs: PNG, BMP, WAV, baseline JPEG — no
+PIL/ffmpeg required.
 
 The sandbox has no imaging/audio libraries and no network route to any
-package index (re-verified every round in BASELINE.md), but three of the
-most common container formats are decodable with nothing beyond
-``struct`` + ``zlib`` + numpy:
+package index (re-verified every round in BASELINE.md), but the most
+common container formats are decodable with nothing beyond ``struct``
++ ``zlib`` + ``math`` + numpy:
 
 - **PNG** (ISO/IEC 15948): 8-bit gray/gray+alpha/RGB/RGBA,
   non-interlaced — IHDR parse, zlib-inflate of IDAT, scanline filter
@@ -11,18 +12,27 @@ most common container formats are decodable with nothing beyond
 - **BMP** (BITMAPINFOHEADER): 24/32-bpp uncompressed, bottom-up or
   top-down, 4-byte row padding.
 - **WAV** (RIFF): PCM 16-bit fmt/data chunk walk.
+- **JPEG** (ITU-T T.81 baseline sequential, SOF0/SOF1, Huffman, 8-bit,
+  round 5): marker walk, canonical Huffman entropy decode with
+  byte-unstuffing + restart markers, dequantize/de-zigzag, orthonormal
+  8x8 inverse DCT, 4:2:0/4:2:2 chroma upsampling, BT.601 YCbCr→RGB.
+  Progressive (SOF2) and arithmetic coding raise ValueError — the
+  dispatch in operators/multimodal.py routes those to the stub.
 
 These are REAL decoders — byte-exact against the public specs, tested
-with hand-filtered scanlines and hand-padded rows — so the multimodal
-pipeline's decode path is no longer environment-blocked for these
-formats. JPEG/MP4 stay behind the deterministic stub until a real
-codec library exists in the environment (the one-function seam in
+with hand-filtered scanlines, hand-padded rows, and hand-assembled
+JPEG bitstreams whose expected pixels come from an independent
+direct-cosine IDCT (never a self-encoder) — so the multimodal
+pipeline's decode path covers the dominant web image formats.
+WebP/MP4 stay behind the deterministic stub until a real codec
+library exists in the environment (the one-function seam in
 operators/multimodal.py is unchanged).
 
-Perf note: filter reconstruction for types 1/3/4 is a per-byte Python
-loop (the recurrence is sequential by construction); type 0/2 rows are
-vectorized. Fine for thumbnails and fixtures; a production deployment
-would swap PIL/turbojpeg into the same seam for hot-path decoding.
+Perf note: PNG filter reconstruction for types 1/3/4 and the JPEG
+entropy decode are per-symbol Python loops (both recurrences are
+sequential by construction); everything else is vectorized. Fine for
+thumbnails and fixtures; a production deployment would swap
+PIL/turbojpeg into the same seam for hot-path decoding.
 """
 
 from __future__ import annotations
@@ -209,6 +219,301 @@ def decode_wav(b: bytes) -> dict:
         "duration_ms": n_frames * 1000 // rate if rate else 0,
         "rms": round(rms, 3),
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT, Huffman)
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+# zig-zag index order (T.81 Figure 5): position k of the entropy-coded
+# coefficient stream lands at raster index _ZIGZAG[k] of the 8x8 block
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: _DCT_C[u, x] = c(u)/2 * cos((2x+1)u pi/16)
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def is_jpeg(b: bytes) -> bool:
+    return len(b) > 3 and b[:3] == JPEG_SIG
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}.
+    Codes of each length are assigned consecutively, left-shifted when
+    moving to the next length (T.81 Annex C)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-unstuffing; restart markers (FFD0-FFD7) are surfaced to the
+    caller via ``at_marker`` and consumed with ``skip_marker``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.d):
+                # T.81 F.2.2.5: pad with 1-bits at the end of the stream
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            byte = self.d[self.pos]
+            if byte == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # marker: stop filling, pad with 1-bits
+                    self.buf = (self.buf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def at_marker(self) -> bool:
+        return (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        )
+
+    def skip_marker(self) -> None:
+        self.pos += 2
+        self.buf = 0
+        self.nbits = 0
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t received magnitude bits to the
+    signed coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) -> (h, w) uint8 for
+    grayscale or (h, w, 3) uint8 RGB for YCbCr, per ITU-T T.81:
+    marker/DQT/DHT/SOF/SOS parse, canonical Huffman entropy decode with
+    byte-unstuffing and restart-marker handling, dequantize, de-zigzag,
+    orthonormal 8x8 inverse DCT, +128 level shift, chroma upsampling
+    for subsampled components (4:2:0 / 4:2:2), BT.601 YCbCr->RGB.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    ValueError — this is the BASELINE profile, which is what the
+    overwhelming majority of web JPEGs use."""
+    if not is_jpeg(b):
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > len(b):
+            raise ValueError("truncated segment")
+        ln = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2")
+                    i += 128
+                qt[tq] = tbl.astype(np.int64)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG profile (SOF marker 0xFF{marker:02X}); "
+                "baseline sequential Huffman only"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                values = seg[i + 17 : i + 17 + nvals]
+                huff[(tc, th)] = _build_huffman(bits, values)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+                scan.append({"id": cid, "dc": tt >> 4, "ac": tt & 15})
+            pos += ln
+            break
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
+        )
+        for c in comps
+    }
+    sc_by_id = {sc["id"]: sc for sc in scan}
+    br = _BitReader(b, pos)
+    dc_pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if br.at_marker():
+                    br.skip_marker()
+                    dc_pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                sc = sc_by_id[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _decode_symbol(br, huff[(0, sc["dc"])])
+                        diff = _extend(br.receive(t), t)
+                        dc_pred[c["id"]] += diff
+                        zz[0] = dc_pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, huff[(1, sc["ac"])])
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = (zz * q).astype(np.float64)
+                        block = block.reshape(8, 8)
+                        spatial = _DCT_C.T @ block @ _DCT_C + 128.0
+                        planes[c["id"]][
+                            (my * c["v"] + by) * 8 : (my * c["v"] + by) * 8 + 8,
+                            (mx * c["h"] + bx) * 8 : (mx * c["h"] + bx) * 8 + 8,
+                        ] = spatial
+            mcu_count += 1
+
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    # BT.601 full-range inverse (JFIF Annex B)
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def to_gray(arr: np.ndarray) -> np.ndarray:

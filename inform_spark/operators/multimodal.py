@@ -95,13 +95,19 @@ def synthesize_media(docs_with_media: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
-    """Decode dispatch: REAL stdlib decoders for PNG and BMP
-    (operators/codecs.py — spec-exact, no PIL), the deterministic stub
-    for every other format (JPEG/WebP/... remain environment-blocked:
-    no imaging library and no package-index route, re-verified in
-    BASELINE.md each round). Returns (features, mode) with mode one of
-    'ok' (real decode) / 'stub'. Raises for None content or corrupt
-    bytes in a recognized container, like a real decoder would."""
+    """Decode dispatch: REAL stdlib decoders for PNG, BMP, and baseline
+    JPEG (operators/codecs.py — spec-exact, no PIL; JPEG covers the
+    dominant web format as of round 5), the deterministic stub for
+    every other format (WebP/MP4/progressive-JPEG remain
+    environment-blocked: no imaging library and no package-index
+    route, re-verified in BASELINE.md each round). Returns
+    (features, mode) with mode one of 'ok' (real decode) / 'stub'.
+    Raises for None content or corrupt bytes in a recognized
+    container, like a real decoder would — EXCEPT a JPEG profile the
+    baseline decoder does not cover (progressive/arithmetic), which
+    falls back to the stub rather than poisoning the batch: the
+    container was recognized but the profile is out of scope, the
+    same verdict any fixed-profile production decoder stage gives."""
     from inform_spark.operators import codecs
 
     if content is None:
@@ -112,14 +118,24 @@ def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
             if codecs.is_png(content)
             else codecs.decode_bmp(content)
         )
-        g = codecs.to_gray(arr)
-        return {
-            "width": int(arr.shape[1]),
-            "height": int(arr.shape[0]),
-            "mean_luma": round(float(g.mean()), 3),
-            "phash": codecs.average_phash(g),
-        }, "ok"
-    return decode_image_stub(content, ref), "stub"
+    elif codecs.is_jpeg(content):
+        try:
+            arr = codecs.decode_jpeg(content)
+        except ValueError as e:
+            if "SOF marker" in str(e) or "precision" in str(e):
+                return decode_image_stub(content, ref), "stub"
+            raise
+    else:
+        return decode_image_stub(content, ref), "stub"
+    if arr.ndim == 2:  # grayscale JPEG: (h, w) -> (h, w, 1)
+        arr = arr[:, :, None]
+    g = codecs.to_gray(arr)
+    return {
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "mean_luma": round(float(g.mean()), 3),
+        "phash": codecs.average_phash(g),
+    }, "ok"
 
 
 def decode_image_stub(content: bytes | None, ref: str) -> dict:

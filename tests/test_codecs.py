@@ -234,3 +234,244 @@ def test_audio_features_real_wav(spark):
     assert abs(got["s.wav"]["rms"] - expected_rms) < 0.01
     assert got["x.mp3"]["decode_ok"] == "error"
     assert got["x.mp3"]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline decoder (round 5): hand-assembled bitstreams, expected
+# pixels computed with an independent direct-cosine IDCT — never the
+# decoder's own matrices, never a self-encoder.
+# ---------------------------------------------------------------------------
+
+import math
+import struct as _struct
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, bitstring):
+        self.bits.extend(int(c) for c in bitstring)
+
+    def tobytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # T.81 1-pad
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for b in bits[i : i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        # byte-stuff: 0xFF in entropy data must be followed by 0x00
+        stuffed = bytearray()
+        for byte in out:
+            stuffed.append(byte)
+            if byte == 0xFF:
+                stuffed.append(0x00)
+        return bytes(stuffed)
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt(tq, table):
+    return _seg(0xDB, bytes([tq]) + bytes(table))
+
+
+def _dht(tc, th, bits16, values):
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits16) + bytes(values))
+
+
+def _sof0(h, w, comps):
+    p = _struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        p += bytes([cid, hv, tq])
+    return _seg(0xC0, p)
+
+
+def _sos(comps):
+    p = bytes([len(comps)])
+    for cid, dc, ac in comps:
+        p += bytes([cid, (dc << 4) | ac])
+    p += bytes([0, 63, 0])
+    return _seg(0xDA, p)
+
+
+def _idct_direct(coef):
+    """Independent 2-D inverse DCT straight from the T.81 formula —
+    nested loops, no matrices shared with the decoder."""
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            v = 0.0
+            for u in range(8):
+                for w in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cw = 1 / math.sqrt(2) if w == 0 else 1.0
+                    v += (
+                        cu * cw * coef[u][w]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * w * math.pi / 16)
+                    )
+            out[x][y] = v / 4 + 128.0
+    return out
+
+
+def _expected_u8(coef):
+    import numpy as np
+
+    sp = _idct_direct(coef)
+    return np.clip(np.round(np.array(sp)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_flat_gray_block():
+    """8x8 grayscale, identity quant, DC diff +3, EOB: every pixel must
+    equal the hand-computed IDCT of a DC-only block."""
+    from inform_spark.operators import codecs
+
+    bw = _BitWriter()
+    bw.write("0")    # DC huff: symbol 2 (category)
+    bw.write("11")   # magnitude 3 -> diff +3
+    bw.write("0")    # AC huff: EOB
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof0(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])      # DC: "0" -> category 2
+        + _dht(1, 0, [1] + [0] * 15, [0x00])   # AC: "0" -> EOB
+        + _sos([(1, 0, 0)])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+    got = codecs.decode_jpeg(jpg)
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][0] = 3.0
+    assert got.shape == (8, 8)
+    assert (got == _expected_u8(coef)).all()
+
+
+def test_jpeg_ac_coefficient_negative_dc_and_quant():
+    """DC category 2 with bits '00' -> EXTEND gives -3; AC (run=1,
+    size=1) places +1 at zig-zag k=2 (raster (1,0)); quant table scales
+    the DC by 5 and that AC slot by 7. Exercises multi-length Huffman,
+    run-length skip, EXTEND's negative branch, and dequantization."""
+    from inform_spark.operators import codecs
+
+    q = [1] * 64
+    q[0] = 5   # DC
+    q[2] = 7   # zig-zag slot 2 == raster (1,0)
+    bw = _BitWriter()
+    bw.write("0")    # DC: category 2
+    bw.write("00")   # EXTEND(0, 2) = -3
+    bw.write("10")   # AC: symbol 0x11 (run 1, size 1)
+    bw.write("1")    # magnitude 1 -> +1
+    bw.write("0")    # EOB
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, q)
+        + _sof0(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _dht(1, 0, [1, 1] + [0] * 14, [0x00, 0x11])
+        + _sos([(1, 0, 0)])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+    got = codecs.decode_jpeg(jpg)
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][0] = -3.0 * 5
+    coef[1][0] = 1.0 * 7
+    assert (got == _expected_u8(coef)).all()
+
+
+def test_jpeg_420_color_mcu():
+    """16x16 YCbCr 4:2:0 (4 Y blocks + Cb + Cr in one MCU): Y DC +8 on
+    the first block then zero diffs (DC prediction carries), neutral
+    chroma -> a uniform gray whose value is the hand-computed
+    128 + 8/8 = 129 on every RGB channel."""
+    from inform_spark.operators import codecs
+
+    bw = _BitWriter()
+    bw.write("10")    # Y1 DC: category 4
+    bw.write("1000")  # +8
+    bw.write("0")     # EOB
+    for _ in range(3):  # Y2..Y4: diff 0, EOB
+        bw.write("0")
+        bw.write("0")
+    for _ in range(2):  # Cb, Cr: diff 0, EOB
+        bw.write("0")
+        bw.write("0")
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof0(16, 16, [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)])
+        + _dht(0, 0, [1, 1] + [0] * 14, [0, 4])  # "0"->cat 0, "10"->cat 4
+        + _dht(1, 0, [1] + [0] * 15, [0x00])
+        + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+    got = codecs.decode_jpeg(jpg)
+    assert got.shape == (16, 16, 3)
+    assert (got == 129).all()
+
+
+def test_jpeg_progressive_rejected():
+    from inform_spark.operators import codecs
+    import pytest
+
+    jpg = b"\xff\xd8" + _seg(0xC2, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+    with pytest.raises(ValueError, match="SOF marker 0xFFC2"):
+        codecs.decode_jpeg(jpg + b"\xff\xd9")
+
+
+def test_jpeg_not_a_jpeg_rejected():
+    from inform_spark.operators import codecs
+    import pytest
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_image_features_jpeg_real_decode_dispatch(spark):
+    """A hand-assembled baseline JPEG decodes for REAL through the
+    mapInPandas feature extractor; a progressive JPEG (recognized
+    container, unsupported profile) falls back to the stub verdict
+    instead of failing the batch."""
+    import pandas as pd
+
+    from inform_spark.operators import multimodal as mm
+
+    bw = _BitWriter()
+    bw.write("0")    # DC category 2
+    bw.write("11")   # +3
+    bw.write("0")    # EOB
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof0(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _dht(1, 0, [1] + [0] * 15, [0x00])
+        + _sos([(1, 0, 0)])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+    prog = b"\xff\xd8" + _seg(
+        0xC2, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    ) + b"\xff\xd9"
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["real.jpg", "prog.jpg"],
+            "doc_id": ["1", "1"],
+            "kind": ["image", "image"],
+            "content": [jpg, prog],
+            "content_len": [len(jpg), len(prog)],
+            "format": ["jpg", "jpg"],
+        }),
+        schema=mm.MEDIA,
+    )
+    got = {r["media_ref"]: r for r in mm.image_features(media).collect()}
+    assert got["real.jpg"]["decode_ok"] == "ok"
+    assert got["real.jpg"]["width"] == 8 and got["real.jpg"]["height"] == 8
+    # DC-only block: every pixel 128.375 -> rounds to 128 exactly
+    assert abs(got["real.jpg"]["mean_luma"] - 128.0) < 1e-9
+    assert got["prog.jpg"]["decode_ok"] == "stub"
