@@ -2586,18 +2586,21 @@ CHANGED_THIS_ROUND = [
 
 
 def _verification_order(names) -> list[str]:
-    """MECHANICAL rotation (VERDICT r3 item 1): order queries so the
-    driver's 50-row prefix always hits the least-recently-verified ones.
-    The last round each query had a driver row is read from the
-    committed CORRECTNESS_r*.json artifacts; sort key = (never-verified
-    or changed-this-round first, then ascending last-verified round,
-    then name). With W=50 and Q<=2W queries this guarantees every query
-    gets a driver row at least every 2 rounds with NO manual reordering:
-    whatever round r verifies becomes the tail of round r+1. At Q=130
-    (> 2W by 30) the worst case is 3 rounds for the 30 least-recently-
-    verified queries; the full local sweep (tests/verify/check_oracle.py
-    with no args — run green at 129/129 on 2026-08-21, after the review-fix pass) covers whatever
-    the window misses."""
+    """MECHANICAL rotation (VERDICT r3 item 1, tier fix r4 item 2):
+    order queries so the driver's 50-row prefix always hits the biggest
+    evidence gaps first. The last round each query had a driver row is
+    read from the committed CORRECTNESS_r*.json artifacts; sort key =
+    (tier, last-verified round, name) with three tiers: 0 =
+    never-driver-verified (STRICTLY first — a query with zero driver
+    rows is a bigger gap than any stale green row, so a large
+    changed-set can never push debutants out of the window), 1 =
+    CHANGED_THIS_ROUND, 2 = stable (ascending last-verified round —
+    the oldest green rows refresh first). With W=50 and Q<=2W queries
+    every query gets a driver row at least every 2 rounds with NO
+    manual reordering; at Q=133 (> 2W by 33) the worst case is 3
+    rounds for the least-recently-verified stable tier; the full local
+    sweep (tests/verify/check_oracle.py with no args) covers whatever
+    the window misses each round."""
     import glob as _glob
     import re as _re
 
