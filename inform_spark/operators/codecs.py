@@ -516,6 +516,241 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, LZW)
+# ---------------------------------------------------------------------------
+
+
+def is_gif(b: bytes) -> bool:
+    return len(b) > 13 and b[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes (up to 12 bits),
+    clear/end codes, dictionary of index strings (GIF89a spec
+    Appendix F). Returns the flat pixel-index list."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without END code — tolerate
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(dictionary) and (code < clear or dictionary[code]):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            dictionary.append(prev + [entry[0]])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF -> (h, w, 3) uint8 RGB of the FIRST frame (GIF87a/GIF89a:
+    logical screen descriptor, global/local color tables, extension
+    skip, LZW-compressed image data, interlace reordering). Animated
+    GIFs yield frame 0 — the multimodal feature path treats stills and
+    animation posters alike. Raises ValueError on structural errors."""
+    if not is_gif(b):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02X}")
+        ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(
+                b[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code, bytes(data))
+        if len(idx) < iw * ih:
+            raise ValueError("short GIF pixel data")
+        grid = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row order (spec App. E)
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            un = np.empty_like(grid)
+            un[order] = grid
+            grid = un
+        frame = np.zeros((h, w, 3), dtype=np.uint8)
+        frame[iy : iy + ih, ix : ix + iw] = ct[np.clip(grid, 0, len(ct) - 1)]
+        return frame
+    raise ValueError("GIF has no image descriptor")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — container METADATA parse only
+# ---------------------------------------------------------------------------
+
+
+def is_mp4(b: bytes) -> bool:
+    return len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def _boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the box sequence in
+    b[start:end], handling 64-bit largesize and size==0 (to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size {size} for {typ!r}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find(b: bytes, start: int, end: int, typ: bytes):
+    for t, s0, e0 in _boxes(b, start, end):
+        if t == typ:
+            return s0, e0
+    return None
+
+
+def parse_mp4(b: bytes) -> dict:
+    """ISO BMFF structural parse — the REAL metadata extraction a
+    100 TB multimodal pipeline runs on every video before any frame is
+    touched (box walk per ISO/IEC 14496-12: ftyp brand, mvhd movie
+    duration, per-trak tkhd/mdhd/hdlr/stsd/stsz). Returns
+    {major_brand, duration_ms, tracks: [{kind, codec, width, height,
+    duration_ms, sample_count}]}. FRAME DECODE is out of scope (no
+    codec library in the environment — the stub seam in
+    operators/multimodal.py is unchanged); this parser makes the
+    metadata columns real."""
+    if not is_mp4(b):
+        raise ValueError("not an ISO BMFF file")
+    major = b[8:12].decode("ascii", "replace")
+    moov = _find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    out: dict = {"major_brand": major, "duration_ms": None, "tracks": []}
+    mvhd = _find(b, *moov, b"mvhd")
+    if mvhd is not None:
+        v = b[mvhd[0]]
+        if v == 1:
+            ts, dur = struct.unpack(">IQ", b[mvhd[0] + 20 : mvhd[0] + 32])
+        else:
+            ts, dur = struct.unpack(">II", b[mvhd[0] + 12 : mvhd[0] + 20])
+        out["duration_ms"] = int(dur * 1000 // ts) if ts else None
+    for t, s0, e0 in _boxes(b, *moov):
+        if t != b"trak":
+            continue
+        tr: dict = {
+            "kind": None, "codec": None, "width": None, "height": None,
+            "duration_ms": None, "sample_count": None,
+        }
+        tkhd = _find(b, s0, e0, b"tkhd")
+        if tkhd is not None:
+            v = b[tkhd[0]]
+            base = tkhd[0] + (32 if v == 0 else 44)
+            # layer(2) alt(2) volume(2) reserved(2) matrix(36) w(4) h(4)
+            wh = b[base + 44 : base + 52]
+            if len(wh) == 8:
+                w1616, h1616 = struct.unpack(">II", wh)
+                tr["width"], tr["height"] = w1616 >> 16, h1616 >> 16
+        mdia = _find(b, s0, e0, b"mdia")
+        if mdia is not None:
+            mdhd = _find(b, *mdia, b"mdhd")
+            if mdhd is not None:
+                v = b[mdhd[0]]
+                if v == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", b[mdhd[0] + 20 : mdhd[0] + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", b[mdhd[0] + 12 : mdhd[0] + 20]
+                    )
+                tr["duration_ms"] = int(dur * 1000 // ts) if ts else None
+            hdlr = _find(b, *mdia, b"hdlr")
+            if hdlr is not None:
+                handler = b[hdlr[0] + 8 : hdlr[0] + 12]
+                tr["kind"] = {b"vide": "video", b"soun": "audio"}.get(
+                    handler, handler.decode("ascii", "replace")
+                )
+            minf = _find(b, *mdia, b"minf")
+            stbl = _find(b, *minf, b"stbl") if minf else None
+            if stbl is not None:
+                stsd = _find(b, *stbl, b"stsd")
+                if stsd is not None and stsd[1] - stsd[0] >= 16:
+                    tr["codec"] = b[stsd[0] + 12 : stsd[0] + 16].decode(
+                        "ascii", "replace"
+                    )
+                stsz = _find(b, *stbl, b"stsz")
+                if stsz is not None:
+                    tr["sample_count"] = struct.unpack(
+                        ">I", b[stsz[0] + 8 : stsz[0] + 12]
+                    )[0]
+        out["tracks"].append(tr)
+    return out
+
+
 def to_gray(arr: np.ndarray) -> np.ndarray:
     """(h, w, c) uint8 -> (h, w) float64 luma (ITU-R BT.601 for color;
     channel 0 for gray/gray+alpha)."""

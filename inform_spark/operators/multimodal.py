@@ -4,14 +4,17 @@ The reference stores media only as markdown links (``![alt](src)`` spans,
 media_ref in our span model — reference src/WebCrawler.js rendering path);
 a 100 TB training-data pipeline additionally needs the *bytes*. This module
 defines the Spark-side plumbing — schema, partitioning, Arrow batch shape,
-``mapInPandas`` UDF signatures — as real, tested code. Since round 4 the
-decode path is REAL for PNG, BMP and WAV-PCM via the pure-stdlib codecs in
-``operators/codecs.py`` (spec-exact struct/zlib parsing — no PIL needed);
-formats that genuinely require a codec library (JPEG, WebP, MP4 — PIL/
-ffmpeg are not in this container and no package index is reachable) stay
-behind ``decode_image_stub``, a deterministic fake so every downstream
-shape is still exercised end-to-end. Swapping PIL in changes ONE function
-(`decode_image`), not the pipeline.
+``mapInPandas`` UDF signatures — as real, tested code. The decode path is
+REAL for PNG, BMP, GIF, baseline JPEG, and WAV-PCM via the pure-stdlib
+codecs in ``operators/codecs.py`` (spec-exact struct/zlib/Huffman parsing
+— no PIL needed), and MP4 container METADATA parses for real
+(``video_metadata`` over ``codecs.parse_mp4``); only the formats that
+genuinely require a codec library (WebP, progressive JPEG, video FRAME
+decode — PIL/ffmpeg are not in this container and no package index is
+reachable) stay behind ``decode_image_stub`` / ``sample_frames_stub``,
+deterministic fakes so every downstream shape is still exercised
+end-to-end. Swapping PIL/ffmpeg in changes ONE function each
+(`decode_image` / frame sampling), not the pipeline.
 
 Design for scale:
 - media rows are fat (binary column): process with ``mapInPandas`` so one
@@ -95,10 +98,10 @@ def synthesize_media(docs_with_media: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
-    """Decode dispatch: REAL stdlib decoders for PNG, BMP, and baseline
-    JPEG (operators/codecs.py — spec-exact, no PIL; JPEG covers the
-    dominant web format as of round 5), the deterministic stub for
-    every other format (WebP/MP4/progressive-JPEG remain
+    """Decode dispatch: REAL stdlib decoders for PNG, BMP, GIF, and
+    baseline JPEG (operators/codecs.py — spec-exact, no PIL; JPEG
+    covers the dominant web format as of round 5), the deterministic
+    stub for every other format (WebP/MP4/progressive-JPEG remain
     environment-blocked: no imaging library and no package-index
     route, re-verified in BASELINE.md each round). Returns
     (features, mode) with mode one of 'ok' (real decode) / 'stub'.
@@ -125,6 +128,8 @@ def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
             if "SOF marker" in str(e) or "precision" in str(e):
                 return decode_image_stub(content, ref), "stub"
             raise
+    elif codecs.is_gif(content):
+        arr = codecs.decode_gif(content)
     else:
         return decode_image_stub(content, ref), "stub"
     if arr.ndim == 2:  # grayscale JPEG: (h, w) -> (h, w, 1)
@@ -513,6 +518,88 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
         media.filter(F.col("kind") == "audio")
         .repartition(n, F.pmod(F.xxhash64("media_ref"), F.lit(n)))
         .mapInPandas(extract, schema=AUDIO_FEATURES)
+    )
+
+
+VIDEO_METADATA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("major_brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("video_codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("audio_codec", StringType(), True),
+        StructField("parse_ok", StringType(), False),  # ok | error
+    ]
+)
+
+
+def video_metadata(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Video container metadata via mapInPandas: REAL ISO BMFF box walk
+    (operators/codecs.parse_mp4 — ftyp/mvhd/trak/tkhd/mdhd/hdlr/stsd/
+    stsz per ISO/IEC 14496-12) for duration, track layout, codec
+    fourccs, and display dimensions — the structural pass a 100 TB
+    video pipeline runs on EVERY asset before deciding what to decode.
+    Frame decode stays behind the disclosed stub seam
+    (sample_frames_stub) until a codec library exists in the
+    environment; the metadata columns are real. Non-BMFF bytes come
+    back parse_ok='error' with NULL features — an explicit verdict,
+    same contract as audio_features. Scale shape identical to
+    image_features: content-hash repartition, Arrow batches, binary
+    never leaves the executor."""
+    from inform_spark.operators import codecs
+
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_ref": [], "doc_id": [], "major_brand": [],
+                "duration_ms": [], "n_tracks": [], "video_codec": [],
+                "width": [], "height": [], "audio_codec": [],
+                "parse_ok": [],
+            }
+            for ref, doc, content in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["content"]
+            ):
+                out["media_ref"].append(ref)
+                out["doc_id"].append(doc)
+                try:
+                    m = codecs.parse_mp4(
+                        bytes(content) if content is not None else b""
+                    )
+                    vid = next(
+                        (t for t in m["tracks"] if t["kind"] == "video"),
+                        None,
+                    )
+                    aud = next(
+                        (t for t in m["tracks"] if t["kind"] == "audio"),
+                        None,
+                    )
+                    out["major_brand"].append(m["major_brand"])
+                    out["duration_ms"].append(m["duration_ms"])
+                    out["n_tracks"].append(len(m["tracks"]))
+                    out["video_codec"].append(vid["codec"] if vid else None)
+                    out["width"].append(vid["width"] if vid else None)
+                    out["height"].append(vid["height"] if vid else None)
+                    out["audio_codec"].append(aud["codec"] if aud else None)
+                    out["parse_ok"].append("ok")
+                except Exception:
+                    for k in (
+                        "major_brand", "duration_ms", "n_tracks",
+                        "video_codec", "width", "height", "audio_codec",
+                    ):
+                        out[k].append(None)
+                    out["parse_ok"].append("error")
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .repartition(n, F.pmod(F.xxhash64("media_ref"), F.lit(n)))
+        .mapInPandas(extract, schema=VIDEO_METADATA)
     )
 
 

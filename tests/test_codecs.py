@@ -475,3 +475,250 @@ def test_image_features_jpeg_real_decode_dispatch(spark):
     # DC-only block: every pixel 128.375 -> rounds to 128 exactly
     assert abs(got["real.jpg"]["mean_luma"] - 128.0) < 1e-9
     assert got["prog.jpg"]["decode_ok"] == "stub"
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (round 5): hand-packed LZW code streams, never a
+# self-encoder.
+# ---------------------------------------------------------------------------
+
+
+class _LsbWriter:
+    """LSB-first variable-width code packer (GIF Appendix F framing),
+    built in the test so the decoder is checked against an independent
+    construction of the bitstream."""
+
+    def __init__(self):
+        self.bits = []
+
+    def code(self, value, width):
+        for i in range(width):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for j, b in enumerate(self.bits[i : i + 8]):
+                v |= b << j
+            out.append(v)
+        return bytes(out)
+
+
+def _gif(w, h, palette, lzw_min, lzw_bytes, iflags=0):
+    gct_bits = max((len(palette) - 1).bit_length(), 1) - 1
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * ((2 << gct_bits) - len(palette)))
+    hdr = b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    img = b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    data = bytes([lzw_min])
+    for i in range(0, len(lzw_bytes), 255):
+        chunk = lzw_bytes[i : i + 255]
+        data += bytes([len(chunk)]) + chunk
+    data += b"\x00"
+    return hdr + bytes(pal) + img + data + b"\x3b"
+
+
+def test_gif_basic_lzw():
+    """4x1, 2-color: codes CLEAR,0,1,0,1,END hand-packed at width 3
+    (min code size 2) must decode to the exact palette colors."""
+    from inform_spark.operators import codecs
+
+    wtr = _LsbWriter()
+    # clear=4, end=5 at min_code_size=2; the dictionary reaches 8
+    # entries after the 3rd pixel code, so the last two codes are
+    # 4 bits wide (GIF early width bump)
+    for c, w in ((4, 3), (0, 3), (1, 3), (0, 3), (1, 4), (5, 4)):
+        wtr.code(c, w)
+    gif = _gif(
+        4, 1, [(0, 0, 0), (255, 255, 255)], 2, wtr.tobytes()
+    )
+    got = codecs.decode_gif(gif)
+    assert got.shape == (1, 4, 3)
+    assert got[0, 0].tolist() == [0, 0, 0]
+    assert got[0, 1].tolist() == [255, 255, 255]
+    assert got[0, 2].tolist() == [0, 0, 0]
+    assert got[0, 3].tolist() == [255, 255, 255]
+
+
+def test_gif_lzw_dictionary_growth_and_kwkwk():
+    """The deferred-code (KwKwK) case: stream CLEAR,0,6,END where code 6
+    is exactly the next dictionary slot -> prev + prev[0] = [0,0]; the
+    3-pixel row must decode to three palette-0 pixels."""
+    from inform_spark.operators import codecs
+
+    wtr = _LsbWriter()
+    for c in (4, 0, 6, 5):
+        wtr.code(c, 3)
+    gif = _gif(3, 1, [(10, 20, 30), (0, 0, 0)], 2, wtr.tobytes())
+    got = codecs.decode_gif(gif)
+    assert got.shape == (1, 3, 3)
+    assert (got == [10, 20, 30]).all()
+
+
+def test_gif_interlaced_row_order():
+    """8x8 interlaced: rows are STORED in pass order 0,8.. / 4 / 2,6 /
+    1,3,5,7; paint stored-row r with palette index (r % 2) and check the
+    deinterlaced output hits the spec's row mapping."""
+    from inform_spark.operators import codecs
+
+    # stored rows (pass order) for height 8: [0,4,2,6,1,3,5,7]
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    # pack one literal code per pixel, mirroring the GIF width-bump
+    # rule (dictionary grows by one per code after the first; width
+    # bumps when the dictionary reaches 2^width entries)
+    wtr2 = _LsbWriter()
+    wtr2.code(4, 3)
+    width, ncodes, first = 3, 6, True
+    for stored_idx in range(8):
+        for _ in range(8):
+            wtr2.code(stored_idx % 2, width)
+            if first:
+                first = False
+                continue
+            ncodes += 1
+            if ncodes == (1 << width) and width < 12:
+                width += 1
+    wtr2.code(5, width)  # END
+    gif = _gif(
+        8, 8, [(0, 0, 0), (255, 255, 255)], 2, wtr2.tobytes(), iflags=0x40
+    )
+    got = codecs.decode_gif(gif)
+    assert got.shape == (8, 8, 3)
+    for stored_idx, display_row in enumerate(order):
+        want = 255 if stored_idx % 2 else 0
+        assert (got[display_row] == want).all(), (stored_idx, display_row)
+
+
+def test_gif_not_a_gif_rejected():
+    from inform_spark.operators import codecs
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"NOTAGIFxxxxxxxxxx")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF box parser (round 5): hand-assembled boxes.
+# ---------------------------------------------------------------------------
+
+
+def _box(typ, payload):
+    return _struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _full(typ, version, payload):
+    return _box(typ, bytes([version, 0, 0, 0]) + payload)
+
+
+def _make_mp4(movie_ts=1000, movie_dur=12_000, tracks=()):
+    mvhd = _full(
+        b"mvhd", 0,
+        _struct.pack(">II", 0, 0)       # ctime, mtime
+        + _struct.pack(">II", movie_ts, movie_dur)
+        + b"\x00" * 80,
+    )
+    trak_boxes = b""
+    for t in tracks:
+        tkhd = _full(
+            b"tkhd", 0,
+            _struct.pack(">III", 0, 0, t.get("track_id", 1))
+            + b"\x00" * 4                 # reserved
+            + _struct.pack(">I", t.get("dur", 0))
+            + b"\x00" * 8                 # reserved
+            + b"\x00" * 8                 # layer/alt/volume/reserved
+            + b"\x00" * 36                # matrix
+            + _struct.pack(
+                ">II", t.get("w", 0) << 16, t.get("h", 0) << 16
+            ),
+        )
+        mdhd = _full(
+            b"mdhd", 0,
+            _struct.pack(">II", 0, 0)
+            + _struct.pack(">II", t["ts"], t["dur"])
+            + _struct.pack(">HH", 0, 0),
+        )
+        hdlr = _full(
+            b"hdlr", 0, b"\x00" * 4 + t["handler"] + b"\x00" * 13
+        )
+        stsd = _full(
+            b"stsd", 0,
+            _struct.pack(">I", 1)
+            + _struct.pack(">I", 16) + t["codec"] + b"\x00" * 8,
+        )
+        stsz = _full(
+            b"stsz", 0, _struct.pack(">II", 0, t.get("samples", 0))
+        )
+        stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak_boxes)
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isommp41")
+    return ftyp + moov
+
+
+def test_mp4_parse_two_tracks():
+    from inform_spark.operators import codecs
+
+    b = _make_mp4(
+        movie_ts=600, movie_dur=6_000,  # 10 s
+        tracks=(
+            {"handler": b"vide", "codec": b"avc1", "ts": 30_000,
+             "dur": 300_000, "w": 1920, "h": 1080, "samples": 300},
+            {"handler": b"soun", "codec": b"mp4a", "ts": 48_000,
+             "dur": 480_000, "samples": 469},
+        ),
+    )
+    m = codecs.parse_mp4(b)
+    assert m["major_brand"] == "isom"
+    assert m["duration_ms"] == 10_000
+    assert len(m["tracks"]) == 2
+    vid, aud = m["tracks"]
+    assert vid["kind"] == "video" and vid["codec"] == "avc1"
+    assert (vid["width"], vid["height"]) == (1920, 1080)
+    assert vid["duration_ms"] == 10_000 and vid["sample_count"] == 300
+    assert aud["kind"] == "audio" and aud["codec"] == "mp4a"
+    assert aud["sample_count"] == 469
+
+
+def test_mp4_not_bmff_rejected():
+    from inform_spark.operators import codecs
+    import pytest
+
+    with pytest.raises(ValueError, match="not an ISO BMFF"):
+        codecs.parse_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError, match="no moov"):
+        codecs.parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00"))
+
+
+def test_video_metadata_operator(spark):
+    import pandas as pd
+
+    from inform_spark.operators import multimodal as mm
+
+    good = _make_mp4(
+        movie_ts=1000, movie_dur=5_000,
+        tracks=({"handler": b"vide", "codec": b"av01", "ts": 24_000,
+                 "dur": 120_000, "w": 640, "h": 360, "samples": 120},),
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["v.mp4", "junk.mp4"],
+            "doc_id": ["1", "2"],
+            "kind": ["video", "video"],
+            "content": [good, b"\xde\xad\xbe\xef" * 8],
+            "content_len": [len(good), 32],
+            "format": ["mp4", "mp4"],
+        }),
+        schema=mm.MEDIA,
+    )
+    got = {r["media_ref"]: r for r in mm.video_metadata(media).collect()}
+    assert got["v.mp4"]["parse_ok"] == "ok"
+    assert got["v.mp4"]["video_codec"] == "av01"
+    assert got["v.mp4"]["width"] == 640 and got["v.mp4"]["height"] == 360
+    assert got["v.mp4"]["duration_ms"] == 5000
+    assert got["junk.mp4"]["parse_ok"] == "error"
+    assert got["junk.mp4"]["video_codec"] is None
