@@ -458,3 +458,29 @@ def test_verification_order_real_repo_state():
     head = order[: len(never) + len(e.CHANGED_THIS_ROUND)]
     assert set(never) <= set(head)
     assert set(e.CHANGED_THIS_ROUND) <= set(head)
+
+
+def test_verification_order_never_verified_beats_changed(monkeypatch, tmp_path):
+    """VERDICT r4 item 2: never-driver-verified queries sort STRICTLY
+    before changed-this-round — a large changed-set can no longer push
+    debutants out of the 50-row window."""
+    import json as j
+
+    import __spark_entry__ as e
+
+    names = [f"q{i:02d}" for i in range(60)]
+    files = {}
+    monkeypatch.setattr("glob.glob", lambda pat: list(files))
+    # every query except the last 5 has a driver row; mark 52 of the
+    # verified ones as changed (bigger than the window)
+    p = str(tmp_path / "CORRECTNESS_r4.json")
+    (tmp_path / "CORRECTNESS_r4.json").write_text(
+        j.dumps({n: {} for n in names[:55]})
+    )
+    files[p] = None
+    monkeypatch.setattr(e, "CHANGED_THIS_ROUND", names[:52])
+    order = e._verification_order(names)
+    # the 5 never-verified lead the order outright
+    assert order[:5] == names[55:]
+    # changed tier follows, stable tier last
+    assert set(order[5:57]) == set(names[:52])
