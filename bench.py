@@ -158,8 +158,8 @@ BENCH_QUERIES = [
 ]
 
 # round-over-round crawl regression guard: the A/B reference commit
-# (round-3 final tree). Override with BENCH_AB_REF.
-AB_REF_DEFAULT = "5e67e00"
+# (round-4 final tree). Override with BENCH_AB_REF.
+AB_REF_DEFAULT = "3d2ded4"
 
 
 def _spark(cpus: int):
