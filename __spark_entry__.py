@@ -1094,6 +1094,23 @@ def q_phash_neardup_stars(spark, sf_dir):
     )
 
 
+def q_phash_incremental(spark, sf_dir):
+    """Incremental image near-dup: the odd-doc_id half of the synthetic
+    phash corpus probes an index built from the even half
+    (operators/multimodal.phash_incremental — distinct-phash probes
+    against the persisted band store, survivor components for
+    new-vs-new; the image-side analog of dedup_incremental)."""
+    from inform_spark.operators import multimodal
+
+    f = _phash_feats(spark, sf_dir).withColumn(
+        "__i",
+        F.regexp_extract("media_ref", r"^m(\d+)$", 1).cast("long"),
+    )
+    new = f.filter(F.pmod("__i", F.lit(2)) == 1).drop("__i")
+    idx = f.filter(F.pmod("__i", F.lit(2)) == 0).drop("__i")
+    return multimodal.phash_incremental(new, index_feats=idx, hamming_max=2)
+
+
 def q_w1_tumbling_window(spark, sf_dir):
     """Event-time tumbling-window rollup (streaming-capable op: same plan
     runs under readStream + watermark — see inform_spark/streaming)."""
@@ -2580,6 +2597,7 @@ CHANGED_THIS_ROUND = [
     "ip_paced_admissions",  # dns dim merge-on-read dedup (ADVICE r4)
     "epoch_shards",  # upsample_epochs reserved-column guard upstream
     "warc_replay_curation",  # new this round
+    "phash_incremental",  # new this round
     "phash_neardup_pairs",  # new this round
     "phash_neardup_stars",  # new this round
 ]
@@ -2740,6 +2758,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shards": q_epoch_shards,
         "phash_neardup_pairs": q_phash_neardup_pairs,
         "warc_replay_curation": q_warc_replay_curation,
+        "phash_incremental": q_phash_incremental,
         "phash_neardup_stars": q_phash_neardup_stars,
         # -- (3) remainder (r03-green, code untouched) -----------------------
         "crawl_documents": q_crawl_documents,
@@ -4645,6 +4664,41 @@ def oracle_sql() -> dict[str, str]:
         "where bit_count(xor(g1.phash, g2.phash)) <= 2) "
         "select a, b from intra union all "
         "select least(r1, r2) as a, greatest(r1, r2) as b from rp"
+    )
+    d["phash_incremental"] = (
+        f"{phash_cte.replace('with ', 'with recursive ', 1)}, "
+        "fx as (select media_ref, phash, "
+        "cast(substr(media_ref, 2) as bigint) as i from f), "
+        "idx as (select * from fx where i % 2 = 0), "
+        "nw as (select * from fx where i % 2 = 1), "
+        "ig as (select phash, min(media_ref) as anchor from idx "
+        "group by phash), "
+        "ng as (select phash from nw group by phash), "
+        "hits as (select n.phash, min(g.anchor) as hit from ng n "
+        "join ig g on bit_count(xor(n.phash, g.phash)) <= 2 "
+        "group by n.phash), "
+        "surv as (select phash from ng where phash not in "
+        "(select phash from hits)), "
+        "und as (select x.phash as a, y.phash as b from surv x "
+        "join surv y on x.phash <> y.phash "
+        "and bit_count(xor(x.phash, y.phash)) <= 2), "
+        "reach(v, m) as (select phash, phash from surv union "
+        "select u.b, r.m from reach r join und u on u.a = r.v), "
+        "comp as (select v as phash, min(m) as lbl from reach "
+        "group by v), "
+        "lab as (select s.phash, coalesce(c.lbl, s.phash) as lbl "
+        "from surv s left join comp c on c.phash = s.phash), "
+        "anch as (select l.lbl, min(n.media_ref) as anchor "
+        "from nw n join lab l on n.phash = l.phash group by l.lbl) "
+        "select n.media_ref, "
+        "case when h.hit is not null then 'dup_of_index' "
+        "when n.media_ref <> a.anchor then 'dup_of_new' "
+        "else 'kept' end as verdict, "
+        "case when h.hit is not null then h.hit "
+        "when n.media_ref <> a.anchor then a.anchor end as match_ref "
+        "from nw n left join hits h on n.phash = h.phash "
+        "left join lab l on n.phash = l.phash "
+        "left join anch a on a.lbl = l.lbl"
     )
     return d
 

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     # round 5
     "phash_neardup_stars",
     "phash_neardup_pairs",
+    "phash_incremental",
     "warc_replay_curation",
 ]
 

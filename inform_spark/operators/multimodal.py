@@ -459,6 +459,116 @@ def near_dup_by_phash_capped(
     return near_dup_by_phash(kept, hamming_max), audit
 
 
+def phash_band_index(features: DataFrame) -> DataFrame:
+    """The persisted index store for incremental image near-dup probes:
+    one row per (phash, band_key) over DISTINCT phashes, carrying the
+    group ``anchor`` (min media_ref with that hash) for match
+    attribution. Production appends survivors' rows here after each
+    batch and buckets the store by band_key, so the per-delta probe is
+    a co-located join that touches only the delta's band buckets —
+    never the image corpus (same store discipline as the minhash band
+    index in ``streaming.dedup``)."""
+    groups = features.groupBy("phash").agg(
+        F.min("media_ref").alias("anchor")
+    )
+    return _phash_band_keys(groups.select("phash")).join(groups, "phash")
+
+
+def phash_incremental(
+    new_feats: DataFrame,
+    index_feats: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
+    hamming_max: int = 4,
+) -> DataFrame:
+    """Incremental image near-dup: judge a NEW batch of images against
+    an EXISTING corpus index without touching the corpus — the
+    continuous-ingest production shape (a crawl's daily image delta vs
+    the persisted :func:`phash_band_index`), the image-side analog of
+    ``components.minhash_incremental``. One row per new image:
+    (media_ref, verdict, match_ref) with verdict ∈ {'dup_of_index'
+    (its phash is within ``hamming_max`` of an indexed hash; match_ref
+    = min matching group anchor), 'dup_of_new' (it collides only
+    within the new batch and lost to its component's min media_ref),
+    'kept'}.
+
+    Scale: every join runs at the DISTINCT-phash level (identical
+    copies pre-collapse — the hot-logo delta costs one probe row);
+    the index side is only its band store; new-vs-new resolution is
+    connected components over the (small) surviving hash pair graph.
+    Survivor-only transitivity, as documented on minhash_incremental:
+    a new image whose only link to an indexed family passes through a
+    removed duplicate is 'kept' — batching-invariant, because removed
+    hashes are never indexed either way.
+
+    Pass exactly one of ``index_feats`` (re-bands raw features — the
+    test/oracle path) or ``index_bands`` (the persisted store)."""
+    from inform_spark.operators.components import connected_components
+
+    if (index_feats is None) == (index_bands is None):
+        raise ValueError("pass exactly one of index_feats / index_bands")
+    ib = (
+        index_bands
+        if index_bands is not None
+        else phash_band_index(index_feats)
+    )
+    newg = new_feats.groupBy("phash").agg(
+        F.min("media_ref").alias("__na")
+    )
+    nb = _phash_band_keys(newg.select("phash"))
+    cand = (
+        nb.join(
+            ib.select(
+                F.col("phash").alias("__iph"), "band_key", "anchor"
+            ),
+            "band_key",
+        )
+        .select("phash", "__iph", "anchor")
+        .distinct()
+    )
+    hits = (
+        cand.filter(
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("__iph")))
+            <= hamming_max
+        )
+        .groupBy("phash")
+        .agg(F.min("anchor").alias("__hit"))
+        .localCheckpoint()  # referenced twice; index pipeline runs once
+    )
+    surv = newg.join(hits, "phash", "left_anti")
+    pairs = _phash_rep_pairs(surv.select("phash"), hamming_max).select(
+        "ph_a", "ph_b"
+    )
+    comp = connected_components(pairs, "ph_a", "ph_b").withColumnRenamed(
+        "v", "phash"
+    )
+    lab = surv.join(comp, "phash", "left").withColumn(
+        "lbl", F.coalesce("component", "phash")
+    )
+    anchors = lab.groupBy("lbl").agg(F.min("__na").alias("__anchor"))
+    labeled = lab.join(anchors, "lbl").select("phash", "__anchor")
+    return (
+        new_feats.join(hits, "phash", "left")
+        .join(labeled, "phash", "left")
+        .select(
+            "media_ref",
+            F.when(F.col("__hit").isNotNull(), F.lit("dup_of_index"))
+            .when(
+                F.col("media_ref") != F.col("__anchor"),
+                F.lit("dup_of_new"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce(
+                "__hit",
+                F.when(
+                    F.col("media_ref") != F.col("__anchor"),
+                    F.col("__anchor"),
+                ),
+            ).alias("match_ref"),
+        )
+    )
+
+
 AUDIO_FEATURES = StructType(
     [
         StructField("media_ref", StringType(), False),

@@ -191,3 +191,75 @@ def test_phash_exact_pairs_match_bruteforce(spark):
         if h <= 4:
             want.add((min(ra, rb), max(ra, rb), h))
     assert got == want
+
+
+def test_phash_incremental_verdicts(spark):
+    """All three verdicts on a hand-built scene: idx holds phash P
+    (two copies); new batch has P (dup_of_index), P^1 (near P ->
+    dup_of_index), a fresh pair Q/Q (one kept anchor, one dup_of_new),
+    and a loner (kept)."""
+    P = 0x1111_2222_3333_4444
+    Q = 0x0F0F_F0F0_0F0F_F0F0
+    idx = spark.createDataFrame(
+        [("i-b", P), ("i-a", P)], "media_ref string, phash long"
+    )
+    new = spark.createDataFrame(
+        [
+            ("n-exact", P),
+            ("n-near", P ^ 0x1),
+            ("n-q1", Q),
+            ("n-q2", Q),
+            ("n-solo", 0x7777_0000_1234_5678),
+        ],
+        "media_ref string, phash long",
+    )
+    out = {
+        r["media_ref"]: (r["verdict"], r["match_ref"])
+        for r in mm.phash_incremental(
+            new, index_feats=idx, hamming_max=2
+        ).collect()
+    }
+    assert out["n-exact"] == ("dup_of_index", "i-a")
+    assert out["n-near"] == ("dup_of_index", "i-a")
+    assert out["n-q1"] == ("kept", None)
+    assert out["n-q2"] == ("dup_of_new", "n-q1")
+    assert out["n-solo"] == ("kept", None)
+
+
+def test_phash_incremental_persisted_band_store_parity(spark):
+    """index_bands (the persisted store) must judge identically to
+    re-banding the raw index features."""
+    feats = spark.range(30).select(
+        F.concat(F.lit("x"), F.col("id")).alias("media_ref"),
+        (F.lit(0x4242_0000_0000_0000) + F.expr("id div 3")).alias("phash"),
+    )
+    new = spark.range(30, 45).select(
+        F.concat(F.lit("y"), F.col("id")).alias("media_ref"),
+        (F.lit(0x4242_0000_0000_0000) + F.pmod("id", F.lit(20))).alias(
+            "phash"
+        ),
+    )
+    store = mm.phash_band_index(feats)
+    a = {
+        tuple(r)
+        for r in mm.phash_incremental(
+            new, index_feats=feats, hamming_max=2
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in mm.phash_incremental(
+            new, index_bands=store, hamming_max=2
+        ).collect()
+    }
+    assert a == b and len(a) == 15
+
+
+def test_phash_incremental_requires_exactly_one_index(spark):
+    import pytest
+
+    f = spark.createDataFrame([("a", 1)], "media_ref string, phash long")
+    with pytest.raises(ValueError, match="exactly one"):
+        mm.phash_incremental(f)
+    with pytest.raises(ValueError, match="exactly one"):
+        mm.phash_incremental(f, index_feats=f, index_bands=f)
