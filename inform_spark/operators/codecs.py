@@ -24,9 +24,14 @@ with hand-filtered scanlines, hand-padded rows, and hand-assembled
 JPEG bitstreams whose expected pixels come from an independent
 direct-cosine IDCT (never a self-encoder) — so the multimodal
 pipeline's decode path covers the dominant web image formats.
-WebP/MP4 stay behind the deterministic stub until a real codec
-library exists in the environment (the one-function seam in
-operators/multimodal.py is unchanged).
+GIF (LZW, interlace) decodes for real too, and MP4/ISO-BMFF
+container METADATA parses for real (``parse_mp4``); WebP and
+compressed-codec FRAME decode stay behind the deterministic stub
+until a real codec library exists in the environment (the
+one-function seam in operators/multimodal.py is unchanged). All
+decoders are fuzz-smoked: truncations and byte corruptions of valid
+streams must terminate (raise), never hang — crawlers feed these
+hostile bytes.
 
 Perf note: PNG filter reconstruction for types 1/3/4 and the JPEG
 entropy decode are per-symbol Python loops (both recurrences are
@@ -384,6 +389,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if pos + 2 > len(b):
             raise ValueError("truncated segment")
         ln = struct.unpack(">H", b[pos : pos + 2])[0]
+        if ln < 2:
+            # a segment length below 2 cannot cover its own length field;
+            # advancing by it would loop forever on corrupt input
+            raise ValueError(f"bad segment length {ln}")
         seg = b[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (may hold several tables)
             i = 0
@@ -437,6 +446,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS")
 
+    if frame["h"] * frame["w"] > (1 << 26):
+        # ~67 MP cap: a corrupt SOF claiming 65535x65535 would allocate
+        # tens of GB of planes inside an executor before any pixel
+        # decodes; this decoder targets web-image scale
+        raise ValueError(
+            f"image {frame['w']}x{frame['h']} exceeds the decode cap"
+        )
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -529,6 +545,11 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     """GIF-variant LZW: LSB-first variable-width codes (up to 12 bits),
     clear/end codes, dictionary of index strings (GIF89a spec
     Appendix F). Returns the flat pixel-index list."""
+    if not 1 <= min_code_size <= 11:
+        # spec range is 2-8 (11 max with the 12-bit code ceiling); a
+        # corrupt value like 102 would otherwise allocate a 2^102-entry
+        # dictionary before the first code is read
+        raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -578,6 +599,8 @@ def decode_gif(b: bytes) -> np.ndarray:
     if not is_gif(b):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if w * h > (1 << 26):
+        raise ValueError(f"image {w}x{h} exceeds the decode cap")
     pos = 13
     gct = None
     if flags & 0x80:

@@ -722,3 +722,66 @@ def test_video_metadata_operator(spark):
     assert got["v.mp4"]["duration_ms"] == 5000
     assert got["junk.mp4"]["parse_ok"] == "error"
     assert got["junk.mp4"]["video_codec"] is None
+
+
+# ---------------------------------------------------------------------------
+# Hostile-bytes fuzz smoke (round 5): a crawler feeds codecs arbitrary
+# web bytes; every decoder must TERMINATE (return or raise) on
+# truncations and seeded single-byte corruptions of valid streams —
+# image_features/video_metadata catch the raise and verdict 'error',
+# so termination is the load-bearing property.
+# ---------------------------------------------------------------------------
+
+
+def _valid_fixtures():
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    png = codecs.encode_png(img)
+    bw = _BitWriter()
+    bw.write("0")
+    bw.write("11")
+    bw.write("0")
+    jpg = (
+        b"\xff\xd8" + _dqt(0, [1] * 64) + _sof0(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _dht(1, 0, [1] + [0] * 15, [0x00])
+        + _sos([(1, 0, 0)]) + bw.tobytes() + b"\xff\xd9"
+    )
+    wtr = _LsbWriter()
+    for c, w in ((4, 3), (0, 3), (1, 3), (0, 3), (1, 4), (5, 4)):
+        wtr.code(c, w)
+    gif = _gif(4, 1, [(0, 0, 0), (255, 255, 255)], 2, wtr.tobytes())
+    mp4 = _make_mp4(
+        tracks=({"handler": b"vide", "codec": b"avc1", "ts": 1000,
+                 "dur": 5000, "w": 64, "h": 64, "samples": 5},),
+    )
+    return {
+        "png": (png, codecs.decode_png),
+        "jpeg": (jpg, codecs.decode_jpeg),
+        "gif": (gif, codecs.decode_gif),
+        "mp4": (mp4, codecs.parse_mp4),
+    }
+
+
+def test_codecs_terminate_on_truncation():
+    for name, (valid, dec) in _valid_fixtures().items():
+        for cut in range(0, len(valid), max(1, len(valid) // 40)):
+            try:
+                dec(valid[:cut])
+            except Exception:
+                pass  # raising is fine; hanging or segfaulting is not
+
+
+def test_codecs_terminate_on_byte_corruption():
+    import zlib as _zlib
+
+    for name, (valid, dec) in _valid_fixtures().items():
+        for i in range(120):
+            # deterministic position/value from a crc — no RNG
+            h = _zlib.crc32(f"{name}-{i}".encode())
+            pos = h % len(valid)
+            mut = bytearray(valid)
+            mut[pos] ^= 1 + (h >> 8) % 255
+            try:
+                dec(bytes(mut))
+            except Exception:
+                pass
