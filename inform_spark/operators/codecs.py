@@ -24,8 +24,9 @@ with hand-filtered scanlines, hand-padded rows, and hand-assembled
 JPEG bitstreams whose expected pixels come from an independent
 direct-cosine IDCT (never a self-encoder) — so the multimodal
 pipeline's decode path covers the dominant web image formats.
-GIF (LZW, interlace) decodes for real too, and MP4/ISO-BMFF
-container METADATA parses for real (``parse_mp4``); WebP and
+GIF (LZW, interlace) decodes for real too, MP4/ISO-BMFF
+container METADATA parses for real (``parse_mp4``), and LOSSLESS WebP
+decodes for real (``operators/vp8l.py``); lossy-VP8 WebP and
 compressed-codec FRAME decode stay behind the deterministic stub
 until a real codec library exists in the environment (the
 one-function seam in operators/multimodal.py is unchanged). All

@@ -98,12 +98,12 @@ def synthesize_media(docs_with_media: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
-    """Decode dispatch: REAL stdlib decoders for PNG, BMP, GIF, and
-    baseline JPEG (operators/codecs.py — spec-exact, no PIL; JPEG
-    covers the dominant web format as of round 5), the deterministic
-    stub for every other format (WebP/MP4/progressive-JPEG remain
-    environment-blocked: no imaging library and no package-index
-    route, re-verified in BASELINE.md each round). Returns
+    """Decode dispatch: REAL stdlib decoders for PNG, BMP, GIF,
+    baseline JPEG, and LOSSLESS WebP (operators/codecs.py +
+    operators/vp8l.py — spec-exact, no PIL), the deterministic stub
+    for the remaining profiles (lossy-VP8 WebP, progressive JPEG,
+    compressed video/audio frames — genuinely codec-library-bound,
+    re-verified in BASELINE.md each round). Returns
     (features, mode) with mode one of 'ok' (real decode) / 'stub'.
     Raises for None content or corrupt bytes in a recognized
     container, like a real decoder would — EXCEPT a JPEG profile the
@@ -112,6 +112,7 @@ def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
     container was recognized but the profile is out of scope, the
     same verdict any fixed-profile production decoder stage gives."""
     from inform_spark.operators import codecs
+    from inform_spark.operators.vp8l import is_webp as _is_webp
 
     if content is None:
         raise ValueError(f"no content for {ref}")
@@ -130,6 +131,17 @@ def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
             raise
     elif codecs.is_gif(content):
         arr = codecs.decode_gif(content)
+    elif _is_webp(content):
+        from inform_spark.operators import vp8l
+
+        try:
+            arr = vp8l.decode_webp(content)[:, :, :3]  # drop alpha
+        except ValueError as e:
+            if "lossy WebP" in str(e):
+                # recognized container, out-of-scope profile — same
+                # stub verdict as progressive JPEG
+                return decode_image_stub(content, ref), "stub"
+            raise
     else:
         return decode_image_stub(content, ref), "stub"
     if arr.ndim == 2:  # grayscale JPEG: (h, w) -> (h, w, 1)
