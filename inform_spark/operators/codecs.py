@@ -12,12 +12,14 @@ common container formats are decodable with nothing beyond ``struct``
 - **BMP** (BITMAPINFOHEADER): 24/32-bpp uncompressed, bottom-up or
   top-down, 4-byte row padding.
 - **WAV** (RIFF): PCM 16-bit fmt/data chunk walk.
-- **JPEG** (ITU-T T.81 baseline sequential, SOF0/SOF1, Huffman, 8-bit,
-  round 5): marker walk, canonical Huffman entropy decode with
-  byte-unstuffing + restart markers, dequantize/de-zigzag, orthonormal
-  8x8 inverse DCT, 4:2:0/4:2:2 chroma upsampling, BT.601 YCbCr→RGB.
-  Progressive (SOF2) and arithmetic coding raise ValueError — the
-  dispatch in operators/multimodal.py routes those to the stub.
+- **JPEG** (ITU-T T.81, Huffman, 8-bit, round 5): BASELINE sequential
+  (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection + successive
+  approximation with EOB runs and AC-refinement correction bits).
+  Marker walk, canonical Huffman with byte-unstuffing + restart
+  markers, per-component coefficient planes filled scan by scan,
+  dequantize/de-zigzag, orthonormal 8x8 inverse DCT, 4:2:0/4:2:2
+  chroma upsampling, BT.601 YCbCr→RGB. Arithmetic coding (SOF9+)
+  raises ValueError — the dispatch routes it to the stub.
 
 These are REAL decoders — byte-exact against the public specs, tested
 with hand-filtered scanlines, hand-padded rows, and hand-assembled
@@ -305,13 +307,13 @@ class _BitReader:
                 nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: stop filling, pad with 1-bits
+                else:
+                    # any marker ends the scan's entropy data (next SOS /
+                    # DHT / EOI / RST...): stop filling, pad with 1-bits;
+                    # the caller resumes the marker walk at self.pos
                     self.buf = (self.buf << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
             else:
                 self.pos += 1
             self.buf = (self.buf << 8) | byte
@@ -360,24 +362,125 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _ac_first(br, table, zz, Ss, Se, Al, eobrun) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2 /
+    libjpeg decode_mcu_AC_first). ``zz`` is the block's zig-zag
+    coefficient vector; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _decode_symbol(br, table)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r < 15:  # EOBn: run of 2^r + extra end-of-bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(br.receive(size), size) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, table, zz, Ss, Se, Al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    significant coefficients arrive as +-1 << Al; every already-nonzero
+    coefficient traversed emits one correction bit."""
+    p1 = 1 << Al
+    m1 = -p1
+
+    def correct(idx: int) -> None:
+        c = int(zz[idx])
+        if br.read_bit() and (abs(c) & p1) == 0:
+            zz[idx] = c + (p1 if c >= 0 else m1)
+
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _decode_symbol(br, table)
+            r, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # remaining coefficients handled below
+                # r == 15: run over 16 zero-history coefficients
+            else:
+                # size must be 1 in a refinement scan
+                val = p1 if br.read_bit() else m1
+            while k <= Se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= Se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _full_block(br, zz, huff, dc_tbl, ac_tbl, dc_pred, cid) -> None:
+    """Baseline (sequential) DC+AC decode of one block into ``zz``."""
+    t = _decode_symbol(br, huff[(0, dc_tbl)])
+    diff = _extend(br.receive(t), t)
+    dc_pred[cid] += diff
+    zz[0] = dc_pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, huff[(1, ac_tbl)])
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.receive(size), size)
+        k += 1
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) -> (h, w) uint8 for
-    grayscale or (h, w, 3) uint8 RGB for YCbCr, per ITU-T T.81:
-    marker/DQT/DHT/SOF/SOS parse, canonical Huffman entropy decode with
-    byte-unstuffing and restart-marker handling, dequantize, de-zigzag,
-    orthonormal 8x8 inverse DCT, +128 level shift, chroma upsampling
-    for subsampled components (4:2:0 / 4:2:2), BT.601 YCbCr->RGB.
-    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-    ValueError — this is the BASELINE profile, which is what the
-    overwhelming majority of web JPEGs use."""
+    """JPEG (Huffman, 8-bit) -> (h, w) uint8 grayscale or (h, w, 3)
+    uint8 RGB, per ITU-T T.81: BASELINE sequential (SOF0/SOF1) and
+    PROGRESSIVE (SOF2 — spectral selection + successive approximation,
+    with EOB runs and AC refinement correction bits; round-5 second
+    pass). Shared machinery: marker/DQT/DHT parse, canonical Huffman
+    with byte-unstuffing and restart markers, per-component zig-zag
+    coefficient planes filled scan by scan, then dequantize,
+    de-zigzag, orthonormal 8x8 inverse DCT, +128 level shift, chroma
+    upsampling (4:2:0 / 4:2:2), BT.601 YCbCr->RGB. Arithmetic coding
+    (SOF9+) and hierarchical/lossless modes raise ValueError."""
     if not is_jpeg(b):
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    eobrun_state = {}
+    dims = None
+    saw_scan = False
     pos = 2
-    scan = None
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -407,10 +510,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[i : i + 128], dtype=">u2")
                     i += 128
                 qt[tq] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -418,11 +522,26 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if h * w > (1 << 26):
+                # ~67 MP cap: a corrupt SOF claiming 65535x65535 would
+                # allocate tens of GB before any pixel decodes
+                raise ValueError(f"image {w}x{h} exceeds the decode cap")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            dims = (hmax, vmax, mcus_x, mcus_y)
+            coefs = {
+                c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                )
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG profile (SOF marker 0xFF{marker:02X}); "
-                "baseline sequential Huffman only"
+                "sequential/progressive Huffman only"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             i = 0
@@ -435,79 +554,48 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one scan's entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
                 scan.append({"id": cid, "dc": tt >> 4, "ac": tt & 15})
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             pos += ln
-            break
+            br = _BitReader(b, pos)
+            _decode_scan(
+                br, frame, dims, scan, huff, coefs,
+                restart_interval, progressive, ss, se, ah, al,
+            )
+            pos = br.pos
+            saw_scan = True
+            continue
         pos += ln
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
-    if frame["h"] * frame["w"] > (1 << 26):
-        # ~67 MP cap: a corrupt SOF claiming 65535x65535 would allocate
-        # tens of GB of planes inside an executor before any pixel
-        # decodes; this decoder targets web-image scale
-        raise ValueError(
-            f"image {frame['w']}x{frame['h']} exceeds the decode cap"
-        )
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros(
+    hmax, vmax, mcus_x, mcus_y = dims
+    planes = {}
+    for c in comps:
+        plane = np.zeros(
             (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
         )
-        for c in comps
-    }
-    sc_by_id = {sc["id"]: sc for sc in scan}
-    br = _BitReader(b, pos)
-    dc_pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                if br.at_marker():
-                    br.skip_marker()
-                    dc_pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                sc = sc_by_id[c["id"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _decode_symbol(br, huff[(0, sc["dc"])])
-                        diff = _extend(br.receive(t), t)
-                        dc_pred[c["id"]] += diff
-                        zz[0] = dc_pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, huff[(1, sc["ac"])])
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:  # ZRL: sixteen zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.receive(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = (zz * q).astype(np.float64)
-                        block = block.reshape(8, 8)
-                        spatial = _DCT_C.T @ block @ _DCT_C + 128.0
-                        planes[c["id"]][
-                            (my * c["v"] + by) * 8 : (my * c["v"] + by) * 8 + 8,
-                            (mx * c["h"] + bx) * 8 : (mx * c["h"] + bx) * 8 + 8,
-                        ] = spatial
-            mcu_count += 1
+        q = qt[c["tq"]]
+        arr = coefs[c["id"]]
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                zz = arr[by, bx]
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = (zz * q).astype(np.float64)
+                block = block.reshape(8, 8)
+                plane[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = _DCT_C.T @ block @ _DCT_C + 128.0
+        planes[c["id"]] = plane
 
     h, w = frame["h"], frame["w"]
     out_planes = []
@@ -531,6 +619,103 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    br, frame, dims, scan, huff, coefs, restart_interval,
+    progressive, ss, se, ah, al,
+) -> None:
+    """Consume one scan's entropy-coded data into the coefficient
+    planes. Baseline: one interleaved full-block scan. Progressive: DC
+    scans (interleaved or single-component, first or refine) and
+    single-component AC scans over the component's own block grid."""
+    comps_by_id = {c["id"]: c for c in frame["comps"]}
+    scomps = [comps_by_id[sc["id"]] for sc in scan]
+    sc_by_id = {sc["id"]: sc for sc in scan}
+    hmax, vmax, mcus_x, mcus_y = dims
+
+    def comp_grid(c):
+        bw = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        bh = -(-(frame["h"] * c["v"]) // (8 * vmax))
+        return bh, bw
+
+    if not progressive or ss == 0:
+        # interleaved MCU walk (baseline full blocks, or progressive DC)
+        # — a single-component scan walks that component's own grid
+        interleaved = len(scomps) > 1
+        dc_pred = {c["id"]: 0 for c in scomps}
+        unit = 0
+        if interleaved:
+            walk = [
+                (c, my * c["v"] + by, mx * c["h"] + bx)
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for c in scomps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+            units_per_restart = sum(c["h"] * c["v"] for c in scomps)
+        else:
+            c = scomps[0]
+            bh, bw = comp_grid(c)
+            walk = [(c, by, bx) for by in range(bh) for bx in range(bw)]
+            units_per_restart = 1
+        mcu = 0
+        blocks_in_mcu = 0
+        for c, by, bx in walk:
+            if (
+                restart_interval
+                and mcu
+                and blocks_in_mcu == 0
+                and mcu % restart_interval == 0
+                and br.at_marker()
+            ):
+                br.skip_marker()
+                dc_pred = {cc["id"]: 0 for cc in scomps}
+            sc = sc_by_id[c["id"]]
+            zz = coefs[c["id"]][by, bx]
+            if not progressive:
+                _full_block(
+                    br, zz, huff, sc["dc"], sc["ac"], dc_pred, c["id"]
+                )
+            elif ah == 0:  # DC first
+                t = _decode_symbol(br, huff[(0, sc["dc"])])
+                dc_pred[c["id"]] += _extend(br.receive(t), t)
+                zz[0] = dc_pred[c["id"]] << al
+            else:  # DC refine: one bit per block
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            blocks_in_mcu += 1
+            if blocks_in_mcu == units_per_restart:
+                blocks_in_mcu = 0
+                mcu += 1
+        return
+
+    # progressive AC scan: exactly one component (T.81 G.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scomps[0]
+    sc = sc_by_id[c["id"]]
+    table = huff[(1, sc["ac"])]
+    bh, bw = comp_grid(c)
+    eobrun = 0
+    bi = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if (
+                restart_interval
+                and bi
+                and bi % restart_interval == 0
+                and br.at_marker()
+            ):
+                br.skip_marker()
+                eobrun = 0
+            zz = coefs[c["id"]][by, bx]
+            if ah == 0:
+                eobrun = _ac_first(br, table, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, table, zz, ss, se, al, eobrun)
+            bi += 1
 
 
 # ---------------------------------------------------------------------------

@@ -99,15 +99,16 @@ def synthesize_media(docs_with_media: DataFrame) -> DataFrame:
 
 def decode_image(content: bytes | None, ref: str) -> tuple[dict, str]:
     """Decode dispatch: REAL stdlib decoders for PNG, BMP, GIF,
-    baseline JPEG, and LOSSLESS WebP (operators/codecs.py +
-    operators/vp8l.py — spec-exact, no PIL), the deterministic stub
-    for the remaining profiles (lossy-VP8 WebP, progressive JPEG,
-    compressed video/audio frames — genuinely codec-library-bound,
-    re-verified in BASELINE.md each round). Returns
+    baseline AND progressive JPEG, and LOSSLESS WebP
+    (operators/codecs.py + operators/vp8l.py — spec-exact, no PIL),
+    the deterministic stub for the remaining profiles (lossy-VP8
+    WebP, arithmetic-coded JPEG, compressed video/audio frames —
+    genuinely codec-library-bound, re-verified in BASELINE.md each
+    round). Returns
     (features, mode) with mode one of 'ok' (real decode) / 'stub'.
     Raises for None content or corrupt bytes in a recognized
     container, like a real decoder would — EXCEPT a JPEG profile the
-    baseline decoder does not cover (progressive/arithmetic), which
+    decoder does not cover (arithmetic coding, hierarchical), which
     falls back to the stub rather than poisoning the batch: the
     container was recognized but the profile is out of scope, the
     same verdict any fixed-profile production decoder stage gives."""

@@ -289,11 +289,11 @@ def _sof0(h, w, comps):
     return _seg(0xC0, p)
 
 
-def _sos(comps):
+def _sos(comps, ss=0, se=63, ah=0, al=0):
     p = bytes([len(comps)])
     for cid, dc, ac in comps:
         p += bytes([cid, (dc << 4) | ac])
-    p += bytes([0, 63, 0])
+    p += bytes([ss, se, (ah << 4) | al])
     return _seg(0xDA, p)
 
 
@@ -415,13 +415,90 @@ def test_jpeg_420_color_mcu():
     assert (got == 129).all()
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_arithmetic_rejected():
     from inform_spark.operators import codecs
     import pytest
 
-    jpg = b"\xff\xd8" + _seg(0xC2, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
-    with pytest.raises(ValueError, match="SOF marker 0xFFC2"):
+    jpg = b"\xff\xd8" + _seg(0xC9, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+    with pytest.raises(ValueError, match="SOF marker 0xFFC9"):
         codecs.decode_jpeg(jpg + b"\xff\xd9")
+
+
+def _sof2(h, w, comps):
+    p = _struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        p += bytes([cid, hv, tq])
+    return _seg(0xC2, p)
+
+
+def test_jpeg_progressive_dc_successive_approximation():
+    """Two DC scans: first pass at Al=1 (diff +1 -> coefficient 2),
+    then a refinement bit completing it to 3 — must equal the baseline
+    flat block with DC 3."""
+    from inform_spark.operators import codecs
+
+    s1 = _BitWriter()
+    s1.write("0")   # DC huff: category 1
+    s1.write("1")   # magnitude -> diff +1
+    s2 = _BitWriter()
+    s2.write("1")   # DC refinement bit
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof2(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [1])       # "0" -> category 1
+        + _sos([(1, 0, 0)], ss=0, se=0, ah=0, al=1)
+        + s1.tobytes()
+        + _sos([(1, 0, 0)], ss=0, se=0, ah=1, al=0)
+        + s2.tobytes()
+        + b"\xff\xd9"
+    )
+    got = codecs.decode_jpeg(jpg)
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][0] = 3.0
+    assert (got == _expected_u8(coef)).all()
+
+
+def test_jpeg_progressive_ac_first_and_refine():
+    """DC scan, then an AC band scan at Al=1 placing zig-zag k=2, then
+    an AC refinement inserting k=1 and emitting a correction bit that
+    completes k=2 — exercising EOB runs and the correction-bit
+    traversal."""
+    from inform_spark.operators import codecs
+
+    s1 = _BitWriter()
+    s1.write("0")    # DC category 2
+    s1.write("11")   # diff +3
+    s2 = _BitWriter()
+    s2.write("10")   # AC symbol 0x11 (run 1, size 1)
+    s2.write("1")    # magnitude +1 -> zz[2] = 1 << 1 = 2
+    s2.write("0")    # EOB0
+    s3 = _BitWriter()
+    s3.write("10")   # AC symbol 0x01 (run 0, size 1): new coefficient
+    s3.write("1")    # sign + -> zz[1] = +1
+    s3.write("0")    # EOB0 (eobrun covers the rest of this block)
+    s3.write("1")    # correction bit for zz[2]: 2 -> 3
+    jpg = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof2(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _sos([(1, 0, 0)], ss=0, se=0, ah=0, al=0)
+        + s1.tobytes()
+        + _dht(1, 0, [1, 1] + [0] * 14, [0x00, 0x11])
+        + _sos([(1, 0, 0)], ss=1, se=5, ah=0, al=1)
+        + s2.tobytes()
+        + _dht(1, 0, [1, 1] + [0] * 14, [0x00, 0x01])
+        + _sos([(1, 0, 0)], ss=1, se=5, ah=1, al=0)
+        + s3.tobytes()
+        + b"\xff\xd9"
+    )
+    got = codecs.decode_jpeg(jpg)
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][0] = 3.0
+    coef[0][1] = 1.0  # zig-zag 1 -> raster (0, 1)
+    coef[1][0] = 3.0  # zig-zag 2 -> raster (1, 0), refined 2 -> 3
+    assert (got == _expected_u8(coef)).all()
 
 
 def test_jpeg_not_a_jpeg_rejected():
@@ -433,10 +510,10 @@ def test_jpeg_not_a_jpeg_rejected():
 
 
 def test_image_features_jpeg_real_decode_dispatch(spark):
-    """A hand-assembled baseline JPEG decodes for REAL through the
-    mapInPandas feature extractor; a progressive JPEG (recognized
-    container, unsupported profile) falls back to the stub verdict
-    instead of failing the batch."""
+    """Hand-assembled baseline AND progressive JPEGs decode for REAL
+    through the mapInPandas feature extractor; an arithmetic-coded SOF
+    (recognized container, genuinely unsupported profile) falls back to
+    the stub verdict instead of failing the batch."""
     import pandas as pd
 
     from inform_spark.operators import multimodal as mm
@@ -455,17 +532,29 @@ def test_image_features_jpeg_real_decode_dispatch(spark):
         + bw.tobytes()
         + b"\xff\xd9"
     )
-    prog = b"\xff\xd8" + _seg(
-        0xC2, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    p1 = _BitWriter()
+    p1.write("0")
+    p1.write("11")
+    prog = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _sof2(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _sos([(1, 0, 0)], ss=0, se=0, ah=0, al=0)
+        + p1.tobytes()
+        + b"\xff\xd9"
+    )
+    arith = b"\xff\xd8" + _seg(
+        0xC9, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     ) + b"\xff\xd9"
     media = spark.createDataFrame(
         pd.DataFrame({
-            "media_ref": ["real.jpg", "prog.jpg"],
-            "doc_id": ["1", "1"],
-            "kind": ["image", "image"],
-            "content": [jpg, prog],
-            "content_len": [len(jpg), len(prog)],
-            "format": ["jpg", "jpg"],
+            "media_ref": ["real.jpg", "prog.jpg", "arith.jpg"],
+            "doc_id": ["1", "1", "1"],
+            "kind": ["image", "image", "image"],
+            "content": [jpg, prog, arith],
+            "content_len": [len(jpg), len(prog), len(arith)],
+            "format": ["jpg", "jpg", "jpg"],
         }),
         schema=mm.MEDIA,
     )
@@ -474,7 +563,9 @@ def test_image_features_jpeg_real_decode_dispatch(spark):
     assert got["real.jpg"]["width"] == 8 and got["real.jpg"]["height"] == 8
     # DC-only block: every pixel 128.375 -> rounds to 128 exactly
     assert abs(got["real.jpg"]["mean_luma"] - 128.0) < 1e-9
-    assert got["prog.jpg"]["decode_ok"] == "stub"
+    assert got["prog.jpg"]["decode_ok"] == "ok"
+    assert abs(got["prog.jpg"]["mean_luma"] - 128.0) < 1e-9
+    assert got["arith.jpg"]["decode_ok"] == "stub"
 
 
 # ---------------------------------------------------------------------------
