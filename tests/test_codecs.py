@@ -845,9 +845,27 @@ def _valid_fixtures():
         tracks=({"handler": b"vide", "codec": b"avc1", "ts": 1000,
                  "dur": 5000, "w": 64, "h": 64, "samples": 5},),
     )
+    p1 = _BitWriter()
+    p1.write("0")
+    p1.write("11")
+    p2 = _BitWriter()
+    p2.write("10")
+    p2.write("1")
+    p2.write("0")
+    prog = (
+        b"\xff\xd8" + _dqt(0, [1] * 64) + _sof2(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, [1] + [0] * 15, [2])
+        + _sos([(1, 0, 0)], ss=0, se=0, ah=0, al=1)
+        + p1.tobytes()
+        + _dht(1, 0, [1, 1] + [0] * 14, [0x00, 0x11])
+        + _sos([(1, 0, 0)], ss=1, se=5, ah=0, al=1)
+        + p2.tobytes()
+        + b"\xff\xd9"
+    )
     return {
         "png": (png, codecs.decode_png),
         "jpeg": (jpg, codecs.decode_jpeg),
+        "jpeg-prog": (prog, codecs.decode_jpeg),
         "gif": (gif, codecs.decode_gif),
         "mp4": (mp4, codecs.parse_mp4),
     }
